@@ -1,0 +1,23 @@
+"""Deduplication operators for training-data pipelines (SURVEY.md
+section 7.5): exact, MinHash+LSH, SimHash, n-gram Jaccard, and
+embedding-cosine near-dup. All pure DataFrame compositions - shuffles on
+hash keys, no Python in the hot path - so they scale with executors.
+"""
+
+from .exact import exact_dedup_groups, dedup_documents
+from .ngram import token_ngrams, ngram_jaccard_pairs
+from .minhash import minhash_signatures, minhash_lsh_pairs
+from .simhash import simhash_docs, simhash_near_pairs
+from .embedding import embedding_neardup_pairs
+
+__all__ = [
+    "exact_dedup_groups",
+    "dedup_documents",
+    "token_ngrams",
+    "ngram_jaccard_pairs",
+    "minhash_signatures",
+    "minhash_lsh_pairs",
+    "simhash_docs",
+    "simhash_near_pairs",
+    "embedding_neardup_pairs",
+]

@@ -1,0 +1,101 @@
+"""MinHash + LSH near-duplicate detection (approximate, scale path).
+
+Pure DataFrame pipeline - shingle -> k minhashes -> band -> bucket join
+-> exact-Jaccard verification of candidates:
+
+1. explode each doc's distinct n-grams; hash each gram with k seeds
+   (``xxhash64(gram, seed)``) and take per-doc minima -> the k-wide
+   MinHash signature (one shuffle, map-side partial min).
+2. split the signature into b bands of r values (k = b*r); hash each
+   band; docs sharing any (band_id, band_hash) bucket become candidates
+   (equi join on the bucket key - this replaces the quadratic all-pairs
+   comparison; collision probability ~ 1-(1-J^r)^b).
+3. verify candidates with exact Jaccard over the stored gram arrays
+   (JVM ``array_intersect``), so output pairs are never false positives;
+   recall is the LSH collision probability (hence no SQL oracle - the
+   driver records a rows-only check; the exact counterpart
+   dedup.ngram.ngram_jaccard_pairs has the full oracle).
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .ngram import token_ngrams
+
+
+def minhash_signatures(
+    docs: DataFrame,
+    n: int = 3,
+    num_hashes: int = 32,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(doc, grams, sig): k-wide minhash signature per document."""
+    grams = docs.select(
+        F.col(id_col).alias("doc"), token_ngrams(text_col, n).alias("grams")
+    )
+    exploded = grams.select("doc", F.explode("grams").alias("gram"))
+    hashed = exploded.select(
+        "doc", *[F.xxhash64("gram", F.lit(i)).alias(f"h{i}") for i in range(num_hashes)]
+    )
+    sig = hashed.groupBy("doc").agg(
+        *[F.min(f"h{i}").alias(f"m{i}") for i in range(num_hashes)]
+    )
+    return grams.join(sig, "doc").select(
+        "doc", "grams", F.array(*[f"m{i}" for i in range(num_hashes)]).alias("sig")
+    )
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    n: int = 3,
+    num_hashes: int = 32,
+    bands: int = 8,
+    threshold: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Near-dup pairs (doc_a < doc_b, exact jaccard >= threshold) found
+    via LSH banding. Columns: doc_a, doc_b, jaccard."""
+    if num_hashes % bands:
+        raise ValueError("num_hashes must be divisible by bands")
+    r = num_hashes // bands
+    sigs = minhash_signatures(docs, n=n, num_hashes=num_hashes, text_col=text_col, id_col=id_col)
+    buckets = sigs.select(
+        "doc",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(*[F.col("sig")[b * r + j] for j in range(r)]).alias("bh"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select("doc", "bk.band", "bk.bh")
+    a, b_ = buckets.alias("a"), buckets.alias("b")
+    cand = (
+        a.join(
+            b_,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bh") == F.col("b.bh"))
+            & (F.col("a.doc") < F.col("b.doc")),
+        )
+        .select(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
+        .distinct()
+    )
+    ga = sigs.select(F.col("doc").alias("doc_a"), F.col("grams").alias("ga"))
+    gb = sigs.select(F.col("doc").alias("doc_b"), F.col("grams").alias("gb"))
+    verified = cand.join(ga, "doc_a").join(gb, "doc_b")
+    inter = F.size(F.array_intersect("ga", "gb")).cast("double")
+    union = F.size("ga") + F.size("gb") - F.size(F.array_intersect("ga", "gb"))
+    jac = inter / union
+    return verified.filter(jac >= threshold).select(
+        "doc_a", "doc_b", F.round(jac, 6).alias("jaccard")
+    )

@@ -1,0 +1,92 @@
+"""SimHash near-duplicate detection.
+
+63-bit SimHash (bits 0..62 of ``xxhash64``; bit 63 is skipped so the
+packed value stays a positive SQL BIGINT under ANSI arithmetic - the one
+lost bit is immaterial for similarity). Token-frequency weighted: every
+token occurrence votes +1/-1 per bit; the sign of the per-bit vote sum
+becomes the fingerprint bit.
+
+Candidate search blocks on 16-bit bands of the fingerprint (any pair at
+Hamming distance <= 3 shares at least one of four bands exactly), then
+verifies with ``bit_count(xor)``. Hash values are engine-specific, so
+these queries get rows-only driver checks (no SQL oracle).
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.text import tokens
+
+SIMHASH_BITS = 63
+_BAND_BITS = 16
+_BANDS = 4  # covers bits 0..63; top band has 15 live bits
+
+
+def simhash_docs(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, simhash): one aggregation pass - explode tokens, 63
+    conditional-sum bit votes (all map-side partial), pack the signs."""
+    toks = docs.select(F.col(id_col).alias("doc_id"), F.explode(tokens(text_col)).alias("tok"))
+    h = F.xxhash64("tok")
+    votes = toks.groupBy("doc_id").agg(
+        *[
+            F.sum(F.when(h.bitwiseAND(F.lit(1 << j)) != 0, 1).otherwise(-1)).alias(f"v{j}")
+            for j in range(SIMHASH_BITS)
+        ]
+    )
+    packed = reduce(
+        lambda acc, j: acc
+        + F.when(F.col(f"v{j}") > 0, F.lit(1 << j).cast("long")).otherwise(F.lit(0).cast("long")),
+        range(SIMHASH_BITS),
+        F.lit(0).cast("long"),
+    )
+    return votes.select("doc_id", packed.alias("simhash"))
+
+
+def simhash_near_pairs(
+    docs: DataFrame, max_hamming: int = 3, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Pairs (doc_a < doc_b) with Hamming(simhash) <= max_hamming.
+
+    Exact for max_hamming <= 3 by the pigeonhole band argument; larger
+    radii would need more/permuted bands.
+    """
+    sh = simhash_docs(docs, text_col=text_col, id_col=id_col)
+    bands = sh.select(
+        F.col("doc_id").alias("doc"),
+        F.col("simhash"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        F.shiftrightunsigned("simhash", i * _BAND_BITS)
+                        .bitwiseAND(F.lit((1 << _BAND_BITS) - 1))
+                        .alias("bv"),
+                    )
+                    for i in range(_BANDS)
+                ]
+            )
+        ).alias("bk"),
+    ).select("doc", "simhash", "bk.band", "bk.bv")
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bv") == F.col("b.bv"))
+            & (F.col("a.doc") < F.col("b.doc")),
+        )
+        .select(
+            F.col("a.doc").alias("doc_a"),
+            F.col("b.doc").alias("doc_b"),
+            F.col("a.simhash").alias("sh_a"),
+            F.col("b.simhash").alias("sh_b"),
+        )
+        .distinct()
+    )
+    ham = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return cand.filter(ham <= max_hamming).select("doc_a", "doc_b", ham.alias("hamming"))

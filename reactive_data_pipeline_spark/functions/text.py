@@ -1,0 +1,130 @@
+"""Text-analysis functions over the ``documents`` table (SURVEY.md
+section 7.5: language-ID, quality scoring, token counting, document
+fingerprinting).
+
+All of these are JVM-side column expressions (split / higher-order
+functions / regexp) - no Python UDFs - so they whole-stage-codegen and
+scale linearly with executors. Each has an exact ANSI-SQL twin used as
+the DuckDB oracle (see ``reactive_data_pipeline_spark.catalog``); the
+formulas are deliberately engine-portable (integer-exact or
+rational-of-integers arithmetic).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Tiny per-language stopword profiles for the n-gram/stopword language-ID
+# heuristic. Order matters: ties resolve by this priority.
+STOPWORDS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "and", "of", "to", "in", "is", "it"),
+    "es": ("el", "la", "de", "que", "y", "en", "un"),
+    "fr": ("le", "la", "de", "et", "les", "des", "une"),
+    "de": ("der", "die", "und", "das", "ein", "zu"),
+}
+
+#: Punctuation class counted by :func:`punct_count` (kept regex-portable).
+PUNCT_CLASS = r"[.,;:!?]"
+
+#: BPE-ish token pattern: letter runs, digit runs, or single other glyphs.
+TOKEN_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+#: Modulus for the rolling polynomial fingerprint (fits comfortably in
+#: int64 even after *31 + 0x10FFFF).
+FINGERPRINT_MOD = 1_000_000_007
+
+
+def _as_col(c: Column | str) -> Column:
+    return F.col(c) if isinstance(c, str) else c
+
+
+def normalize_ws(text: Column | str) -> Column:
+    """Canonical form used for dedup + fingerprints: lowercase, trimmed,
+    single-spaced."""
+    return F.regexp_replace(F.lower(F.trim(_as_col(text))), r"\s+", " ")
+
+
+def tokens(text: Column | str) -> Column:
+    return F.split(normalize_ws(text), " ")
+
+
+def word_count(text: Column | str) -> Column:
+    return F.size(tokens(text))
+
+
+def char_count(text: Column | str) -> Column:
+    return F.length(_as_col(text))
+
+
+def avg_word_len(text: Column | str) -> Column:
+    norm = normalize_ws(text)
+    letters = F.length(F.replace(norm, F.lit(" "), F.lit("")))
+    return letters.cast("double") / word_count(text)
+
+
+def punct_count(text: Column | str) -> Column:
+    return F.regexp_count(_as_col(text), F.lit(PUNCT_CLASS))
+
+
+def punct_ratio(text: Column | str) -> Column:
+    return punct_count(text).cast("double") / char_count(text)
+
+
+def stopword_count(text: Column | str, lang: str = "en") -> Column:
+    words = F.array(*[F.lit(w) for w in STOPWORDS[lang]])
+    return F.size(F.filter(tokens(text), lambda t: F.array_contains(words, t)))
+
+
+def stopword_ratio(text: Column | str, lang: str = "en") -> Column:
+    return stopword_count(text, lang).cast("double") / word_count(text)
+
+
+def quality_score(text: Column | str) -> Column:
+    """Deterministic [0,1] quality heuristic: length credit + stopword
+    naturalness - punctuation noise. Portable: every term is a ratio of
+    integer counts."""
+    wc = word_count(text).cast("double")
+    length_term = F.least(F.lit(1.0), wc / 50.0) * 0.5
+    stop_term = F.least(F.lit(1.0), stopword_ratio(text) * 5.0) * 0.3
+    punct_term = (1.0 - F.least(F.lit(1.0), punct_ratio(text) * 10.0)) * 0.2
+    return F.round(length_term + stop_term + punct_term, 6)
+
+
+def lang_scores(text: Column | str) -> dict[str, Column]:
+    return {lang: stopword_count(text, lang) for lang in STOPWORDS}
+
+
+def lang_id(text: Column | str) -> Column:
+    """Stopword-profile language-ID: argmax score with fixed priority
+    order on ties (first language in STOPWORDS wins)."""
+    scores = lang_scores(text)
+    best = F.greatest(*scores.values())
+    expr = F.lit("und")
+    # Build the CASE back-to-front so earlier languages take precedence.
+    for lang in reversed(list(STOPWORDS)):
+        expr = F.when(scores[lang] == best, F.lit(lang)).otherwise(expr)
+    return F.when(best <= 0, F.lit("und")).otherwise(expr)
+
+
+def token_count(text: Column | str) -> Column:
+    """BPE-ish token count: letter runs + digit runs + lone symbols."""
+    return F.regexp_count(_as_col(text), F.lit(TOKEN_PATTERN))
+
+
+def fingerprint_md5(text: Column | str) -> Column:
+    """Content fingerprint: md5 of the normalized text."""
+    return F.md5(normalize_ws(text))
+
+
+def fingerprint_rolling(text: Column | str) -> Column:
+    """Rolling polynomial hash over the normalized text's characters:
+    ``h = (h*31 + codepoint) mod 1e9+7``. JVM-side via
+    ``aggregate(split(...))`` - order-dependent by construction, which is
+    the point of a rolling hash."""
+    chars = F.split(normalize_ws(text), "")
+    return F.aggregate(
+        chars,
+        F.lit(0).cast("long"),
+        lambda acc, ch: F.pmod(acc * 31 + F.ascii(ch), F.lit(FINGERPRINT_MOD)),
+    )

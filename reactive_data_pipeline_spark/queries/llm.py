@@ -1,0 +1,326 @@
+"""LLM-data-pipeline catalog queries (SURVEY.md section 7.5): text
+analysis, dedup (exact + near-dup), similarity search, multimodal.
+
+Oracle notes: the DuckDB twins mirror the Spark expressions exactly -
+same normalization, same fold order for floating point (``list_reduce``
+with explicit 0.0 init == Spark ``aggregate`` with 0.0 init), ratios of
+integers elsewhere - so value hashes match bit-for-bit. Hash-based and
+probabilistic operators (minhash/simhash/LSH) have no SQL twin by nature
+and register with ``oracle=None`` (driver rows-only check); each has an
+exact oracle-checked counterpart in the catalog.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .. import multimodal
+from ..dedup import (
+    embedding_neardup_pairs,
+    exact_dedup_groups,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_near_pairs,
+)
+from ..functions import text as TX
+from ..similarity import knn_brute, knn_lsh
+from ..sources import read_table
+from . import register
+
+#: Shared normalization SQL (twin of functions.text.normalize_ws).
+_NORM = r"regexp_replace(lower(trim(text)), '\s+', ' ', 'g')"
+_TOKS = f"string_split({_NORM}, ' ')"
+
+
+def _docs(spark, sf_dir):
+    return read_table(spark, sf_dir, "documents")
+
+
+def _emb(spark, sf_dir):
+    return read_table(spark, sf_dir, "embeddings")
+
+
+# ---------------------------------------------------------------------------
+# Text analysis
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "text_stats",
+    oracle=f"""
+    SELECT doc_id,
+           len(string_split(norm, ' ')) AS n_words,
+           len(regexp_extract_all(text, '{TX.TOKEN_PATTERN}')) AS n_tokens,
+           length(text) AS n_chars_obs,
+           round(CAST(length(replace(norm, ' ', '')) AS DOUBLE)
+                 / len(string_split(norm, ' ')), 4) AS avg_word_len
+    FROM (SELECT doc_id, text, {_NORM} AS norm FROM documents)
+    """,
+    tags=("text",),
+    bench=True,
+)
+def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting + length stats, all JVM expressions (one narrow
+    map, no shuffle)."""
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        TX.word_count("text").alias("n_words"),
+        TX.token_count("text").alias("n_tokens"),
+        TX.char_count("text").alias("n_chars_obs"),
+        F.round(TX.avg_word_len("text"), 4).alias("avg_word_len"),
+    )
+
+
+def _stop_sql(lang: str) -> str:
+    lst = ", ".join(f"'{w}'" for w in TX.STOPWORDS[lang])
+    return f"len(list_filter(string_split(norm, ' '), t -> list_contains([{lst}], t)))"
+
+
+@register(
+    "text_quality",
+    oracle=f"""
+    SELECT doc_id,
+           round(stop_ratio, 6) AS stop_ratio,
+           round(punct_ratio, 6) AS punct_ratio,
+           round(least(1.0, CAST(n_words AS DOUBLE) / 50.0) * 0.5
+                 + least(1.0, stop_ratio * 5.0) * 0.3
+                 + (1.0 - least(1.0, punct_ratio * 10.0)) * 0.2, 6) AS quality
+    FROM (
+      SELECT doc_id,
+             len(string_split(norm, ' ')) AS n_words,
+             CAST({_stop_sql('en')} AS DOUBLE) / len(string_split(norm, ' ')) AS stop_ratio,
+             CAST(len(regexp_extract_all(text, '{TX.PUNCT_CLASS}')) AS DOUBLE)
+               / length(text) AS punct_ratio
+      FROM (SELECT doc_id, text, {_NORM} AS norm FROM documents)
+    )
+    """,
+    tags=("text",),
+)
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring: length credit + stopword naturalness - punctuation
+    noise (deterministic heuristic, functions.text.quality_score)."""
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        F.round(TX.stopword_ratio("text"), 6).alias("stop_ratio"),
+        F.round(TX.punct_ratio("text"), 6).alias("punct_ratio"),
+        TX.quality_score("text").alias("quality"),
+    )
+
+
+def _lang_case_sql() -> str:
+    scores = {lang: _stop_sql(lang) for lang in TX.STOPWORDS}
+    best = "greatest(" + ", ".join(f"s_{l}" for l in TX.STOPWORDS) + ")"
+    whens = "\n".join(f"WHEN s_{l} = best THEN '{l}'" for l in TX.STOPWORDS)
+    inner = ",\n".join(f"{sql} AS s_{l}" for l, sql in scores.items())
+    return f"""
+    SELECT doc_id, lang,
+           CASE WHEN best <= 0 THEN 'und'
+                {whens}
+                ELSE 'und' END AS lang_pred
+    FROM (
+      SELECT doc_id, lang, s_en, s_es, s_fr, s_de, {best} AS best
+      FROM (SELECT doc_id, lang, {inner}
+            FROM (SELECT doc_id, lang, {_NORM} AS norm FROM documents))
+    )
+    """
+
+
+@register("lang_id_docs", oracle=_lang_case_sql(), tags=("text",))
+def lang_id_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-profile language ID (argmax with fixed tie priority)."""
+    return _docs(spark, sf_dir).select(
+        "doc_id", "lang", TX.lang_id("text").alias("lang_pred")
+    )
+
+
+@register(
+    "doc_fingerprints",
+    oracle=f"""
+    SELECT doc_id,
+           md5(norm) AS fp_md5,
+           list_reduce(
+             list_prepend(CAST(0 AS BIGINT),
+               list_transform(list_filter(string_split(norm, ''), c -> c != ''),
+                              c -> CAST(ascii(c) AS BIGINT))),
+             (acc, x) -> (acc * 31 + x) % {TX.FINGERPRINT_MOD}) AS fp_roll
+    FROM (SELECT doc_id, {_NORM} AS norm FROM documents)
+    """,
+    tags=("text", "fingerprint"),
+)
+def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content digests: md5 + rolling polynomial hash (both JVM-side)."""
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        TX.fingerprint_md5("text").alias("fp_md5"),
+        TX.fingerprint_rolling("text").alias("fp_roll"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Dedup
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dedup_exact_docs",
+    oracle=f"""
+    SELECT MIN(doc_id) AS keeper_doc_id,
+           COUNT(*) AS n_copies,
+           md5(norm) AS fingerprint
+    FROM (SELECT doc_id, {_NORM} AS norm FROM documents)
+    GROUP BY norm
+    """,
+    tags=("dedup",),
+    bench=True,
+)
+def dedup_exact_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup groups (hash-groupBy on normalized content)."""
+    return exact_dedup_groups(_docs(spark, sf_dir))
+
+
+@register(
+    "ngram_jaccard_pairs",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, list_distinct({_TOKS}) AS t FROM documents)
+    SELECT doc_a, doc_b, round(jac, 6) AS jaccard FROM (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             CAST(len(list_intersect(a.t, b.t)) AS DOUBLE)
+               / (len(a.t) + len(b.t) - len(list_intersect(a.t, b.t))) AS jac
+      FROM toks a JOIN toks b ON a.doc_id < b.doc_id
+    ) WHERE jac >= 0.9
+    """,
+    tags=("dedup", "ngram"),
+)
+def ngram_jaccard_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact near-dup pairs by token-set Jaccard (inverted-index join;
+    the synthetic corpus's tiny vocabulary makes unigram sets the
+    discriminative shingle here)."""
+    return ngram_jaccard_pairs(_docs(spark, sf_dir), n=1, threshold=0.9)
+
+
+@register(
+    "ngram3_jaccard_pairs",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+    grams AS (
+      SELECT doc_id,
+             list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+                            FOR i IN generate_series(1, len(t) - 2)]) AS g
+      FROM toks
+    )
+    SELECT doc_a, doc_b, round(jac, 6) AS jaccard FROM (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             CAST(len(list_intersect(a.g, b.g)) AS DOUBLE)
+               / (len(a.g) + len(b.g) - len(list_intersect(a.g, b.g))) AS jac
+      FROM grams a JOIN grams b ON a.doc_id < b.doc_id
+    ) WHERE jac >= 0.5
+    """,
+    tags=("dedup", "ngram"),
+)
+def ngram3_jaccard_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word-trigram Jaccard near-dup pairs (the classic shingle size)."""
+    return ngram_jaccard_pairs(_docs(spark, sf_dir), n=3, threshold=0.5)
+
+
+@register("minhash_neardup_pairs", oracle=None, tags=("dedup", "minhash", "lsh"), bench=True)
+def minhash_neardup_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH candidates verified by exact Jaccard (approximate
+    recall -> rows-only check; exact twin: ngram3_jaccard_pairs)."""
+    return minhash_lsh_pairs(_docs(spark, sf_dir), n=3, num_hashes=32, bands=8, threshold=0.5)
+
+
+@register("simhash_near_pairs", oracle=None, tags=("dedup", "simhash"))
+def simhash_near_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs at Hamming <= 3 (engine-specific hash ->
+    rows-only check)."""
+    return simhash_near_pairs(_docs(spark, sf_dir), max_hamming=3)
+
+
+# ---------------------------------------------------------------------------
+# Similarity search
+# ---------------------------------------------------------------------------
+
+_DOT = (
+    "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+    "[CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE) "
+    "FOR i IN generate_series(1, len({a}))]), (acc, x) -> acc + x)"
+)
+
+
+def _cos_sql(a: str, b: str) -> str:
+    return (
+        f"{_DOT.format(a=a, b=b)} / "
+        f"(sqrt({_DOT.format(a=a, b=a)}) * sqrt({_DOT.format(a=b, b=b)}))"
+    )
+
+
+@register(
+    "knn_brute_cosine",
+    oracle=f"""
+    WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+    SELECT vec_id, round(cos, 6) AS cos_sim FROM (
+      SELECT e.vec_id, {_cos_sql('e.embedding', 'q.qv')} AS cos
+      FROM embeddings e, q WHERE e.vec_id <> 0
+    ) ORDER BY cos_sim DESC, vec_id LIMIT 10
+    """,
+    tags=("similarity",),
+    bench=True,
+)
+def knn_brute_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact top-10 cosine neighbors of vec_id=0 (broadcast query row +
+    TakeOrderedAndProject; see similarity.brute)."""
+    return knn_brute(_emb(spark, sf_dir), query_id=0, k=10)
+
+
+@register("knn_lsh_cosine", oracle=None, tags=("similarity", "lsh"))
+def knn_lsh_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hyperplane-LSH approximate top-10 (bucket + multi-probe; rows-only
+    check, exact twin knn_brute_cosine)."""
+    return knn_lsh(_emb(spark, sf_dir), query_id=0, k=10, num_planes=8, probe_radius=1)
+
+
+@register(
+    "embedding_neardup_pairs",
+    oracle=f"""
+    SELECT vec_a, vec_b, round(cos, 6) AS cos_sim FROM (
+      SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+             {_cos_sql('a.embedding', 'b.embedding')} AS cos
+      FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    ) WHERE cos >= 0.45
+    """,
+    tags=("dedup", "similarity"),
+    bench=True,
+)
+def embedding_neardup_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact embedding-cosine near-dup pairs (all-pairs ground truth)."""
+    return embedding_neardup_pairs(_emb(spark, sf_dir), threshold=0.45)
+
+
+# ---------------------------------------------------------------------------
+# Multimodal
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "mm_payload_meta",
+    oracle="""
+    SELECT doc_id,
+           'text/plain' AS media_type,
+           octet_length(encode(text)) AS n_bytes,
+           sha256(text) AS sha256_hex
+    FROM documents
+    """,
+    tags=("multimodal",),
+)
+def mm_payload_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed metadata over opaque binary payloads (JVM-side)."""
+    return multimodal.payload_meta(_docs(spark, sf_dir))
+
+
+@register("mm_features", oracle=None, tags=("multimodal", "pandas_udf"))
+def mm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-batched mapInPandas feature extraction over payloads
+    (deterministic stub features; decode itself is stubbed - no codecs in
+    the container)."""
+    return multimodal.extract_features(_docs(spark, sf_dir))

@@ -1,0 +1,97 @@
+"""Random-hyperplane LSH for approximate nearest-neighbor search.
+
+Signatures: sign of <v, p_i> for ``num_planes`` fixed pseudo-random
+hyperplanes (deterministic seed), packed into an integer bucket id. The
+collision probability of two vectors is (1 - theta/pi)^num_planes, so
+bucket-mates are cosine-close with high probability.
+
+Scale shape: bucketing is a narrow map (no shuffle); the query probes
+its own bucket plus all buckets at Hamming distance <= ``probe_radius``
+(multi-probe LSH), turning the search into an equi join on the bucket id
+over a small fraction of the table. Repartitioning/bucketing the stored
+table by ``lsh_bucket`` makes the probe a partition-pruned scan.
+
+Approximate by construction -> rows-only driver check (no SQL oracle);
+the exact baseline is similarity.brute.knn_brute.
+"""
+
+from __future__ import annotations
+
+from itertools import combinations
+
+import numpy as np
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.vectors import cosine
+from ..operators.relational import top_k
+
+DEFAULT_SEED = 42
+
+
+def hyperplanes(dim: int, num_planes: int = 8, seed: int = DEFAULT_SEED) -> list[list[float]]:
+    """Deterministic pseudo-random unit hyperplanes (public numpy RNG)."""
+    rng = np.random.RandomState(seed)
+    planes = rng.normal(size=(num_planes, dim))
+    planes /= np.linalg.norm(planes, axis=1, keepdims=True)
+    return [[float(x) for x in p] for p in planes]
+
+
+def _bucket_expr(vec_col: str, planes: list[list[float]]) -> Column:
+    """Packed sign-bit bucket id as a JVM expression over literal planes."""
+    bucket = F.lit(0).cast("long")
+    for i, p in enumerate(planes):
+        plane = F.array(*[F.lit(x) for x in p])
+        d = F.aggregate(
+            F.zip_with(F.col(vec_col).cast("array<double>"), plane, lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        bucket = bucket + F.when(d > 0, F.lit(1 << i).cast("long")).otherwise(F.lit(0).cast("long"))
+    return bucket
+
+
+def with_lsh_bucket(
+    emb: DataFrame, num_planes: int = 8, vec_col: str = "embedding", seed: int = DEFAULT_SEED
+) -> DataFrame:
+    dim = 64  # driver embeddings table; callers with other dims pass planes via _bucket_expr
+    planes = hyperplanes(dim, num_planes, seed)
+    return emb.withColumn("lsh_bucket", _bucket_expr(vec_col, planes))
+
+
+def knn_lsh(
+    emb: DataFrame,
+    query_id: int,
+    k: int = 10,
+    num_planes: int = 8,
+    probe_radius: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = DEFAULT_SEED,
+) -> DataFrame:
+    """Approximate top-k: score only vectors whose bucket is within
+    ``probe_radius`` bit flips of the query's bucket.
+
+    Columns: vec_id, cos_sim (same schema as knn_brute).
+    """
+    bucketed = with_lsh_bucket(emb, num_planes=num_planes, vec_col=vec_col, seed=seed)
+    q = bucketed.filter(F.col(id_col) == query_id).select(
+        F.col(vec_col).alias("__q"), F.col("lsh_bucket").alias("__qb")
+    )
+    # Multi-probe neighborhood: all masks with <= probe_radius bits set.
+    masks = [0]
+    for r in range(1, probe_radius + 1):
+        masks += [sum(1 << i for i in c) for c in combinations(range(num_planes), r)]
+    probe = F.array(*[F.lit(m).cast("long") for m in masks])
+    cand = (
+        bucketed.filter(F.col(id_col) != query_id)
+        .join(
+            F.broadcast(q),
+            F.array_contains(probe, F.col("lsh_bucket").bitwiseXOR(F.col("__qb"))),
+        )
+        .select(
+            F.col(id_col).alias("vec_id"),
+            F.round(cosine(vec_col, "__q"), 6).alias("cos_sim"),
+        )
+    )
+    return top_k(cand, [F.desc("cos_sim"), F.asc("vec_id")], k)

@@ -1,0 +1,90 @@
+"""Table registry: batch + streaming parquet readers and append sinks.
+
+Maps the reference's source/sink surface onto Spark-native primitives
+(SURVEY.md section 2.1):
+
+* S3 table scan  (``resources.py:31,58-67``)  -> :func:`read_table`
+* S4 append sink (``resources.py:40-53``)     -> :func:`append_sink`
+* S5 derived-row sink (``resources.py:69-76``)-> :func:`partitioned_append_sink`
+* S6 DDL auto-create (``resources.py:24``)    -> schema-on-write parquet
+* R3 daily partitions (``jobs.py:44-46``)     -> ``partitionBy`` day column
+
+Normalization: ``events.ts`` is parquet TIMESTAMP(NANOS); Spark reads it
+as a long (``spark.sql.legacy.parquet.nanosAsLong``) and we convert to a
+microsecond ``timestamp_ntz`` here, at the source boundary, so every
+downstream operator sees one timestamp type. The integer ``div`` keeps the
+conversion exact (a double division would lose precision above 2^53 ns).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .. import schemas
+
+
+def table_path(sf_dir: str, name: str) -> str:
+    return f"{sf_dir.rstrip('/')}/{name}.parquet"
+
+
+def _normalize_events(df: DataFrame) -> DataFrame:
+    if dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn(
+            "ts", F.timestamp_micros(F.expr("ts div 1000")).cast("timestamp_ntz")
+        )
+    return df
+
+
+#: Per-table post-read normalizers (source-boundary casts only).
+_NORMALIZERS = {"events": _normalize_events}
+
+
+def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Batch scan of one driver table (S3). Filter/column pruning are left
+    to Catalyst - callers express predicates declaratively and the parquet
+    scan receives them as PushedFilters."""
+    df = spark.read.parquet(table_path(sf_dir, name))
+    norm = _NORMALIZERS.get(name)
+    return norm(df) if norm else df
+
+
+def read_stream(
+    spark: SparkSession, path: str, name: str = "events", max_files_per_trigger: int | None = None
+) -> DataFrame:
+    """Streaming scan (file source) of a directory of parquet parts.
+
+    The reference's 'stream' is the Dagster asset-materialization event log
+    polled by a sensor (``sensors.py:6-16``); here the same role is played
+    by a Structured Streaming file source discovering new parquet files.
+    ``path`` is a directory (tests write event splits into it to simulate
+    arrivals).
+    """
+    raw_schema = schemas.EVENTS_RAW if name == "events" else schemas.TABLES[name]
+    reader = spark.readStream.schema(raw_schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    df = reader.parquet(path)
+    norm = _NORMALIZERS.get(name)
+    return norm(df) if norm else df
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every driver table as a temp view for ``spark.sql`` use."""
+    for name in schemas.TABLES:
+        read_table(spark, sf_dir, name).createOrReplaceTempView(name)
+
+
+def append_sink(df: DataFrame, path: str) -> None:
+    """S4: transactional batch append. The reference does N ``session.add``
+    + one commit (``resources.py:42-49``); the parquet equivalent is one
+    atomic job commit of all part files."""
+    df.write.mode("append").parquet(path)
+
+
+def partitioned_append_sink(df: DataFrame, path: str, partition_col: str = "partition") -> None:
+    """S5 + R3: append keyed by the daily partition column so partition
+    pruning works on read (``WHERE partition = 'yyyyMMdd'`` prunes files).
+    At cluster scale this is the layout that keeps the reactive layer's
+    per-day recompute from rescanning history."""
+    df.write.mode("append").partitionBy(partition_col).parquet(path)
