@@ -1,0 +1,71 @@
+"""Benchmark runner (driver contract: one JSON line on stdout).
+
+Runs the bench-tagged catalog queries at ``$SPARK_GRAFT_SF_DIR``
+(default /root/testdata/sf0.1) on ``local[$SPARK_GRAFT_CPUS]``.
+Execution is timed end-to-end per query with results drained through
+the noop sink (full pipeline cost, no driver-collect skew; tiny
+LIMIT-k results are collected instead, which is their real cost model).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from reactive_data_pipeline_spark import get_spark
+from reactive_data_pipeline_spark.queries import QUERIES
+
+
+def run_one(spark, q, sf_dir: str) -> float:
+    t0 = time.time()
+    df = q.build(spark, sf_dir)
+    # Top-k queries end in limit(); their cost model is the collect.
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    if plan.startswith("GlobalLimit") or "TakeOrdered" in plan:
+        df.collect()
+    else:
+        df.write.format("noop").mode("overwrite").save()
+    return time.time() - t0
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    try:
+        sf = float(os.path.basename(sf_dir.rstrip("/")).removeprefix("sf"))
+    except ValueError:
+        sf = None
+    spark = get_spark("bench", master=f"local[{cpus}]", shuffle_partitions=int(cpus))
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # Warm the JVM + file listing outside the timed region.
+    spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
+
+    timings: dict[str, float] = {}
+    for name, q in QUERIES.items():
+        if not q.bench:
+            continue
+        timings[name] = round(run_one(spark, q, sf_dir), 3)
+        print(f"# {name}: {timings[name]:.3f}s", file=sys.stderr)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "bench_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -276,8 +276,9 @@ def knn_brute_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register("knn_lsh_cosine", oracle=None, tags=("similarity", "lsh"))
 def knn_lsh_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hyperplane-LSH approximate top-10 (bucket + multi-probe; rows-only
-    check, exact twin knn_brute_cosine)."""
-    return knn_lsh(_emb(spark, sf_dir), query_id=0, k=10, num_planes=8, probe_radius=1)
+    check, exact twin knn_brute_cosine). Few planes + radius-2 probing
+    because this corpus's neighbors are weak (cosine <= ~0.5)."""
+    return knn_lsh(_emb(spark, sf_dir), query_id=0, k=10, num_planes=4, probe_radius=2)
 
 
 @register(

@@ -59,8 +59,16 @@ def read_stream(
     by a Structured Streaming file source discovering new parquet files.
     ``path`` is a directory (tests write event splits into it to simulate
     arrivals).
+
+    The file schema is peeked from already-present files (a stream needs
+    an explicit schema): driver-raw events carry nanosecond-long ``ts``,
+    engine-written events carry ``timestamp_ntz`` - the normalizer
+    handles either.
     """
-    raw_schema = schemas.EVENTS_RAW if name == "events" else schemas.TABLES[name]
+    try:
+        raw_schema = spark.read.parquet(path).schema
+    except Exception:  # empty dir: fall back to the declared schema
+        raw_schema = schemas.EVENTS_RAW if name == "events" else schemas.TABLES[name]
     reader = spark.readStream.schema(raw_schema)
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))

@@ -1,0 +1,28 @@
+"""Reactive layer on Structured Streaming (SURVEY.md section 2.9).
+
+Maps the reference's Dagster sensor/partition machinery onto streaming
+primitives:
+
+* R1 asset sensor        -> micro-batch trigger over a file stream
+* R2 run dedup           -> watermark + dropDuplicatesWithinWatermark
+* R3 daily partitions    -> Bangkok-day tumbling windows, partitionBy day
+* R4 cron backfill       -> ``Trigger.AvailableNow`` batch of the same query
+* R6 upstream->downstream-> the derived table maintained by foreachBatch
+* R7 run metadata        -> ``observe`` metrics + StreamingQueryListener
+"""
+
+from .reactive import (
+    events_stream,
+    reactive_ticker_meta_run,
+    merge_ticker_meta_batch,
+    read_ticker_meta,
+    ObservedMetrics,
+)
+
+__all__ = [
+    "events_stream",
+    "reactive_ticker_meta_run",
+    "merge_ticker_meta_batch",
+    "read_ticker_meta",
+    "ObservedMetrics",
+]

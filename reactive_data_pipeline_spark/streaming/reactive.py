@@ -1,0 +1,177 @@
+"""The reactive pipeline: events stream -> ticker -> incremental
+ticker_meta (SURVEY.md sections 2.9, 7.4).
+
+Design: **incremental view maintenance by monotone merge**, not a
+stateful streaming aggregation. Each micro-batch computes its own
+per-(symbol, Bangkok-day) min/max partials - a tiny, fully map-side
+aggregation - and merges them into the stored derived table by
+overwriting only the touched day partitions (dynamic partition
+overwrite). Because min/max merges are idempotent and commutative,
+replaying a batch after a failure converges to the same table: the
+exactly-once property the reference gets from Dagster ``run_key`` dedup
+(``sensors.py:15``) falls out of the algebra instead of distributed
+state. No watermark state is held for the aggregate itself, so the
+derived table is correct even for arbitrarily late rows; the optional
+``dropDuplicatesWithinWatermark`` guard (R2) only bounds the dedup
+buffer.
+
+Scale notes: per batch, the work is one narrow aggregation of the new
+files plus a partition-pruned read of only the affected days of the
+derived table - independent of total history size. This is the property
+that keeps the reactive layer O(new data) at 100 TB of accumulated
+events.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQueryListener
+
+from ..operators.ticker import build_ticker_meta, derive_ticker
+from ..sources.registry import read_stream
+from .. import schemas
+
+
+def events_stream(
+    spark: SparkSession,
+    path: str,
+    max_files_per_trigger: int | None = None,
+    dedup_watermark: str | None = "2 hours",
+) -> DataFrame:
+    """R1's event source: file-stream over a directory of events parquet
+    parts, normalized, optionally dedup'd by event_id within a watermark
+    (R2 - ``sensors.py:15``'s run_key semantics per event)."""
+    ev = read_stream(spark, path, "events", max_files_per_trigger=max_files_per_trigger)
+    if dedup_watermark is not None:
+        # Watermark needs an instant-typed column; session tz is pinned UTC.
+        ev = (
+            ev.withColumn("ts", F.col("ts").cast("timestamp"))
+            .withWatermark("ts", dedup_watermark)
+            .dropDuplicatesWithinWatermark(["event_id"])
+            .withColumn("ts", F.col("ts").cast("timestamp_ntz"))
+        )
+    return ev
+
+
+def merge_ticker_meta_batch(batch: DataFrame, out_path: str) -> None:
+    """Merge one micro-batch's partial min/max into the derived table.
+
+    1. aggregate the batch to per-(symbol, day) partials (map-side; a
+       batch touches few days);
+    2. read ONLY those day partitions of the existing table (partition
+       pruning on the ``partition`` column);
+    3. union + re-aggregate (monotone merge) and overwrite just those
+       partitions (dynamic partitionOverwriteMode).
+    """
+    spark = batch.sparkSession
+    # Persist the tiny partial aggregate: it is consumed twice (affected-day
+    # listing + merge write) and caching avoids re-reading the batch files.
+    partial = build_ticker_meta(derive_ticker(batch)).persist()
+    days = [r["partition"] for r in partial.select("partition").distinct().collect()]
+    if not days:
+        partial.unpersist()
+        return
+    try:
+        existing = spark.read.parquet(out_path).filter(F.col("partition").isin(days))
+    except Exception:  # first batch: table does not exist yet
+        existing = spark.createDataFrame([], partial.schema)
+    merged = (
+        existing.unionByName(partial)
+        .groupBy("symbol", "partition")
+        .agg(
+            F.max("monthly_max_market_price").alias("monthly_max_market_price"),
+            F.min("monthly_min_market_price").alias("monthly_min_market_price"),
+        )
+        .select("symbol", "monthly_max_market_price", "monthly_min_market_price", "partition")
+    )
+    (
+        merged.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("partition")
+        .parquet(out_path)
+    )
+    partial.unpersist()
+
+
+def reactive_ticker_meta_run(
+    spark: SparkSession,
+    source_dir: str,
+    out_path: str,
+    checkpoint_dir: str,
+    available_now: bool = True,
+    processing_time: str = "10 seconds",
+    dedup_watermark: str | None = "2 hours",
+    observe: bool = True,
+    max_files_per_trigger: int | None = None,
+):
+    """Launch the reactive derived-table maintenance query.
+
+    ``available_now=True`` is the R4 backfill/cron shape (process all
+    pending files, then stop - the engine-side equivalent of the
+    reference's daily 10:00 schedule, ``schedules.py:63-74``);
+    ``False`` runs continuously with a 10 s micro-batch trigger,
+    mirroring the sensor's ``minimum_interval_seconds=10``
+    (``sensors.py:9``). Returns the StreamingQuery.
+
+    ``dedup_watermark`` bounds the event-id dedup buffer; rows arriving
+    later than the delay are dropped as late data, so a historical
+    backfill replaying out-of-time-order files needs a delay covering
+    the replayed span (or ``None`` to disable dedup - the min/max merge
+    itself is idempotent under replays either way).
+    """
+    ev = events_stream(
+        spark, source_dir, dedup_watermark=dedup_watermark, max_files_per_trigger=max_files_per_trigger
+    )
+    if observe:
+        ev = ev.observe(
+            "ticker_ingest",
+            F.count(F.lit(1)).alias("rows"),
+            F.max("ts").alias("max_ts"),
+        )
+    writer = (
+        ev.writeStream.foreachBatch(lambda b, _id: merge_ticker_meta_batch(b, out_path))
+        .option("checkpointLocation", checkpoint_dir)
+        .queryName("reactive_ticker_meta")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    else:
+        writer = writer.trigger(processingTime=processing_time)
+    return writer.start()
+
+
+def read_ticker_meta(spark: SparkSession, out_path: str) -> DataFrame:
+    """Scan the derived table with its declared schema (column order as
+    TICKER_META; partition column comes back as string)."""
+    df = spark.read.parquet(out_path)
+    return df.select(
+        "symbol",
+        "monthly_max_market_price",
+        "monthly_min_market_price",
+        F.col("partition").cast("string").alias("partition"),
+    )
+
+
+@dataclass
+class ObservedMetrics(StreamingQueryListener):
+    """R7: capture ``observe`` metrics per micro-batch (the reference
+    attaches count/last-5 metadata to each run, ``resources.py:28-38``)."""
+
+    rows: list[dict] = field(default_factory=list)
+
+    def onQueryStarted(self, event):  # noqa: D102
+        pass
+
+    def onQueryProgress(self, event):  # noqa: D102
+        m = event.progress.observedMetrics.get("ticker_ingest")
+        if m is not None:
+            self.rows.append(m.asDict())
+
+    def onQueryIdle(self, event):  # noqa: D102
+        pass
+
+    def onQueryTerminated(self, event):  # noqa: D102
+        pass

@@ -1,0 +1,89 @@
+"""Behavioral tests for dedup + similarity operators on constructed
+near-duplicates (the catalog parity test covers value-level oracles)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from reactive_data_pipeline_spark.dedup import (
+    dedup_documents,
+    exact_dedup_groups,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_docs,
+    simhash_near_pairs,
+)
+from reactive_data_pipeline_spark.similarity import knn_brute, knn_lsh
+
+BASE = "the quick brown fox jumps over the lazy dog and runs far away home tonight"
+
+
+def _docs(spark):
+    near = BASE.replace("lazy", "sleepy")
+    rows = [
+        (1, BASE, "en", "s", len(BASE)),
+        (2, "  THE  quick brown fox jumps over the lazy dog and runs far away home tonight ", "en", "s", 10),
+        (3, near, "en", "s", len(near)),
+        (4, "completely different words about spark engines and parquet columns here", "en", "s", 10),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string, lang string, source string, n_chars long")
+
+
+def test_exact_dedup_normalizes_case_and_ws(spark):
+    groups = exact_dedup_groups(_docs(spark))
+    by_keeper = {r.keeper_doc_id: r.n_copies for r in groups.collect()}
+    assert by_keeper[1] == 2  # docs 1 and 2 are the same after normalization
+    assert dedup_documents(_docs(spark)).count() == 3
+    assert sorted(r.doc_id for r in dedup_documents(_docs(spark)).collect()) == [1, 3, 4]
+
+
+def test_ngram_jaccard_finds_near_dup(spark):
+    pairs = {(r.doc_a, r.doc_b): r.jaccard for r in ngram_jaccard_pairs(_docs(spark), n=1, threshold=0.5).collect()}
+    assert (1, 2) in pairs and pairs[(1, 2)] == 1.0
+    assert (1, 3) in pairs and 0.5 < pairs[(1, 3)] < 1.0
+    assert (1, 4) not in pairs
+
+
+def test_minhash_lsh_finds_exact_and_near(spark):
+    pairs = {(r.doc_a, r.doc_b) for r in minhash_lsh_pairs(_docs(spark), n=2, num_hashes=32, bands=16, threshold=0.4).collect()}
+    assert (1, 2) in pairs
+    assert (1, 3) in pairs
+    assert (1, 4) not in pairs
+
+
+def test_simhash_identical_and_near(spark):
+    sh = {r.doc_id: r.simhash for r in simhash_docs(_docs(spark)).collect()}
+    assert sh[1] == sh[2]
+    ham13 = bin(sh[1] ^ sh[3]).count("1")
+    ham14 = bin(sh[1] ^ sh[4]).count("1")
+    assert ham13 < ham14
+    pairs = {(r.doc_a, r.doc_b): r.hamming for r in simhash_near_pairs(_docs(spark), max_hamming=3).collect()}
+    assert pairs.get((1, 2)) == 0
+
+
+def _emb(spark):
+    rows = [
+        (0, [1.0, 0.0, 0.0], 0),
+        (1, [0.9, 0.1, 0.0], 0),   # closest to 0
+        (2, [0.0, 1.0, 0.0], 1),
+        (3, [-1.0, 0.0, 0.0], 1),  # opposite
+        (4, [0.7, 0.7, 0.0], 0),
+    ]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+
+
+def test_knn_brute_ranks_by_cosine(spark):
+    got = [r.vec_id for r in knn_brute(_emb(spark), query_id=0, k=3).collect()]
+    assert got == [1, 4, 2]
+
+
+def test_knn_lsh_recall_on_testdata(spark):
+    """LSH with probing recovers most of the exact top-10 on the real
+    embeddings table."""
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    exact = {r.vec_id for r in knn_brute(emb, query_id=0, k=10).collect()}
+    # These synthetic embeddings have only weak neighbors (max cosine
+    # ~0.5 -> ~62deg): each hyperplane agrees w.p. only ~0.65, so recall
+    # needs few planes + wide probing. Tighter clusters need fewer probes.
+    approx = {r.vec_id for r in knn_lsh(emb, query_id=0, k=10, num_planes=4, probe_radius=2).collect()}
+    assert len(exact & approx) >= 5

@@ -1,0 +1,77 @@
+"""Unit tests for the relational operator layer on literal frames
+(SURVEY.md section 5.3)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from reactive_data_pipeline_spark.operators.joins import anti_join, asof_join, semi_join
+from reactive_data_pipeline_spark.operators.relational import exact_sum, top_k
+
+
+def ts(s):
+    return dt.datetime.fromisoformat(s)
+
+
+def test_top_k_with_total_order(spark):
+    df = spark.createDataFrame(
+        [(1, 5.0), (2, 5.0), (3, 7.0), (4, 1.0)], "id long, v double"
+    )
+    rows = top_k(df, [F.desc("v"), F.asc("id")], 2).collect()
+    assert [(r.id, r.v) for r in rows] == [(3, 7.0), (1, 5.0)]
+
+
+def test_exact_sum_is_order_insensitive(spark):
+    vals = [(0.1,)] * 10 + [(1e9,), (-1e9,)]
+    df = spark.createDataFrame(vals, "v double")
+    total = df.repartition(7).agg(exact_sum("v").alias("s")).collect()[0].s
+    assert total == 1.0  # a plain double sum of this ordering drifts
+
+
+def test_semi_anti_partition_left(spark):
+    left = spark.createDataFrame([(1, "a"), (2, "b"), (3, "c")], "k long, s string")
+    right = spark.createDataFrame([(1,), (3,), (3,)], "k long")
+    semi = semi_join(left, right, left.k == right.k).collect()
+    anti = anti_join(left, right, left.k == right.k).collect()
+    assert sorted(r.k for r in semi) == [1, 3]
+    assert [r.k for r in anti] == [2]
+    assert len(semi) + len(anti) == left.count()
+
+
+def _asof_frames(spark):
+    quotes = spark.createDataFrame(
+        [
+            ("A", ts("2024-01-01T10:00:00"), 1.0),
+            ("A", ts("2024-01-01T11:00:00"), 2.0),
+            ("B", ts("2024-01-01T10:30:00"), 9.0),
+        ],
+        "sym string, qts timestamp_ntz, px double",
+    )
+    trades = spark.createDataFrame(
+        [
+            (1, "A", ts("2024-01-01T10:30:00")),  # between quotes -> 1.0
+            (2, "A", ts("2024-01-01T11:00:00")),  # exactly at quote -> 2.0
+            (3, "A", ts("2024-01-01T09:00:00")),  # before any quote -> null
+            (4, "B", ts("2024-01-01T12:00:00")),  # after last -> 9.0
+            (5, "C", ts("2024-01-01T12:00:00")),  # no quotes at all -> null
+        ],
+        "tid long, sym string, tts timestamp_ntz",
+    )
+    return quotes, trades
+
+
+def test_asof_backward(spark):
+    quotes, trades = _asof_frames(spark)
+    out = asof_join(trades, quotes, on="sym", left_ts="tts", right_ts="qts")
+    got = {r.tid: r.px for r in out.collect()}
+    assert got == {1: 1.0, 2: 2.0, 3: None, 4: 9.0, 5: None}
+    assert out.count() == trades.count()  # left-join semantics
+
+
+def test_asof_forward(spark):
+    quotes, trades = _asof_frames(spark)
+    out = asof_join(trades, quotes, on="sym", left_ts="tts", right_ts="qts", direction="forward")
+    got = {r.tid: r.px for r in out.collect()}
+    assert got == {1: 2.0, 2: 2.0, 3: 1.0, 4: None, 5: None}

@@ -1,0 +1,57 @@
+"""Text-function edge cases + multimodal plumbing."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from reactive_data_pipeline_spark import multimodal
+from reactive_data_pipeline_spark.functions import text as TX
+
+
+def _one(spark, text, expr):
+    return spark.range(1).select(expr(F.lit(text)).alias("v")).collect()[0].v
+
+
+def test_word_count_and_normalize(spark):
+    assert _one(spark, "  Hello   WORLD  ", TX.word_count) == 2
+    assert _one(spark, "  Hello   WORLD  ", TX.normalize_ws) == "hello world"
+
+
+def test_token_count_bpe_ish(spark):
+    assert _one(spark, "abc 123 a-b", TX.token_count) == 5  # abc,123,a,-,b
+
+
+def test_lang_id_priority_and_und(spark):
+    assert _one(spark, "the cat and the hat", TX.lang_id) == "en"
+    assert _one(spark, "el gato que salta y corre", TX.lang_id) == "es"
+    assert _one(spark, "zzz qqq www", TX.lang_id) == "und"
+    # 'la de un' hits both es and fr; es wins by fixed priority
+    assert _one(spark, "la de un", TX.lang_id) == "es"
+
+
+def test_rolling_fingerprint_matches_python(spark):
+    text = "Hello  World"
+    norm = "hello world"
+    expected = 0
+    for ch in norm:
+        expected = (expected * 31 + ord(ch)) % TX.FINGERPRINT_MOD
+    assert _one(spark, text, TX.fingerprint_rolling) == expected
+
+
+def test_multimodal_features_deterministic(spark):
+    docs = spark.createDataFrame(
+        [(7, "abcd", "en", "s", 4)], "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    row = multimodal.extract_features(docs).collect()[0]
+    payload = b"abcd"
+    assert row.doc_id == 7
+    assert row.n_bytes == 4
+    assert row.byte_sum_mod == sum(payload) % 997
+    assert row.head_hex == payload[:4].hex()
+
+
+def test_decode_media_is_stubbed(spark):
+    docs = spark.createDataFrame([(1, "x", "en", "s", 1)], "doc_id long, text string, lang string, source string, n_chars long")
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_media(docs, "image/png")
