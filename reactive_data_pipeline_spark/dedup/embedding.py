@@ -13,6 +13,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.vectors import dot, l2_norm
+from ..operators.relational import ensure_parallelism
 
 
 def embedding_neardup_pairs(
@@ -25,6 +26,10 @@ def embedding_neardup_pairs(
 
     Columns: vec_a, vec_b, cos_sim (rounded 6dp).
     """
+    # The non-broadcast side's partition count is the parallelism of the
+    # nested-loop join; a single-file input must not serialize N^2/2 dot
+    # products onto one core.
+    emb = ensure_parallelism(emb)
     sides = emb.select(
         F.col(id_col).alias("id"), F.col(vec_col).alias("v"), l2_norm(vec_col).alias("nrm")
     )

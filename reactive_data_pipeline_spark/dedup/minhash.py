@@ -24,6 +24,7 @@ from functools import reduce
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..operators.relational import ensure_parallelism
 from .ngram import token_ngrams
 
 
@@ -34,20 +35,30 @@ def minhash_signatures(
     text_col: str = "text",
     id_col: str = "doc_id",
 ) -> DataFrame:
-    """(doc, grams, sig): k-wide minhash signature per document."""
+    """(doc, grams, sig): k-wide minhash signature per document.
+
+    The signature is a pure per-row expression: ``sig[i] =
+    array_min(transform(grams, g -> xxhash64(g, i)))``. No explode, no
+    groupBy, no join-back - one narrow map stage, so downstream plans
+    that branch on the signatures (bucket join + verification) recompute
+    only a cheap map instead of a shuffle pipeline. At 100 TB this is
+    the difference between zero extra shuffles and three.
+
+    The input is repartitioned to the session's default parallelism
+    first: shingling + k hashes is CPU-bound, and a small upstream file
+    count (e.g. one parquet file) must not serialize it onto one core.
+    """
+    docs = ensure_parallelism(docs)
     grams = docs.select(
         F.col(id_col).alias("doc"), token_ngrams(text_col, n).alias("grams")
     )
-    exploded = grams.select("doc", F.explode("grams").alias("gram"))
-    hashed = exploded.select(
-        "doc", *[F.xxhash64("gram", F.lit(i)).alias(f"h{i}") for i in range(num_hashes)]
-    )
-    sig = hashed.groupBy("doc").agg(
-        *[F.min(f"h{i}").alias(f"m{i}") for i in range(num_hashes)]
-    )
-    return grams.join(sig, "doc").select(
-        "doc", "grams", F.array(*[f"m{i}" for i in range(num_hashes)]).alias("sig")
-    )
+    def min_hash(seed: int):
+        # NB: the lambda must be unary - pyspark binds a second lambda
+        # parameter as the array *index*, which would shadow the seed.
+        return F.array_min(F.transform("grams", lambda g: F.xxhash64(g, F.lit(seed))))
+
+    sig = F.array(*[min_hash(i) for i in range(num_hashes)])
+    return grams.select("doc", "grams", sig.alias("sig"))
 
 
 def minhash_lsh_pairs(
@@ -65,6 +76,10 @@ def minhash_lsh_pairs(
         raise ValueError("num_hashes must be divisible by bands")
     r = num_hashes // bands
     sigs = minhash_signatures(docs, n=n, num_hashes=num_hashes, text_col=text_col, id_col=id_col)
+    # Verification needs only the gram sets; keep the k-hash signature out
+    # of those branches so re-execution of the shared subtree costs a
+    # shingle pass, not a shingle+k-hash pass.
+    grams_only = sigs.select("doc", "grams")
     buckets = sigs.select(
         "doc",
         F.explode(
@@ -90,12 +105,13 @@ def minhash_lsh_pairs(
         .select(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
         .distinct()
     )
-    ga = sigs.select(F.col("doc").alias("doc_a"), F.col("grams").alias("ga"))
-    gb = sigs.select(F.col("doc").alias("doc_b"), F.col("grams").alias("gb"))
+    ga = grams_only.select(F.col("doc").alias("doc_a"), F.col("grams").alias("ga"))
+    gb = grams_only.select(F.col("doc").alias("doc_b"), F.col("grams").alias("gb"))
     verified = cand.join(ga, "doc_a").join(gb, "doc_b")
     inter = F.size(F.array_intersect("ga", "gb")).cast("double")
-    union = F.size("ga") + F.size("gb") - F.size(F.array_intersect("ga", "gb"))
-    jac = inter / union
-    return verified.filter(jac >= threshold).select(
-        "doc_a", "doc_b", F.round(jac, 6).alias("jaccard")
+    jac = (inter / (F.size("ga") + F.size("gb") - inter)).alias("jaccard")
+    return (
+        verified.select("doc_a", "doc_b", jac)
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard"))
     )

@@ -18,6 +18,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.text import tokens
+from ..operators.relational import ensure_parallelism
 
 
 def token_ngrams(text: Column | str, n: int) -> Column:
@@ -45,7 +46,7 @@ def ngram_jaccard_pairs(
 
     Columns: doc_a, doc_b, jaccard (rounded to 6dp).
     """
-    grams = docs.select(
+    grams = ensure_parallelism(docs).select(
         F.col(id_col).alias("doc"), token_ngrams(text_col, n).alias("g")
     ).select("doc", F.size("g").alias("n_grams"), F.explode("g").alias("gram"))
     if max_doc_freq is not None:

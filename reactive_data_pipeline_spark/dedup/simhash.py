@@ -20,6 +20,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.text import tokens
+from ..operators.relational import ensure_parallelism
 
 SIMHASH_BITS = 63
 _BAND_BITS = 16
@@ -29,6 +30,7 @@ _BANDS = 4  # covers bits 0..63; top band has 15 live bits
 def simhash_docs(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """(doc_id, simhash): one aggregation pass - explode tokens, 63
     conditional-sum bit votes (all map-side partial), pack the signs."""
+    docs = ensure_parallelism(docs)  # 63 bit-votes/token is CPU-bound map work
     toks = docs.select(F.col(id_col).alias("doc_id"), F.explode(tokens(text_col)).alias("tok"))
     h = F.xxhash64("tok")
     votes = toks.groupBy("doc_id").agg(

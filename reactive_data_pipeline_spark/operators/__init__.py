@@ -9,7 +9,7 @@ reference delegated exactly this to SQLite's planner
 delegate it to Catalyst (SURVEY.md section 4: zero custom rules needed).
 """
 
-from .relational import project, where, aggregate, top_k, distinct_rows
+from .relational import project, where, aggregate, top_k, distinct_rows, ensure_parallelism
 from .joins import broadcast_join, semi_join, anti_join, asof_join
 from . import ticker
 
@@ -19,6 +19,7 @@ __all__ = [
     "aggregate",
     "top_k",
     "distinct_rows",
+    "ensure_parallelism",
     "broadcast_join",
     "semi_join",
     "anti_join",

@@ -14,6 +14,23 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
+def ensure_parallelism(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
+    """Repartition iff the plan's partition count is below the session's
+    default parallelism.
+
+    CPU-heavy map stages (shingling, per-bit hash votes, all-pairs dot
+    products) inherit the *file* layout of their input; one small parquet
+    file means one task no matter how many cores exist. At cluster scale
+    inputs arrive in many files and this is a no-op; on a small or
+    badly-laid-out input it is a cheap row shuffle that buys a fully
+    parallel compute stage.
+    """
+    par = min_partitions or df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < par:
+        return df.repartition(par)
+    return df
+
+
 def project(df: DataFrame, columns: Mapping[str, Column | str]) -> DataFrame:
     """P1 (projection + rename, ``ops.py:18-28``): ``{out_name: expr}``."""
     return df.select(
