@@ -42,8 +42,25 @@ def main() -> None:
     spark = get_spark("bench", master=f"local[{cpus}]", shuffle_partitions=int(cpus))
     spark.sparkContext.setLogLevel("ERROR")
 
-    # Warm the JVM + file listing outside the timed region.
-    spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
+    # Warm the JVM (codegen, shuffle machinery, whole-stage compile) and
+    # the OS page cache outside the timed region, with a composite query
+    # shaped like the workload: scan + filter + decimal agg + join +
+    # window. Steady-state timings are the meaningful comparison - the
+    # one-time JIT cost would otherwise land entirely on the first query.
+    from pyspark.sql import Window, functions as F
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    od = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    (
+        li.filter(F.col("l_quantity") > 0)
+        .join(od, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_returnflag")
+        .agg(F.sum(F.col("l_extendedprice").cast("decimal(18,6)")).alias("s"))
+        .withColumn("r", F.row_number().over(Window.orderBy(F.desc("s"))))
+        .write.format("noop").mode("overwrite").save()
+    )
+    for t in ("documents", "embeddings", "events"):
+        spark.read.parquet(f"{sf_dir}/{t}.parquet").count()
 
     timings: dict[str, float] = {}
     for name, q in QUERIES.items():

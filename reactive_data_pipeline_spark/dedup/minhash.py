@@ -23,6 +23,7 @@ from functools import reduce
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
 
 from ..operators.relational import ensure_parallelism
 from .ngram import token_ngrams
@@ -75,10 +76,13 @@ def minhash_lsh_pairs(
     if num_hashes % bands:
         raise ValueError("num_hashes must be divisible by bands")
     r = num_hashes // bands
-    sigs = minhash_signatures(docs, n=n, num_hashes=num_hashes, text_col=text_col, id_col=id_col)
-    # Verification needs only the gram sets; keep the k-hash signature out
-    # of those branches so re-execution of the shared subtree costs a
-    # shingle pass, not a shingle+k-hash pass.
+    # The signature relation feeds three plan branches (buckets, and both
+    # sides of the verification join); persist it so shingling+hashing runs
+    # once. At scale this is the standard materialize-signatures step of an
+    # LSH dedup pipeline (MEMORY_AND_DISK spills rather than OOMs).
+    sigs = minhash_signatures(
+        docs, n=n, num_hashes=num_hashes, text_col=text_col, id_col=id_col
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     grams_only = sigs.select("doc", "grams")
     buckets = sigs.select(
         "doc",

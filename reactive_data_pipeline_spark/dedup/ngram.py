@@ -16,6 +16,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
 
 from ..functions.text import tokens
 from ..operators.relational import ensure_parallelism
@@ -46,9 +47,14 @@ def ngram_jaccard_pairs(
 
     Columns: doc_a, doc_b, jaccard (rounded to 6dp).
     """
-    grams = ensure_parallelism(docs).select(
-        F.col(id_col).alias("doc"), token_ngrams(text_col, n).alias("g")
-    ).select("doc", F.size("g").alias("n_grams"), F.explode("g").alias("gram"))
+    # Persisted: the inverted-index self-join re-executes this subtree for
+    # both aliases; one shingle pass instead of two.
+    grams = (
+        ensure_parallelism(docs)
+        .select(F.col(id_col).alias("doc"), token_ngrams(text_col, n).alias("g"))
+        .select("doc", F.size("g").alias("n_grams"), F.explode("g").alias("gram"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     if max_doc_freq is not None:
         df_w = Window.partitionBy("gram")
         grams = grams.withColumn("__df", F.count(F.lit(1)).over(df_w)).filter(

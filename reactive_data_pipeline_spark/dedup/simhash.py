@@ -18,6 +18,7 @@ from functools import reduce
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
 
 from ..functions.text import tokens
 from ..operators.relational import ensure_parallelism
@@ -56,7 +57,11 @@ def simhash_near_pairs(
     Exact for max_hamming <= 3 by the pigeonhole band argument; larger
     radii would need more/permuted bands.
     """
-    sh = simhash_docs(docs, text_col=text_col, id_col=id_col)
+    # Both sides of the banded self-join re-execute this subtree (explode +
+    # 63 bit-vote aggregation); persist the tiny (id, hash) relation.
+    sh = simhash_docs(docs, text_col=text_col, id_col=id_col).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     bands = sh.select(
         F.col("doc_id").alias("doc"),
         F.col("simhash"),

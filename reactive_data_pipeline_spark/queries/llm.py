@@ -24,6 +24,7 @@ from ..dedup import (
     simhash_near_pairs,
 )
 from ..functions import text as TX
+from ..operators.relational import ensure_parallelism
 from ..similarity import knn_brute, knn_lsh
 from ..sources import read_table
 from . import register
@@ -34,11 +35,13 @@ _TOKS = f"string_split({_NORM}, ' ')"
 
 
 def _docs(spark, sf_dir):
-    return read_table(spark, sf_dir, "documents")
+    # Regex/shingle/hash work over documents is CPU-bound; never let a
+    # single-file layout serialize it (no-op on a well-laid-out dataset).
+    return ensure_parallelism(read_table(spark, sf_dir, "documents"))
 
 
 def _emb(spark, sf_dir):
-    return read_table(spark, sf_dir, "embeddings")
+    return ensure_parallelism(read_table(spark, sf_dir, "embeddings"))
 
 
 # ---------------------------------------------------------------------------

@@ -18,10 +18,15 @@ conversion exact (a double division would lose precision above 2^53 ns).
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .. import schemas
+
+#: Below this size a serial scan is cheaper than a repartition exchange.
+_PARALLEL_SCAN_MIN_BYTES = 4 * 1024 * 1024
 
 
 def table_path(sf_dir: str, name: str) -> str:
@@ -40,13 +45,44 @@ def _normalize_events(df: DataFrame) -> DataFrame:
 _NORMALIZERS = {"events": _normalize_events}
 
 
+def _dataset_bytes(path: str) -> int:
+    if os.path.isdir(path):
+        return sum(
+            os.path.getsize(os.path.join(r, f))
+            for r, _, files in os.walk(path)
+            for f in files
+            if not f.startswith(("_", "."))
+        )
+    try:
+        return os.path.getsize(path)
+    except OSError:
+        return 0
+
+
 def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Batch scan of one driver table (S3). Filter/column pruning are left
     to Catalyst - callers express predicates declaratively and the parquet
-    scan receives them as PushedFilters."""
+    scan receives them as PushedFilters (both push through the repartition
+    below).
+
+    Parallelism floor: a non-trivial table whose file layout yields fewer
+    scan partitions than the session has cores (e.g. one single-row-group
+    parquet file - the driver testdata's layout) gets one repartition so
+    downstream compute uses every core. On a real multi-file dataset the
+    scan already has >= cores splits and this is a no-op; only the decode
+    of a degenerate layout stays serial, never the compute above it.
+    """
     df = spark.read.parquet(table_path(sf_dir, name))
     norm = _NORMALIZERS.get(name)
-    return norm(df) if norm else df
+    if norm:
+        df = norm(df)
+    par = spark.sparkContext.defaultParallelism
+    if (
+        _dataset_bytes(table_path(sf_dir, name)) >= _PARALLEL_SCAN_MIN_BYTES
+        and df.rdd.getNumPartitions() < par
+    ):
+        df = df.repartition(par)
+    return df
 
 
 def read_stream(
