@@ -1,0 +1,452 @@
+"""Extended relational catalog: grouping sets, pivot, percentiles,
+moment aggregates, range/full-outer joins, predicate algebra, scalar
+subqueries, date math, sampling, sketches, sessionization.
+
+Same contract as queries.relational: Spark-native build + DuckDB oracle
+with matching aliases. Determinism notes per query; the recurring trick
+is decimal-exact summation (operators.relational.exact_sum) followed by
+identical double arithmetic on both engines, which keeps value hashes
+bit-equal without tolerances.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..operators.relational import exact_sum
+from ..sources import read_table
+from . import register
+
+
+def _dec_sum(col, precision: int = 38, scale: int = 8):
+    c = F.col(col) if isinstance(col, str) else col
+    return F.sum(c.cast(f"decimal({precision},{scale})")).cast("double")
+
+
+# ---------------------------------------------------------------------------
+# Grouping sets / pivot (section 2.4 generalized)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "grouping_sets_revenue",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           GROUPING(l_returnflag) AS g_flag,
+           GROUPING(l_linestatus) AS g_status,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+    """,
+    tags=("agg", "grouping_sets"),
+)
+def grouping_sets_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (Catalyst Expand operator: one scan, one
+    shuffle; each input row fans out once per set - at scale strictly
+    cheaper than unioning three aggregations)."""
+    read_table(spark, sf_dir, "lineitem").createOrReplaceTempView("gs_lineitem")
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+               CAST(grouping(l_returnflag) AS INT) AS g_flag,
+               CAST(grouping(l_linestatus) AS INT) AS g_status,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+        FROM gs_lineitem
+        GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+        """
+    )
+
+
+@register(
+    "pivot_priority_status",
+    oracle="""
+    SELECT o_orderpriority,
+           COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS "F",
+           COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS "O",
+           COUNT(*) FILTER (WHERE o_orderstatus = 'P') AS "P"
+    FROM orders GROUP BY o_orderpriority
+    """,
+    tags=("agg", "pivot"),
+)
+def pivot_priority_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot with an explicit value list (no extra values-discovery job;
+    plans as a single conditional aggregation)."""
+    return (
+        read_table(spark, sf_dir, "orders")
+        .groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, ["F", "O", "P"])
+    )
+
+
+# ---------------------------------------------------------------------------
+# Percentiles / moments / arg-extremes
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "percentiles_quantity",
+    oracle="""
+    SELECT l_returnflag,
+           quantile_cont(l_quantity, 0.25) AS q25,
+           quantile_cont(l_quantity, 0.50) AS q50,
+           quantile_cont(l_quantity, 0.75) AS q75
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    tags=("agg", "percentile"),
+)
+def percentiles_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles (both engines: sort + linear
+    interpolation at (n-1)*q). The scale path is approx_percentile
+    (t-digest, one pass, mergeable) - see approx_distinct_users for the
+    sketch-family entry."""
+    li = read_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.percentile("l_quantity", F.lit(0.25)).alias("q25"),
+        F.percentile("l_quantity", F.lit(0.50)).alias("q50"),
+        F.percentile("l_quantity", F.lit(0.75)).alias("q75"),
+    )
+
+
+@register(
+    "moments_price_by_flag",
+    oracle="""
+    SELECT l_returnflag, n,
+           round((sum2 - sum1 * sum1 / n) / (n - 1), 4) AS var_samp,
+           round(sqrt((sum2 - sum1 * sum1 / n) / (n - 1)), 4) AS stddev_samp
+    FROM (
+      SELECT l_returnflag,
+             CAST(COUNT(*) AS DOUBLE) AS n,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS sum1,
+             CAST(SUM(CAST(l_extendedprice * l_extendedprice AS DECIMAL(38,8)) ) AS DOUBLE) AS sum2
+      FROM lineitem GROUP BY l_returnflag
+    )
+    """,
+    tags=("agg", "moments"),
+)
+def moments_price_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample variance/stddev via decimal-exact raw moments. A native
+    stddev_samp is a distributed Welford merge whose last float bits
+    depend on partitioning; two exact decimal sums + identical double
+    arithmetic is order-insensitive on both engines (and still one
+    map-side-partial aggregation pass)."""
+    li = read_table(spark, sf_dir, "lineitem")
+    x = F.col("l_extendedprice")
+    agg = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        exact_sum(x).alias("sum1"),
+        _dec_sum(x * x).alias("sum2"),
+    )
+    var = (F.col("sum2") - F.col("sum1") * F.col("sum1") / F.col("n")) / (F.col("n") - 1)
+    # round(4): the decimal(38,8)->double conversion differs by 1 ulp
+    # between engines (int128/1e8 vs correctly-rounded BigDecimal).
+    return agg.select(
+        "l_returnflag",
+        "n",
+        F.round(var, 4).alias("var_samp"),
+        F.round(F.sqrt(var), 4).alias("stddev_samp"),
+    )
+
+
+@register(
+    "argmax_order_per_priority",
+    oracle="""
+    SELECT o_orderpriority, o_orderkey AS top_orderkey, o_totalprice AS top_price
+    FROM (SELECT o_orderpriority, o_orderkey, o_totalprice,
+                 ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                                    ORDER BY o_totalprice DESC, o_orderkey DESC) AS rn
+          FROM orders)
+    WHERE rn = 1
+    """,
+    tags=("agg", "argmax"),
+)
+def argmax_order_per_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """max_by with a composite (value, key) ordering so price ties break
+    deterministically - the rule any arg-extreme needs under a
+    value-hash oracle."""
+    od = read_table(spark, sf_dir, "orders")
+    return od.groupBy("o_orderpriority").agg(
+        F.max_by(
+            "o_orderkey", F.struct(F.col("o_totalprice"), F.col("o_orderkey"))
+        ).alias("top_orderkey"),
+        F.max("o_totalprice").alias("top_price"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Join shapes: range (theta) and full outer
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "range_join_value_bands",
+    oracle="""
+    SELECT band, COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS value_total
+    FROM events
+    JOIN (VALUES ('low', 0.0, 5.0), ('mid', 5.0, 12.0), ('high', 12.0, 1e18))
+         AS bands(band, lo, hi)
+      ON value >= lo AND value < hi
+    GROUP BY band
+    """,
+    tags=("join", "range"),
+)
+def range_join_value_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join against a literal dimension: broadcast-nested-loop on
+    the non-equi predicate. The dim side is rows-of-literals, so the
+    broadcast is guaranteed and the fact side never shuffles."""
+    ev = read_table(spark, sf_dir, "events")
+    bands = ev.sparkSession.createDataFrame(
+        [("low", 0.0, 5.0), ("mid", 5.0, 12.0), ("high", 12.0, 1e18)],
+        "band string, lo double, hi double",
+    )
+    return (
+        ev.join(
+            F.broadcast(bands),
+            (F.col("value") >= F.col("lo")) & (F.col("value") < F.col("hi")),
+        )
+        .groupBy("band")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            exact_sum("value").alias("value_total"),
+        )
+    )
+
+
+@register(
+    "full_outer_daily_mix",
+    oracle="""
+    SELECT COALESCE(c.day, e.day) AS day,
+           COALESCE(c.n, 0) AS n_clicks,
+           COALESCE(e.n, 0) AS n_errors
+    FROM      (SELECT CAST(ts AS DATE) AS day, COUNT(*) AS n FROM events
+               WHERE event_type = 'click' GROUP BY 1) c
+    FULL JOIN (SELECT CAST(ts AS DATE) AS day, COUNT(*) AS n FROM events
+               WHERE event_type = 'error' GROUP BY 1) e
+      ON c.day = e.day
+    """,
+    tags=("join", "outer"),
+)
+def full_outer_daily_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events")
+
+    def daily(kind: str) -> DataFrame:
+        return (
+            ev.filter(F.col("event_type") == kind)
+            .groupBy(F.to_date("ts").alias("day"))
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+
+    c, e = daily("click").alias("c"), daily("error").alias("e")
+    return c.join(e, F.col("c.day") == F.col("e.day"), "full").select(
+        F.coalesce(F.col("c.day"), F.col("e.day")).alias("day"),
+        F.coalesce(F.col("c.n"), F.lit(0)).alias("n_clicks"),
+        F.coalesce(F.col("e.n"), F.lit(0)).alias("n_errors"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Predicate algebra / scalar subquery / date math (sections 2.2, 2.8)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "predicate_algebra_parts",
+    oracle="""
+    SELECT p_partkey, p_name, p_brand, p_size
+    FROM part
+    WHERE p_type LIKE '%DAR%'
+      AND p_size BETWEEN 10 AND 30
+      AND p_brand IN ('Brand#1', 'Brand#7', 'Brand#13')
+      AND NULLIF(p_size, 15) IS NOT NULL
+    """,
+    tags=("filter", "predicates"),
+)
+def predicate_algebra_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LIKE / BETWEEN / IN / null-test conjunction; every leaf lands in
+    parquet PushedFilters except the LIKE-infix (evaluated post-scan,
+    still codegen)."""
+    p = read_table(spark, sf_dir, "part")
+    return p.filter(
+        F.col("p_type").like("%DAR%")
+        & F.col("p_size").between(10, 30)
+        & F.col("p_brand").isin("Brand#1", "Brand#7", "Brand#13")
+        & F.nullif(F.col("p_size"), F.lit(15)).isNotNull()
+    ).select("p_partkey", "p_name", "p_brand", "p_size")
+
+
+@register(
+    "scalar_subquery_above_avg",
+    oracle="""
+    SELECT o_orderkey, o_totalprice
+    FROM orders
+    WHERE o_totalprice > 1.8 * (
+      SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*)
+      FROM orders)
+    """,
+    tags=("filter", "subquery"),
+)
+def scalar_subquery_above_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar aggregate subquery as a broadcast cross join of a 1-row
+    aggregate (exactly how Catalyst plans an uncorrelated scalar
+    subquery); the average is decimal-exact so the threshold is
+    bit-identical on both engines."""
+    od = read_table(spark, sf_dir, "orders")
+    avg1 = od.agg(
+        (exact_sum("o_totalprice") / F.count(F.lit(1))).alias("__avg")
+    )
+    return (
+        od.crossJoin(F.broadcast(avg1))
+        .filter(F.col("o_totalprice") > 1.8 * F.col("__avg"))
+        .select("o_orderkey", "o_totalprice")
+    )
+
+
+@register(
+    "date_math_orders",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(date_trunc('month', o_orderdate) AS DATE) AS month_start,
+           CAST(last_day(CAST(o_orderdate AS DATE)) AS DATE) AS month_end,
+           CAST(year(o_orderdate) AS INT) AS yr,
+           CAST(quarter(o_orderdate) AS INT) AS qtr,
+           CAST(dayofweek(CAST(o_orderdate AS DATE)) AS INT) AS dow,
+           datediff('day', DATE '2024-01-01', CAST(o_orderdate AS DATE)) AS days_since_2024
+    FROM orders
+    """,
+    tags=("scalar", "datetime"),
+)
+def date_math_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date-function battery (F1/F3 generalized). DuckDB dayofweek is
+    0=Sunday while Spark dayofweek is 1=Sunday; the Spark side subtracts
+    1 so both emit the same convention."""
+    od = read_table(spark, sf_dir, "orders")
+    d = F.to_date("o_orderdate")
+    return od.select(
+        "o_orderkey",
+        F.trunc(d, "month").alias("month_start"),
+        F.last_day(d).alias("month_end"),
+        F.year(d).alias("yr"),
+        F.quarter(d).alias("qtr"),
+        (F.dayofweek(d) - 1).alias("dow"),
+        F.datediff(d, F.lit("2024-01-01").cast("date")).cast("long").alias("days_since_2024"),
+    )
+
+
+@register(
+    "conditional_agg_events",
+    oracle="""
+    SELECT user_id,
+           COUNT(*) FILTER (WHERE event_type = 'click') AS n_clicks,
+           COUNT(*) FILTER (WHERE event_type = 'error') AS n_errors,
+           CAST(SUM(CAST(CASE WHEN event_type = 'purchase' THEN value ELSE 0 END
+                         AS DECIMAL(18,6))) AS DOUBLE) AS purchase_value
+    FROM events GROUP BY user_id
+    """,
+    tags=("agg", "conditional"),
+)
+def conditional_agg_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional aggregation: one pass over events computing several
+    filtered measures (the idiom that replaces N self-joins)."""
+    ev = read_table(spark, sf_dir, "events")
+    return ev.groupBy("user_id").agg(
+        F.count_if(F.col("event_type") == "click").alias("n_clicks"),
+        F.count_if(F.col("event_type") == "error").alias("n_errors"),
+        exact_sum(
+            F.when(F.col("event_type") == "purchase", F.col("value")).otherwise(0.0)
+        ).alias("purchase_value"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sampling / sketches
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "systematic_sample_events",
+    oracle="""
+    SELECT event_id, user_id, event_type
+    FROM events WHERE event_id % 20 = 0
+    """,
+    tags=("sample",),
+)
+def systematic_sample_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 1-in-20 systematic sample by key (reproducible across
+    engines and runs, unlike Bernoulli df.sample whose draw depends on
+    partition layout; at scale the predicate pushes to the scan)."""
+    ev = read_table(spark, sf_dir, "events")
+    return ev.filter(F.col("event_id") % 20 == 0).select("event_id", "user_id", "event_type")
+
+
+@register("approx_distinct_users", oracle=None, tags=("agg", "sketch"))
+def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ distinct-user estimate per event type (mergeable
+    sketch: map-side partials, O(1) state per group). Estimates are
+    engine-specific -> rows-only check; the exact twin in the catalog is
+    count_distinct_lineitem."""
+    ev = read_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
+        F.countDistinct("user_id").alias("exact_users"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sessionization (batch twin of streaming.sessions)
+# ---------------------------------------------------------------------------
+
+SESSION_GAP_MIN = 30
+
+
+@register(
+    "sessionize_events",
+    oracle=f"""
+    WITH marked AS (
+      SELECT user_id, ts, value,
+             CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       > INTERVAL {SESSION_GAP_MIN} MINUTE
+                  OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS is_start
+      FROM events
+    ), numbered AS (
+      SELECT user_id, ts, value,
+             SUM(is_start) OVER (PARTITION BY user_id ORDER BY ts
+                                 ROWS UNBOUNDED PRECEDING) AS session_no
+      FROM marked
+    )
+    SELECT user_id, CAST(session_no AS BIGINT) AS session_no,
+           COUNT(*) AS n_events,
+           CAST(datediff('second', MIN(ts), MAX(ts)) AS BIGINT) AS duration_s,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS session_value
+    FROM numbered GROUP BY user_id, session_no
+    """,
+    tags=("window", "session", "events"),
+)
+def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30 min) via the lag + running-sum idiom:
+    one shuffle on user_id, two window passes over the same partitioning
+    (Catalyst reuses the sort), then a grouped rollup per session. The
+    streaming twin is streaming.sessions.sessionize_stream
+    (applyInPandasWithState); stream-batch equivalence is asserted in
+    tests."""
+    ev = read_table(spark, sf_dir, "events").withColumn(
+        # timestamp_ntz -> epoch seconds (session tz is pinned UTC, so the
+        # ntz->instant reinterpretation is the identity)
+        "__epoch", F.col("ts").cast("timestamp").cast("long")
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    run = Window.partitionBy("user_id").orderBy("ts").rowsBetween(Window.unboundedPreceding, 0)
+    gap = F.col("__epoch") - F.lag("__epoch").over(w)
+    marked = ev.withColumn(
+        "is_start",
+        F.when(gap.isNull() | (gap > SESSION_GAP_MIN * 60), 1).otherwise(0),
+    )
+    numbered = marked.withColumn("session_no", F.sum("is_start").over(run))
+    return numbered.groupBy("user_id", "session_no").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        (F.max("__epoch") - F.min("__epoch")).alias("duration_s"),
+        exact_sum("value").alias("session_value"),
+    )

@@ -18,8 +18,11 @@ from .reactive import (
     read_ticker_meta,
     ObservedMetrics,
 )
+from .sessions import sessionize_stream, latest_sessions
 
 __all__ = [
+    "sessionize_stream",
+    "latest_sessions",
     "events_stream",
     "reactive_ticker_meta_run",
     "merge_ticker_meta_batch",
