@@ -91,6 +91,79 @@ def _default_features(batch: pd.DataFrame) -> pd.DataFrame:
     )
 
 
+RESIZE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("payload", T.BinaryType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+    ]
+)
+
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("frame_payload", T.BinaryType()),
+        T.StructField("n_bytes", T.LongType()),
+    ]
+)
+
+
+def resize_media(docs: DataFrame, width: int, height: int, text_col: str = "text") -> DataFrame:
+    """Resize plumbing: 1 row in -> 1 row out with a bounded payload.
+
+    A real decoder maps (payload, w, h) -> resized pixels; the container
+    has no codecs, so the deterministic stand-in truncates/zero-pads the
+    payload to exactly ``width*height`` bytes - same schema, same batch
+    shape, same Arrow path a real resize takes.
+    """
+    size = width * height
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            if not len(batch):
+                continue
+            yield pd.DataFrame(
+                {
+                    "doc_id": batch["doc_id"],
+                    "payload": batch["payload"].map(
+                        lambda b: bytes(b[:size]).ljust(size, b"\0")
+                    ),
+                    "width": width,
+                    "height": height,
+                }
+            )
+
+    src = attach_payload(docs, text_col).select("doc_id", "payload")
+    return src.mapInPandas(run, schema=RESIZE_SCHEMA)
+
+
+def sample_frames(docs: DataFrame, frame_bytes: int = 64, every_n: int = 4,
+                  text_col: str = "text") -> DataFrame:
+    """Frame-sampling plumbing: 1 row in -> N rows out (the flatMap batch
+    shape a video keyframe sampler has). The stand-in treats the payload
+    as fixed-size 'frames' of ``frame_bytes`` and keeps every
+    ``every_n``-th one."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            rows = []
+            for doc_id, payload in zip(batch["doc_id"], batch["payload"]):
+                frames = [
+                    payload[off : off + frame_bytes]
+                    for off in range(0, len(payload), frame_bytes)
+                ]
+                for idx in range(0, len(frames), every_n):
+                    f = bytes(frames[idx])
+                    rows.append((int(doc_id), idx, f, len(f)))
+            if rows:
+                yield pd.DataFrame(rows, columns=[f.name for f in FRAME_SCHEMA.fields])
+
+    src = attach_payload(docs, text_col).select("doc_id", "payload")
+    return src.mapInPandas(run, schema=FRAME_SCHEMA)
+
+
 def extract_features(docs: DataFrame, text_col: str = "text", feature_fn=None) -> DataFrame:
     """Arrow-batched feature extraction over payload binaries.
 

@@ -276,6 +276,16 @@ def knn_brute_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return knn_brute(_emb(spark, sf_dir), query_id=0, k=10)
 
 
+@register("knn_ivf_cosine", oracle=None, tags=("similarity", "ivf"))
+def knn_ivf_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF (k-means inverted-file) approximate top-10: scan only the 4
+    of 16 cells nearest the query (rows-only check; exact twin
+    knn_brute_cosine, and tests assert nprobe=n_cells == brute)."""
+    from ..similarity import knn_ivf
+
+    return knn_ivf(_emb(spark, sf_dir), query_id=0, k=10, n_cells=16, nprobe=4)
+
+
 @register("knn_lsh_cosine", oracle=None, tags=("similarity", "lsh"))
 def knn_lsh_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hyperplane-LSH approximate top-10 (bucket + multi-probe; rows-only
@@ -320,6 +330,20 @@ def embedding_neardup_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 def mm_payload_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Typed metadata over opaque binary payloads (JVM-side)."""
     return multimodal.payload_meta(_docs(spark, sf_dir))
+
+
+@register("mm_resize", oracle=None, tags=("multimodal", "pandas_udf"))
+def mm_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize plumbing over payload binaries (1->1 Arrow-batched map;
+    decode stubbed, see multimodal.resize_media)."""
+    return multimodal.resize_media(_docs(spark, sf_dir), width=16, height=16)
+
+
+@register("mm_frame_sample", oracle=None, tags=("multimodal", "pandas_udf"))
+def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyframe-sampling plumbing (1->N flatMap batch shape; every 4th
+    64-byte 'frame' of each payload)."""
+    return multimodal.sample_frames(_docs(spark, sf_dir), frame_bytes=64, every_n=4)
 
 
 @register("mm_features", oracle=None, tags=("multimodal", "pandas_udf"))

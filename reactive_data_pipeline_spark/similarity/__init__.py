@@ -1,8 +1,9 @@
 """Similarity search over embedding columns (SURVEY.md section 7.5):
-brute-force cosine top-k as the exact baseline, hyperplane-LSH bucketed
-search as the scale path."""
+brute-force cosine top-k as the exact baseline; hyperplane-LSH bucketing
+and an IVF (k-means inverted-file) index as the scale paths."""
 
 from .brute import knn_brute
 from .lsh import hyperplanes, with_lsh_bucket, knn_lsh
+from .ivf import ivf_assign, knn_ivf
 
-__all__ = ["knn_brute", "hyperplanes", "with_lsh_bucket", "knn_lsh"]
+__all__ = ["knn_brute", "hyperplanes", "with_lsh_bucket", "knn_lsh", "ivf_assign", "knn_ivf"]

@@ -87,3 +87,29 @@ def test_knn_lsh_recall_on_testdata(spark):
     # needs few planes + wide probing. Tighter clusters need fewer probes.
     approx = {r.vec_id for r in knn_lsh(emb, query_id=0, k=10, num_planes=4, probe_radius=2).collect()}
     assert len(exact & approx) >= 5
+
+
+def test_knn_ivf_exact_when_probing_all_cells(spark):
+    """nprobe = n_cells degenerates IVF to exhaustive search: results
+    must equal the brute-force baseline exactly."""
+    from reactive_data_pipeline_spark.similarity import knn_ivf
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    exact = [(r.vec_id, r.cos_sim) for r in knn_brute(emb, query_id=0, k=10).collect()]
+    full = [
+        (r.vec_id, r.cos_sim)
+        for r in knn_ivf(emb, query_id=0, k=10, n_cells=8, nprobe=8).collect()
+    ]
+    assert full == exact
+
+
+def test_knn_ivf_partial_probe_recall(spark):
+    """Probing half the cells keeps k results and decent recall on the
+    weak-neighbor synthetic embeddings."""
+    from reactive_data_pipeline_spark.similarity import knn_ivf
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    exact = {r.vec_id for r in knn_brute(emb, query_id=0, k=10).collect()}
+    approx = [r.vec_id for r in knn_ivf(emb, query_id=0, k=10, n_cells=8, nprobe=4).collect()]
+    assert len(approx) == 10
+    assert len(exact & set(approx)) >= 4

@@ -55,3 +55,25 @@ def test_decode_media_is_stubbed(spark):
     docs = spark.createDataFrame([(1, "x", "en", "s", 1)], "doc_id long, text string, lang string, source string, n_chars long")
     with pytest.raises(NotImplementedError):
         multimodal.decode_media(docs, "image/png")
+
+
+def test_resize_media_pads_and_truncates(spark):
+    from reactive_data_pipeline_spark import multimodal
+
+    docs = spark.createDataFrame(
+        [(1, "x" * 300), (2, "y")], "doc_id long, text string"
+    )
+    rows = {r.doc_id: r for r in multimodal.resize_media(docs, 16, 16).collect()}
+    assert all(len(r.payload) == 256 and r.width == 16 for r in rows.values())
+    assert bytes(rows[1].payload) == b"x" * 256  # truncated
+    assert bytes(rows[2].payload) == b"y" + b"\0" * 255  # zero-padded
+
+
+def test_sample_frames_one_to_many(spark):
+    from reactive_data_pipeline_spark import multimodal
+
+    docs = spark.createDataFrame([(7, "a" * 64 * 9)], "doc_id long, text string")
+    rows = multimodal.sample_frames(docs, frame_bytes=64, every_n=4).collect()
+    assert [(r.doc_id, r.frame_idx, r.n_bytes) for r in rows] == [
+        (7, 0, 64), (7, 4, 64), (7, 8, 64),
+    ]
