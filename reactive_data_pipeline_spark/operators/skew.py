@@ -1,0 +1,66 @@
+"""Skew-resistant aggregation (salting).
+
+AQE's skew-join splitting handles skewed *joins*; a skewed *aggregation*
+key (one user producing 30% of events) still funnels its whole group
+through one reducer in the final stage. Salting splits each hot group
+into ``n_salts`` subgroups for the first (heavy) aggregation and merges
+the partials in a second (tiny) one. Works for any algebraic aggregate
+(sum/count/min/max - anything with a partial+merge decomposition).
+
+Result-identical to the unsalted groupBy (the DuckDB oracle for the
+catalog query is the plain GROUP BY), so correctness is oracle-checked
+while the plan shape is the scale-path one.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def salted_agg(
+    df: DataFrame,
+    keys: Sequence[str],
+    partials: dict[str, tuple[Column, Callable[[Column], Column]]],
+    n_salts: int = 16,
+    salt_on: str | None = None,
+) -> DataFrame:
+    """Two-stage salted aggregation.
+
+    ``partials`` maps output name -> (stage1 aggregate over raw rows,
+    stage2 merge over stage-1 partials); e.g. a count is
+    ``(F.count(lit(1)), F.sum(...))``, a sum is ``(F.sum(x), F.sum(...))``.
+    The salt is deterministic (hash of ``salt_on`` or a whole-row
+    surrogate) so replays produce identical partials.
+    """
+    salt_src = F.col(salt_on) if salt_on else F.monotonically_increasing_id()
+    salted = df.withColumn("__salt", F.pmod(F.xxhash64(salt_src), F.lit(n_salts)))
+    stage1 = salted.groupBy(*keys, "__salt").agg(
+        *[expr.alias(f"__p_{name}") for name, (expr, _) in partials.items()]
+    )
+    return stage1.groupBy(*keys).agg(
+        *[merge(F.col(f"__p_{name}")).alias(name) for name, (_, merge) in partials.items()]
+    )
+
+
+def salted_sum_count(
+    df: DataFrame, keys: Sequence[str], value_col: Column | str, n_salts: int = 16,
+    salt_on: str | None = None,
+) -> DataFrame:
+    """Common case: per-key decimal-exact sum + count, salt-split."""
+    v = F.col(value_col) if isinstance(value_col, str) else value_col
+    return salted_agg(
+        df,
+        keys,
+        {
+            "value_total": (
+                F.sum(v.cast("decimal(18,6)")),
+                lambda p: F.sum(p).cast("double"),
+            ),
+            "n_rows": (F.count(F.lit(1)), F.sum),
+        },
+        n_salts=n_salts,
+        salt_on=salt_on,
+    )

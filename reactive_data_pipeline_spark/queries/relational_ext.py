@@ -450,3 +450,191 @@ def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.max("__epoch") - F.min("__epoch")).alias("duration_s"),
         exact_sum("value").alias("session_value"),
     )
+
+
+# ---------------------------------------------------------------------------
+# String functions / edit distance
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "string_funcs_parts",
+    oracle="""
+    SELECT p_partkey,
+           upper(p_brand) AS brand_up,
+           substring(p_name, 1, 8) AS name_head,
+           concat(p_brand, ':', p_type) AS brand_type,
+           length(p_name) AS name_len,
+           replace(p_type, 'A', '_') AS type_masked,
+           lpad(CAST(p_size AS VARCHAR), 4, '0') AS size_padded
+    FROM part
+    """,
+    tags=("scalar", "string"),
+)
+def string_funcs_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String-function battery (all whole-stage-codegen JVM exprs)."""
+    p = read_table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.upper("p_brand").alias("brand_up"),
+        F.substring("p_name", 1, 8).alias("name_head"),
+        F.concat_ws(":", "p_brand", "p_type").alias("brand_type"),
+        F.length("p_name").cast("long").alias("name_len"),
+        F.replace(F.col("p_type"), F.lit("A"), F.lit("_")).alias("type_masked"),
+        F.lpad(F.col("p_size").cast("string"), 4, "0").alias("size_padded"),
+    )
+
+
+@register(
+    "levenshtein_close_names",
+    oracle="""
+    SELECT a.n_nationkey AS key_a, b.n_nationkey AS key_b,
+           levenshtein(a.n_name, b.n_name) AS edit_dist
+    FROM nation a JOIN nation b ON a.n_nationkey < b.n_nationkey
+    WHERE levenshtein(a.n_name, b.n_name) <= 4
+    """,
+    tags=("scalar", "string", "dedup"),
+)
+def levenshtein_close_names(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance near-match pairs on a small dimension (the string
+    analogue of the dedup family; quadratic, so only ever run on dims or
+    LSH-blocked candidates - same discipline as dedup.minhash)."""
+    n = read_table(spark, sf_dir, "nation")
+    a = n.select(F.col("n_nationkey").alias("key_a"), F.col("n_name").alias("name_a"))
+    b = n.select(F.col("n_nationkey").alias("key_b"), F.col("n_name").alias("name_b"))
+    dist = F.levenshtein("name_a", "name_b")
+    return (
+        a.join(b, F.col("key_a") < F.col("key_b"))
+        .select("key_a", "key_b", dist.alias("edit_dist"))
+        .filter(F.col("edit_dist") <= 4)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Vector column statistics (oracle-checked array math)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "embedding_norm_stats",
+    oracle="""
+    SELECT vec_id,
+           round(sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                 [CAST(x AS DOUBLE) * CAST(x AS DOUBLE) FOR x IN embedding]),
+                 (acc, v) -> acc + v)), 6) AS l2_norm,
+           round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                 [CAST(x AS DOUBLE) FOR x IN embedding]),
+                 (acc, v) -> acc + v) / len(embedding), 6) AS mean_val,
+           len(embedding) AS dim
+    FROM embeddings
+    """,
+    tags=("vector", "scalar"),
+)
+def embedding_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector stats via higher-order array functions (identical fold
+    order to the DuckDB twin: left fold from 0.0, so hashes match
+    bit-for-bit)."""
+    from ..functions.vectors import l2_norm
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    v = F.col("embedding").cast("array<double>")
+    total = F.aggregate(v, F.lit(0.0), lambda acc, x: acc + x)
+    return emb.select(
+        "vec_id",
+        F.round(l2_norm("embedding"), 6).alias("l2_norm"),
+        F.round(total / F.size("embedding"), 6).alias("mean_val"),
+        F.size("embedding").cast("long").alias("dim"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Window rank family / HAVING
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "window_rank_family",
+    oracle="""
+    SELECT o_orderkey,
+           o_orderpriority,
+           RANK() OVER w AS price_rank,
+           DENSE_RANK() OVER w AS price_dense_rank,
+           NTILE(4) OVER w AS price_quartile
+    FROM orders
+    WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC, o_orderkey)
+    """,
+    tags=("window",),
+)
+def window_rank_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rank / dense_rank / ntile over one window definition (single sort,
+    all three computed in the same Window physical operator)."""
+    od = read_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return od.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.rank().over(w).alias("price_rank"),
+        F.dense_rank().over(w).alias("price_dense_rank"),
+        F.ntile(4).over(w).alias("price_quartile"),
+    )
+
+
+@register(
+    "having_heavy_users",
+    oracle="""
+    SELECT user_id, COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS value_total
+    FROM events GROUP BY user_id
+    HAVING COUNT(*) > (SELECT CAST(COUNT(*) AS DOUBLE) / COUNT(DISTINCT user_id)
+                       FROM events)
+    """,
+    tags=("agg", "having"),
+)
+def having_heavy_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Post-aggregation predicate (HAVING) with a scalar-subquery
+    threshold (above-average activity - scale-free, so the query selects
+    rows at every SF): Filter above the final HashAggregate plus one
+    broadcast 1-row aggregate; no extra shuffle of the big side."""
+    ev = read_table(spark, sf_dir, "events")
+    thresh = ev.agg(
+        (F.count(F.lit(1)).cast("double") / F.countDistinct("user_id")).alias("__avg_n")
+    )
+    return (
+        ev.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            exact_sum("value").alias("value_total"),
+        )
+        .crossJoin(F.broadcast(thresh))
+        .filter(F.col("n_events") > F.col("__avg_n"))
+        .drop("__avg_n")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Skew path: salted aggregation (oracle = the plain GROUP BY)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "salted_user_totals",
+    oracle="""
+    SELECT user_id,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS value_total,
+           COUNT(*) AS n_rows
+    FROM events GROUP BY user_id
+    """,
+    tags=("agg", "skew"),
+)
+def salted_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salt-split per-user totals (operators.skew): each key fans out
+    over 16 deterministic salts for the heavy first aggregation, then a
+    tiny merge. Result-identical to the plain GROUP BY - which is exactly
+    what the oracle asserts - while no single reducer ever sees a whole
+    hot key."""
+    from ..operators.skew import salted_sum_count
+
+    ev = read_table(spark, sf_dir, "events")
+    return salted_sum_count(ev, ["user_id"], "value", n_salts=16, salt_on="event_id")

@@ -75,3 +75,38 @@ def test_asof_forward(spark):
     out = asof_join(trades, quotes, on="sym", left_ts="tts", right_ts="qts", direction="forward")
     got = {r.tid: r.px for r in out.collect()}
     assert got == {1: 2.0, 2: 2.0, 3: 1.0, 4: None, 5: None}
+
+
+def test_salted_agg_equals_plain_groupby(spark):
+    from reactive_data_pipeline_spark.operators.skew import salted_sum_count
+    from reactive_data_pipeline_spark.sources import read_table
+    from .conftest import SF_DIR
+    from pyspark.sql import functions as F
+
+    ev = read_table(spark, SF_DIR, "events")
+    plain = {
+        (r.user_id): (round(r.value_total, 6), r.n_rows)
+        for r in ev.groupBy("user_id")
+        .agg(
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("value_total"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+        .collect()
+    }
+    salted = {
+        (r.user_id): (round(r.value_total, 6), r.n_rows)
+        for r in salted_sum_count(ev, ["user_id"], "value", n_salts=8, salt_on="event_id").collect()
+    }
+    assert salted == plain
+
+
+def test_salted_agg_has_two_aggregation_exchanges(spark):
+    """The salted plan must actually be two-stage: an aggregation keyed
+    (key, salt) and a merge keyed (key)."""
+    from reactive_data_pipeline_spark.operators.skew import salted_sum_count
+    from reactive_data_pipeline_spark.sources import read_table
+    from .conftest import SF_DIR
+
+    ev = read_table(spark, SF_DIR, "events")
+    plan = salted_sum_count(ev, ["user_id"], "value", salt_on="event_id")._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("HashAggregate") >= 4  # partial+final per stage
