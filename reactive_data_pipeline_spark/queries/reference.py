@@ -163,3 +163,51 @@ def events_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_events"),
         F.countDistinct("event_id").alias("n_unique"),
     )
+
+
+@register(
+    "reactive_ticker_meta_stream",
+    oracle=TICKER_CTE
+    + """
+    SELECT symbol,
+           MAX(market_price) AS monthly_max_market_price,
+           MIN(market_price) AS monthly_min_market_price,
+           strftime(day, '%Y%m%d') AS "partition"
+    FROM (SELECT symbol, market_price,
+                 CAST(created_at + INTERVAL 7 HOURS AS DATE) AS day
+          FROM ticker)
+    GROUP BY symbol, day
+    """,
+    tags=("reference", "streaming", "reactive"),
+)
+def reactive_ticker_meta_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The namesake reactive pipeline, END TO END, under the batch
+    oracle: run the Structured Streaming availableNow job (R1/R3/R4/R6 -
+    file-stream the events, maintain the ticker_meta derived table by
+    incremental monotone merge), then return the materialized table. The
+    oracle is the plain batch aggregation - the stream-batch equivalence
+    invariant as a value-hash-checked driver query rather than only a
+    pytest assertion."""
+    import os
+    import tempfile
+
+    from ..sources.registry import table_path
+    from ..streaming import reactive_ticker_meta_run, read_ticker_meta
+
+    work = tempfile.mkdtemp(prefix="reactive_ticker_meta_")
+    out, ckpt = f"{work}/ticker_meta", f"{work}/ckpt"
+    # The file-stream source watches a directory; expose the single
+    # driver file through one (no copy).
+    src = f"{work}/events_in"
+    os.mkdir(src)
+    os.symlink(table_path(sf_dir, "events"), f"{src}/events.parquet")
+    q = reactive_ticker_meta_run(
+        spark,
+        src,
+        out,
+        ckpt,
+        available_now=True,
+        dedup_watermark=None,  # driver events are replayed in one batch
+    )
+    q.awaitTermination(300)
+    return read_ticker_meta(spark, out)

@@ -10,6 +10,9 @@ that a JDBC or Kafka source drops in by adding one normalizer entry.
 from .registry import (
     read_table,
     read_stream,
+    read_csv,
+    read_json,
+    write_format,
     register_views,
     append_sink,
     partitioned_append_sink,
@@ -19,6 +22,9 @@ from .registry import (
 __all__ = [
     "read_table",
     "read_stream",
+    "read_csv",
+    "read_json",
+    "write_format",
     "register_views",
     "append_sink",
     "partitioned_append_sink",

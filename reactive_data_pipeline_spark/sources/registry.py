@@ -113,6 +113,41 @@ def read_stream(
     return norm(df) if norm else df
 
 
+def read_csv(
+    spark: SparkSession, path: str, name: str | None = None, **options: str
+) -> DataFrame:
+    """CSV connector. With ``name`` the declared engine schema is applied
+    (no inference job - at scale schema inference is a full extra scan);
+    otherwise header+inference for ad-hoc files."""
+    reader = spark.read.options(header="true", **options)
+    if name is not None:
+        df = reader.schema(schemas.TABLES[name]).csv(path)
+        norm = _NORMALIZERS.get(name)
+        return norm(df) if norm else df
+    return reader.option("inferSchema", "true").csv(path)
+
+
+def read_json(
+    spark: SparkSession, path: str, name: str | None = None, **options: str
+) -> DataFrame:
+    """JSON-lines connector; same declared-schema discipline as CSV."""
+    reader = spark.read.options(**options)
+    if name is not None:
+        df = reader.schema(schemas.TABLES[name]).json(path)
+        norm = _NORMALIZERS.get(name)
+        return norm(df) if norm else df
+    return reader.json(path)
+
+
+def write_format(df: DataFrame, path: str, fmt: str = "parquet", mode: str = "overwrite") -> None:
+    """Format-agnostic sink (parquet/csv/json/orc); CSV keeps a header so
+    the file round-trips through read_csv."""
+    w = df.write.mode(mode).format(fmt)
+    if fmt == "csv":
+        w = w.option("header", "true")
+    w.save(path)
+
+
 def register_views(spark: SparkSession, sf_dir: str) -> None:
     """Register every driver table as a temp view for ``spark.sql`` use."""
     for name in schemas.TABLES:
