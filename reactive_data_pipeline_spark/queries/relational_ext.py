@@ -424,6 +424,7 @@ SESSION_GAP_MIN = 30
     FROM numbered GROUP BY user_id, session_no
     """,
     tags=("window", "session", "events"),
+    bench=True,
 )
 def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-based sessionization (30 min) via the lag + running-sum idiom:
@@ -627,6 +628,7 @@ def having_heavy_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM events GROUP BY user_id
     """,
     tags=("agg", "skew"),
+    bench=True,
 )
 def salted_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Salt-split per-user totals (operators.skew): each key fans out
@@ -638,3 +640,124 @@ def salted_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = read_table(spark, sf_dir, "events")
     return salted_sum_count(ev, ["user_id"], "value", n_salts=16, salt_on="event_id")
+
+
+# ---------------------------------------------------------------------------
+# Classic star-schema shapes (TPC-H q6/q10 analogues)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q6_forecast_revenue",
+    oracle="""
+    SELECT CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(18,6))) AS DOUBLE)
+             AS promo_revenue,
+           COUNT(*) AS n_lines
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate <  TIMESTAMP '1997-01-01'
+      AND l_discount BETWEEN 0.02 AND 0.08
+      AND l_quantity < 25
+    """,
+    tags=("agg", "filter"),
+    bench=True,
+)
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: pure scan-side query - every predicate reaches the
+    parquet reader (PushedFilters on shipdate/discount/quantity), output
+    is one row. The canonical test that filters + aggregation never
+    shuffle more than one partial row per task."""
+    li = read_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp_ntz"))
+            & F.col("l_discount").between(0.02, 0.08)
+            & (F.col("l_quantity") < 25)
+        )
+        .agg(
+            exact_sum(F.col("l_extendedprice") * F.col("l_discount")).alias("promo_revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+@register(
+    "q10_returned_revenue",
+    oracle="""
+    SELECT c_custkey, c_name,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6)))
+                AS DOUBLE) AS revenue
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE l_returnflag = 'R'
+    GROUP BY c_custkey, c_name
+    ORDER BY revenue DESC, c_custkey LIMIT 20
+    """,
+    tags=("join", "agg", "topk"),
+    bench=True,
+)
+def q10_returned_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: fact-fact equi join shuffled on orderkey (the
+    returnflag filter prunes lineitem first), then re-key to customer,
+    aggregate, TakeOrderedAndProject top-20. AQE picks broadcast for the
+    customer side when its post-filter size allows."""
+    from ..operators.relational import top_k
+
+    cust = read_table(spark, sf_dir, "customer")
+    od = read_table(spark, sf_dir, "orders")
+    li = read_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    joined = li.join(od, F.col("l_orderkey") == F.col("o_orderkey")).join(
+        cust, F.col("o_custkey") == F.col("c_custkey")
+    )
+    agg = joined.groupBy("c_custkey", "c_name").agg(exact_sum(rev).alias("revenue"))
+    return top_k(agg, [F.desc("revenue"), F.asc("c_custkey")], 20)
+
+
+# ---------------------------------------------------------------------------
+# Collection operators: collect+sort, posexplode
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "event_types_per_user",
+    oracle="""
+    SELECT user_id, list_sort(list(DISTINCT event_type)) AS types
+    FROM events GROUP BY user_id
+    """,
+    tags=("agg", "collection"),
+)
+def event_types_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """collect_set + sort_array: the deterministic form of list
+    aggregation (an unsorted collect_list is partition-order-dependent
+    and can never be value-hash-checked)."""
+    ev = read_table(spark, sf_dir, "events")
+    return ev.groupBy("user_id").agg(
+        F.sort_array(F.collect_set("event_type")).alias("types")
+    )
+
+
+@register(
+    "posexplode_embedding_head",
+    oracle="""
+    SELECT vec_id, CAST(idx - 1 AS INT) AS pos, round(CAST(val AS DOUBLE), 6) AS val
+    FROM (SELECT vec_id, unnest(embedding[1:4]) AS val,
+                 generate_subscripts(embedding[1:4], 1) AS idx
+          FROM embeddings)
+    """,
+    tags=("collection", "explode"),
+)
+def posexplode_embedding_head(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """posexplode (index-preserving unnest) of the first 4 embedding
+    dims - the 1->N lateral-view shape; slice first so the fan-out is
+    bounded."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    return emb.select(
+        "vec_id", F.posexplode(F.slice(F.col("embedding"), 1, 4))
+    ).select(
+        "vec_id",
+        F.col("pos").cast("int").alias("pos"),
+        F.round(F.col("col").cast("double"), 6).alias("val"),
+    )
