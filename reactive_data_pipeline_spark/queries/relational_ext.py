@@ -761,3 +761,54 @@ def posexplode_embedding_head(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("pos").cast("int").alias("pos"),
         F.round(F.col("col").cast("double"), 6).alias("val"),
     )
+
+
+@register(
+    "session_window_stats",
+    oracle=f"""
+    WITH marked AS (
+      SELECT user_id, ts, value,
+             CASE WHEN LAG(ts) OVER w IS NULL
+                  OR ts - LAG(ts) OVER w >= INTERVAL {SESSION_GAP_MIN} MINUTE
+                  THEN 1 ELSE 0 END AS is_start
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), numbered AS (
+      SELECT user_id, ts, value,
+             SUM(is_start) OVER (PARTITION BY user_id ORDER BY ts
+                                 ROWS UNBOUNDED PRECEDING) AS session_no
+      FROM marked
+    )
+    SELECT user_id,
+           epoch_us(MIN(ts)) AS session_start_us,
+           epoch_us(MAX(ts) + INTERVAL {SESSION_GAP_MIN} MINUTE) AS session_end_us,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS session_value
+    FROM numbered GROUP BY user_id, session_no
+    """,
+    tags=("window", "session", "events"),
+)
+def session_window_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark's native session_window aggregation (merging windows inside
+    the aggregate - no window-function pass at all; also the streaming-
+    native form with a watermark). Boundary semantics: a gap EQUAL to the
+    interval starts a new session (window is [start, last+gap)), hence
+    the >= in the oracle; the custom sessionize_events keeps strictly-
+    greater semantics - both are valid dialects, pinned by their oracles."""
+    ev = read_table(spark, sf_dir, "events").withColumn(
+        "__t", F.col("ts").cast("timestamp")
+    )
+    return (
+        ev.groupBy(F.session_window("__t", f"{SESSION_GAP_MIN} minutes"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            exact_sum("value").alias("session_value"),
+        )
+        .select(
+            "user_id",
+            F.unix_micros(F.col("session_window.start")).alias("session_start_us"),
+            F.unix_micros(F.col("session_window.end")).alias("session_end_us"),
+            "n_events",
+            "session_value",
+        )
+    )

@@ -1,0 +1,93 @@
+"""Property-based tests (hypothesis) for operator invariants that must
+hold on ANY input, not just the driver corpus. Example counts are kept
+small - each example is a Spark job - but inputs include the adversarial
+shapes (hot keys, ties, empty groups) that fixed fixtures miss."""
+
+from __future__ import annotations
+
+from hypothesis import given, settings, strategies as st
+from pyspark.sql import functions as F
+
+SLOW = settings(max_examples=5, deadline=None)
+
+rows = st.lists(
+    st.tuples(
+        st.integers(0, 3),                     # key (few keys -> hot groups)
+        st.integers(-1000, 1000),              # value (scaled to 2dp below)
+    ),
+    min_size=1,
+    max_size=60,
+)
+
+
+@SLOW
+@given(rows)
+def test_salted_agg_equals_groupby_on_any_input(spark, data):
+    from reactive_data_pipeline_spark.operators.skew import salted_sum_count
+
+    df = spark.createDataFrame(
+        [(k, v / 100.0, i) for i, (k, v) in enumerate(data)],
+        "k long, v double, rid long",
+    )
+    plain = {
+        r.k: (round(r.s, 6), r.n)
+        for r in df.groupBy("k")
+        .agg(
+            F.sum(F.col("v").cast("decimal(18,6)")).cast("double").alias("s"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .collect()
+    }
+    salted = {
+        r.k: (round(r.value_total, 6), r.n_rows)
+        for r in salted_sum_count(df, ["k"], "v", n_salts=4, salt_on="rid").collect()
+    }
+    assert salted == plain
+
+
+asof_case = st.tuples(
+    st.lists(st.tuples(st.integers(0, 1), st.integers(0, 50)), min_size=1, max_size=20),
+    st.lists(st.tuples(st.integers(0, 1), st.integers(0, 50)), min_size=0, max_size=20),
+)
+
+
+@SLOW
+@given(asof_case)
+def test_asof_backward_matches_reference_model(spark, case):
+    from reactive_data_pipeline_spark.operators.joins import asof_join
+
+    left_rows, right_rows = case
+    left = spark.createDataFrame(
+        [(k, t, i) for i, (k, t) in enumerate(left_rows)], "k long, lt long, lid long"
+    )
+    right = spark.createDataFrame(
+        [(k, t, 100 + i) for i, (k, t) in enumerate(right_rows)] or [],
+        "k long, rt long, rid long",
+    )
+    got = {
+        r.lid: r.rid
+        for r in asof_join(left, right, on="k", left_ts="lt", right_ts="rt").collect()
+    }
+    # Reference model: nearest prior right row (rt <= lt, max rt); among
+    # equal rt the union-sort trick keeps the LAST right row in sort
+    # order, i.e. highest rid for our monotone ids.
+    for i, (k, lt) in enumerate(left_rows):
+        cands = [
+            (rt, 100 + j) for j, (rk, rt) in enumerate(right_rows) if rk == k and rt <= lt
+        ]
+        expect = max(cands)[1] if cands else None
+        assert got[i] == expect, (i, k, lt, cands)
+
+
+@SLOW
+@given(st.lists(st.text("ab ", min_size=0, max_size=30), min_size=1, max_size=12))
+def test_minhash_pairs_respect_threshold_and_symmetry(spark, texts):
+    from reactive_data_pipeline_spark.dedup.minhash import minhash_lsh_pairs
+
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    pairs = minhash_lsh_pairs(docs, n=1, num_hashes=8, bands=4, threshold=0.5).collect()
+    for r in pairs:
+        assert r.doc_a < r.doc_b          # canonical orientation, no dupes
+        assert 0.5 <= r.jaccard <= 1.0    # verification never lies
