@@ -13,6 +13,7 @@ from .registry import (
     read_csv,
     read_json,
     write_format,
+    write_bucketed,
     register_views,
     append_sink,
     partitioned_append_sink,
@@ -25,6 +26,7 @@ __all__ = [
     "read_csv",
     "read_json",
     "write_format",
+    "write_bucketed",
     "register_views",
     "append_sink",
     "partitioned_append_sink",

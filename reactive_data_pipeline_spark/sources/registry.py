@@ -148,7 +148,32 @@ def write_format(df: DataFrame, path: str, fmt: str = "parquet", mode: str = "ov
     w.save(path)
 
 
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    path: str,
+    bucket_col: str,
+    n_buckets: int = 8,
+    sort_col: str | None = None,
+) -> None:
+    """Persist a table bucketed (and optionally sorted) by a join key.
+
+    Bucketing is THE co-located-join tool at scale: two tables bucketed
+    on the same key with the same bucket count join with zero exchange -
+    the shuffle is paid once at write time, amortized over every
+    subsequent join/aggregation on that key. (Parquet files + metastore
+    bucket spec; Spark's file-source bucketing, not Hive's.)
+    """
+    w = df.write.mode("overwrite").option("path", path).bucketBy(n_buckets, bucket_col)
+    if sort_col is not None:
+        w = w.sortBy(sort_col)
+    w.saveAsTable(table)
+
+
 def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every driver table as a temp view for ``spark.sql`` use."""
+    for name in schemas.TABLES:
+        read_table(spark, sf_dir, name).createOrReplaceTempView(name)
     """Register every driver table as a temp view for ``spark.sql`` use."""
     for name in schemas.TABLES:
         read_table(spark, sf_dir, name).createOrReplaceTempView(name)

@@ -33,3 +33,32 @@ def test_json_roundtrip_orders(spark, tmp_path):
     a = dict((r.o_orderkey, r.o_totalprice) for r in orig.limit(50).collect())
     b = dict((r.o_orderkey, r.o_totalprice) for r in back.collect() if r.o_orderkey in a)
     assert a == b
+
+
+def test_bucketed_join_has_no_shuffle(spark, tmp_path):
+    """Two tables bucketed on the join key must sort-merge join with
+    ZERO shuffle exchanges - the write-once/join-free-forever layout."""
+    from reactive_data_pipeline_spark.sources import write_bucketed
+
+    od = read_table(spark, SF_DIR, "orders")
+    li = read_table(spark, SF_DIR, "lineitem")
+    write_bucketed(od, "b_orders", str(tmp_path / "b_orders"), "o_orderkey", 8, "o_orderkey")
+    write_bucketed(li, "b_lineitem", str(tmp_path / "b_lineitem"), "l_orderkey", 8, "l_orderkey")
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        # sf0.001 tables are broadcast-sized; force the shuffle-family
+        # join so the bucketed (exchange-free) path is what's under test.
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        joined = spark.table("b_lineitem").join(
+            spark.table("b_orders"),
+            spark.table("b_lineitem").l_orderkey == spark.table("b_orders").o_orderkey,
+        )
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+        assert "Exchange hashpartitioning" not in plan
+        # and it still returns the right row count
+        assert joined.count() == li.join(od, li.l_orderkey == od.o_orderkey).count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_lineitem")
