@@ -276,6 +276,26 @@ def knn_brute_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return knn_brute(_emb(spark, sf_dir), query_id=0, k=10)
 
 
+@register(
+    "knn_pandas_cosine",
+    oracle=f"""
+    WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+    SELECT vec_id, round(cos, 6) AS cos_sim FROM (
+      SELECT e.vec_id, {_cos_sql('e.embedding', 'q.qv')} AS cos
+      FROM embeddings e, q WHERE e.vec_id <> 0
+    ) ORDER BY cos_sim DESC, vec_id LIMIT 10
+    """,
+    tags=("similarity", "pandas_udf"),
+)
+def knn_pandas_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-vectorized pandas_udf scorer under the SAME oracle as
+    knn_brute_cosine - the Python hot path held to the JVM value-hash
+    standard (similarity.pandas_knn)."""
+    from ..similarity import knn_pandas
+
+    return knn_pandas(_emb(spark, sf_dir), query_id=0, k=10)
+
+
 @register("knn_ivf_cosine", oracle=None, tags=("similarity", "ivf"))
 def knn_ivf_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF (k-means inverted-file) approximate top-10: scan only the 4

@@ -812,3 +812,42 @@ def session_window_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             "session_value",
         )
     )
+
+
+@register(
+    "sliding_window_6h_activity",
+    oracle="""
+    SELECT epoch_us(win_start) AS window_start_us, COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS value_total
+    FROM (
+      SELECT unnest(generate_series(
+               time_bucket(INTERVAL 6 HOUR, ts) - INTERVAL 18 HOUR,
+               time_bucket(INTERVAL 6 HOUR, ts),
+               INTERVAL 6 HOUR)) AS win_start,
+             value
+      FROM events
+    )
+    GROUP BY win_start
+    """,
+    tags=("window", "sliding", "events"),
+)
+def sliding_window_6h_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding windows (24 h length, 6 h slide): every event fans out
+    into 4 overlapping windows inside the aggregation (Catalyst Expand -
+    one shuffle keyed by window start). Same operator drives the
+    streaming form with a watermark; this is its batch/backfill shape."""
+    ev = read_table(spark, sf_dir, "events").withColumn(
+        "__t", F.col("ts").cast("timestamp")
+    )
+    return (
+        ev.groupBy(F.window("__t", "24 hours", "6 hours").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            exact_sum("value").alias("value_total"),
+        )
+        .select(
+            F.unix_micros(F.col("w.start")).alias("window_start_us"),
+            "n_events",
+            "value_total",
+        )
+    )

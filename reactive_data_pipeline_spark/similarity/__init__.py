@@ -5,5 +5,14 @@ and an IVF (k-means inverted-file) index as the scale paths."""
 from .brute import knn_brute
 from .lsh import hyperplanes, with_lsh_bucket, knn_lsh
 from .ivf import ivf_assign, knn_ivf
+from .pandas_knn import knn_pandas
 
-__all__ = ["knn_brute", "hyperplanes", "with_lsh_bucket", "knn_lsh", "ivf_assign", "knn_ivf"]
+__all__ = [
+    "knn_brute",
+    "hyperplanes",
+    "with_lsh_bucket",
+    "knn_lsh",
+    "ivf_assign",
+    "knn_ivf",
+    "knn_pandas",
+]
