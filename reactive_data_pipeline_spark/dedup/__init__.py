@@ -9,8 +9,11 @@ from .ngram import token_ngrams, ngram_jaccard_pairs
 from .minhash import minhash_signatures, minhash_lsh_pairs
 from .simhash import simhash_docs, simhash_near_pairs
 from .embedding import embedding_neardup_pairs
+from .components import connected_components, neardup_groups
 
 __all__ = [
+    "connected_components",
+    "neardup_groups",
     "exact_dedup_groups",
     "dedup_documents",
     "token_ngrams",

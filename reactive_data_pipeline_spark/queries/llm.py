@@ -226,6 +226,48 @@ def ngram3_jaccard_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_jaccard_pairs(_docs(spark, sf_dir), n=3, threshold=0.5)
 
 
+@register(
+    "neardup_groups_connected",
+    oracle=f"""
+    WITH RECURSIVE pairs AS (
+      SELECT doc_a, doc_b FROM (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               CAST(len(list_intersect(a.t, b.t)) AS DOUBLE)
+                 / (len(a.t) + len(b.t) - len(list_intersect(a.t, b.t))) AS jac
+        FROM (SELECT doc_id, list_distinct({_TOKS}) AS t FROM documents) a
+        JOIN (SELECT doc_id, list_distinct({_TOKS}) AS t FROM documents) b
+          ON a.doc_id < b.doc_id
+      ) WHERE jac >= 0.9
+    ),
+    edges AS (SELECT doc_a AS u, doc_b AS v FROM pairs
+              UNION ALL SELECT doc_b, doc_a FROM pairs),
+    reach AS (
+      SELECT doc_id AS id, doc_id AS label FROM documents
+      UNION
+      SELECT e.u AS id, r.label
+      FROM reach r JOIN edges e ON e.v = r.id
+      WHERE r.label < e.u
+    ),
+    comp AS (SELECT id, MIN(label) AS group_id FROM reach GROUP BY id)
+    SELECT id AS doc_id, group_id,
+           COUNT(*) OVER (PARTITION BY group_id) AS group_size,
+           id = group_id AS is_keeper
+    FROM comp
+    """,
+    tags=("dedup", "components", "iterative"),
+)
+def neardup_groups_connected(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup deliverable: connected components over exact-Jaccard
+    near-dup pairs (iterative min-label propagation, dedup.components)
+    vs a DuckDB recursive CTE - a distributed iterative graph algorithm
+    held to a value-hash oracle."""
+    from ..dedup import neardup_groups
+
+    docs = _docs(spark, sf_dir)
+    pairs = ngram_jaccard_pairs(docs, n=1, threshold=0.9)
+    return neardup_groups(docs, pairs)
+
+
 @register("minhash_neardup_pairs", oracle=None, tags=("dedup", "minhash", "lsh"), bench=True)
 def minhash_neardup_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH candidates verified by exact Jaccard (approximate

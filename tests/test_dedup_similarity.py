@@ -113,3 +113,15 @@ def test_knn_ivf_partial_probe_recall(spark):
     approx = [r.vec_id for r in knn_ivf(emb, query_id=0, k=10, n_cells=8, nprobe=4).collect()]
     assert len(approx) == 10
     assert len(exact & set(approx)) >= 4
+
+
+def test_connected_components_chain_star_singleton(spark):
+    from reactive_data_pipeline_spark.dedup import connected_components
+
+    nodes = spark.createDataFrame([(i,) for i in range(8)], "id long")
+    # chain 0-1-2-3 (diameter 3), star 4-{5,6}, singleton 7
+    edges = spark.createDataFrame(
+        [(1, 0), (1, 2), (2, 3), (4, 5), (4, 6)], "a long, b long"
+    )
+    got = {r.id: r.component for r in connected_components(nodes, edges).collect()}
+    assert got == {0: 0, 1: 0, 2: 0, 3: 0, 4: 4, 5: 4, 6: 4, 7: 7}
