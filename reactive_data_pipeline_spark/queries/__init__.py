@@ -27,6 +27,10 @@ from pyspark.sql import DataFrame, SparkSession
 RUNTIME_CONF: dict[str, str] = {
     "spark.sql.session.timeZone": "UTC",
     "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # The driver's vanilla session defaults to 200 shuffle partitions;
+    # at correctness-gate scale that is pure scheduling overhead (AQE
+    # coalesces, but fewer initial partitions are still cheaper).
+    "spark.sql.shuffle.partitions": "32",
 }
 
 
