@@ -1,0 +1,58 @@
+"""Watermark semantics: an append-mode windowed aggregation emits a
+window only once its watermark passes, and rows arriving later than the
+delay are dropped from the state - the late-data contract of the
+reactive layer (SURVEY.md section 5.4)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+
+def _write(spark, path, rows):
+    df = spark.createDataFrame(rows, "event_id long, ts timestamp, value double")
+    df.coalesce(1).write.mode("append").parquet(path)
+
+
+def _run_batches(spark, src, out, ckpt):
+    stream = (
+        spark.readStream.schema("event_id long, ts timestamp, value double")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+        .withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "10 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("total"))
+        .select(F.col("w.start").cast("string").alias("win"), "n", "total")
+    )
+    q = (
+        stream.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert not q.isActive
+
+
+def test_append_mode_drops_rows_later_than_watermark(spark, tmp_path):
+    src, out, ckpt = str(tmp_path / "in"), str(tmp_path / "out"), str(tmp_path / "ck")
+    from datetime import datetime
+
+    t = lambda m: datetime(2024, 1, 1, 10, m)
+    # Sequential runs over one checkpoint: the watermark advances at
+    # run boundaries (deterministic, unlike file order within one run).
+    # run 1: two rows in window 10:00, one in 10:10
+    _write(spark, src, [(1, t(1), 1.0), (2, t(5), 2.0), (3, t(12), 4.0)])
+    _run_batches(spark, src, out, ckpt)
+    # run 2: advance event time far ahead -> watermark passes 10:00+10m
+    _write(spark, src, [(4, t(40), 8.0)])
+    _run_batches(spark, src, out, ckpt)
+    # run 3: a LATE row for the already-closed 10:00 window (event time
+    # 10:07 while watermark is 10:30) - must be dropped
+    _write(spark, src, [(5, t(7), 100.0)])
+    _run_batches(spark, src, out, ckpt)
+
+    got = {r.win: (r.n, r.total) for r in spark.read.parquet(out).collect()}
+    closed_1000 = got.get("2024-01-01 10:00:00")
+    assert closed_1000 == (2, 3.0), got  # late row 5 NOT merged
