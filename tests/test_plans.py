@@ -43,3 +43,41 @@ def test_q1_aggregates_partially(spark):
     df = QUERIES["q1_pricing_summary"].build(spark, SF_DIR)
     plan = physical_plan(df)
     assert plan.count("HashAggregate") >= 2  # partial + final
+
+
+def test_asof_join_single_hash_exchange(spark):
+    """The union-sort as-of trick shuffles ONCE on the key (the window's
+    hash partitioning) - never a range cross-product."""
+    df = QUERIES["asof_purchase_before_click"].build(spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+
+
+def test_minhash_signatures_have_no_aggregation_shuffle(spark):
+    """Signatures are a per-row HOF expression: the only exchange allowed
+    is the round-robin parallelism floor, no hash/aggregation shuffle."""
+    from reactive_data_pipeline_spark.dedup.minhash import minhash_signatures
+    from reactive_data_pipeline_spark.sources import read_table
+
+    sigs = minhash_signatures(read_table(spark, SF_DIR, "documents"))
+    plan = sigs._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange hashpartitioning" not in plan
+    assert "HashAggregate" not in plan
+
+
+def test_range_join_broadcasts_literal_dim(spark):
+    df = QUERIES["range_join_value_bands"].build(spark, SF_DIR)
+    assert_plan(df, contains=("BroadcastNestedLoopJoin",), absent=("CartesianProduct",))
+
+
+def test_grouping_sets_uses_expand(spark):
+    df = QUERIES["grouping_sets_revenue"].build(spark, SF_DIR)
+    assert_plan(df, contains=("Expand",))
+
+
+def test_q6_pushes_all_predicates(spark):
+    plan = physical_plan(QUERIES["q6_forecast_revenue"].build(spark, SF_DIR))
+    pushed = plan.split("PushedFilters")[1][:400]
+    for col in ("l_shipdate", "l_discount", "l_quantity"):
+        assert col in pushed, pushed
