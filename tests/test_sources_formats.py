@@ -62,3 +62,29 @@ def test_bucketed_join_has_no_shuffle(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql("DROP TABLE IF EXISTS b_orders")
         spark.sql("DROP TABLE IF EXISTS b_lineitem")
+
+
+def test_partitioned_write_prunes_on_read(spark, tmp_path):
+    """partitionBy('partition') layout + a partition predicate must scan
+    only the matching day directories (PartitionFilters, not a full scan
+    plus post-filter) - what keeps the reactive layer O(new data)."""
+    from pyspark.sql import functions as F
+    from reactive_data_pipeline_spark.operators.ticker import (
+        build_ticker_meta,
+        derive_ticker,
+    )
+    from reactive_data_pipeline_spark.sources import partitioned_append_sink
+
+    meta = build_ticker_meta(derive_ticker(read_table(spark, SF_DIR, "events")))
+    out = str(tmp_path / "meta")
+    partitioned_append_sink(meta, out)
+    one_day = meta.select("partition").distinct().orderBy("partition").first()[0]
+    scan = spark.read.parquet(out).filter(F.col("partition") == one_day)
+    plan = scan._jdf.queryExecution().executedPlan().toString()
+    # predicate lands in PartitionFilters (directory pruning at planning
+    # time), not as a post-scan data Filter
+    assert "PartitionFilters" in plan
+    assert str(one_day) in plan.split("PartitionFilters")[1][:300]
+    # the pruned scan returns exactly that day's rows
+    expected = meta.filter(F.col("partition") == one_day).count()
+    assert scan.count() == expected
