@@ -15,6 +15,7 @@ Layers:
 """
 
 from .session import get_spark
+from . import jobs
 
-__all__ = ["get_spark"]
+__all__ = ["get_spark", "jobs"]
 __version__ = "0.1.0"
