@@ -851,3 +851,28 @@ def sliding_window_6h_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
             "value_total",
         )
     )
+
+
+@register(
+    "props_map_funcs",
+    oracle="""
+    SELECT event_id,
+           'k' AS first_key,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_value,
+           1 AS n_keys
+    FROM events
+    """,
+    tags=("scalar", "map", "json"),
+)
+def props_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map-typed column surface: parse the JSON props into
+    map<string,bigint>, then map_keys/element_at/size - the schema-on-
+    read path for semi-structured columns (stays whole-stage codegen)."""
+    ev = read_table(spark, sf_dir, "events")
+    m = F.from_json(F.col("props"), "map<string,bigint>")
+    return ev.select(
+        "event_id",
+        F.element_at(F.map_keys(m), 1).alias("first_key"),
+        F.element_at(m, "k").alias("k_value"),
+        F.size(m).alias("n_keys"),
+    )

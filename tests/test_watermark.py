@@ -56,3 +56,55 @@ def test_append_mode_drops_rows_later_than_watermark(spark, tmp_path):
     got = {r.win: (r.n, r.total) for r in spark.read.parquet(out).collect()}
     closed_1000 = got.get("2024-01-01 10:00:00")
     assert closed_1000 == (2, 3.0), got  # late row 5 NOT merged
+
+
+def test_stream_stream_interval_join_matches_batch(spark, tmp_path):
+    """Watermarked stream-stream join: each click joined to purchases by
+    the same user within the following hour. availableNow replay must
+    reproduce the batch interval join."""
+    from reactive_data_pipeline_spark.sources import read_table
+    from tests.conftest import SF_DIR
+
+    events = read_table(spark, SF_DIR, "events").withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    src = str(tmp_path / "ev")
+    events.coalesce(1).write.parquet(src)
+
+    def side(df, kind, pre):
+        return (
+            df.filter(F.col("event_type") == kind)
+            .select(
+                F.col("event_id").alias(f"{pre}_id"),
+                F.col("user_id").alias(f"{pre}_user"),
+                F.col("ts").alias(f"{pre}_ts"),
+            )
+        )
+
+    schema = events.schema
+    stream = spark.readStream.schema(schema).parquet(src)
+    clicks = side(stream, "click", "c").withWatermark("c_ts", "2 hours")
+    buys = side(stream, "purchase", "p").withWatermark("p_ts", "2 hours")
+    cond = (
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("p_ts") >= F.col("c_ts"))
+        & (F.col("p_ts") <= F.col("c_ts") + F.expr("INTERVAL 1 HOUR"))
+    )
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ck")
+    q = (
+        clicks.join(buys, cond)
+        .select("c_id", "p_id")
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    assert not q.isActive
+
+    got = {(r.c_id, r.p_id) for r in spark.read.parquet(out).collect()}
+    b = side(events, "click", "c").join(side(events, "purchase", "p"), cond).select("c_id", "p_id")
+    expected = {(r.c_id, r.p_id) for r in b.collect()}
+    assert got == expected and expected
