@@ -183,6 +183,26 @@ def dedup_exact_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dedup_keep_one",
+    oracle=f"""
+    SELECT doc_id, lang, n_chars FROM (
+      SELECT doc_id, lang, n_chars,
+             MIN(doc_id) OVER (PARTITION BY {_NORM}) AS keeper
+      FROM documents
+    ) WHERE doc_id = keeper
+    """,
+    tags=("dedup",),
+)
+def dedup_keep_one(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup deliverable for exact dedup: the retained corpus (one
+    deterministic keeper per content group; semi join back on min id -
+    stable across partitionings, unlike dropDuplicates)."""
+    from ..dedup import dedup_documents
+
+    return dedup_documents(_docs(spark, sf_dir)).select("doc_id", "lang", "n_chars")
+
+
+@register(
     "ngram_jaccard_pairs",
     oracle=f"""
     WITH toks AS (SELECT doc_id, list_distinct({_TOKS}) AS t FROM documents)
