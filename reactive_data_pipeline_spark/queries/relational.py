@@ -12,7 +12,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..operators.joins import anti_join, asof_join, broadcast_join, semi_join
-from ..operators.relational import exact_avg, exact_sum, top_k
+from ..operators.relational import ensure_parallelism, exact_avg, exact_sum, top_k
 from ..sources import read_table
 from . import register
 
@@ -51,12 +51,17 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flagship: scan -> pushed filter -> hash agg (partial+final).
 
     One shuffle of 6 doubles per (flag, status) group per map task; scales
-    to any input size. Filter reaches the parquet scan as a PushedFilter.
+    to any input size. Filter reaches the parquet scan as a PushedFilter
+    (it pushes through the parallelism floor, which is the explicit
+    opt-in for this query's CPU-bound 7-decimal-aggregate map stage).
     """
     rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (
-        read_table(spark, sf_dir, "lineitem")
-        .filter(F.col("l_shipdate") <= _ts("2000-12-01 00:00:00"))
+        ensure_parallelism(
+            read_table(spark, sf_dir, "lineitem").filter(
+                F.col("l_shipdate") <= _ts("2000-12-01 00:00:00")
+            )
+        )
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
             exact_sum("l_quantity").alias("sum_qty"),

@@ -18,15 +18,10 @@ conversion exact (a double division would lose precision above 2^53 ns).
 
 from __future__ import annotations
 
-import os
-
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .. import schemas
-
-#: Below this size a serial scan is cheaper than a repartition exchange.
-_PARALLEL_SCAN_MIN_BYTES = 4 * 1024 * 1024
 
 
 def table_path(sf_dir: str, name: str) -> str:
@@ -45,44 +40,23 @@ def _normalize_events(df: DataFrame) -> DataFrame:
 _NORMALIZERS = {"events": _normalize_events}
 
 
-def _dataset_bytes(path: str) -> int:
-    if os.path.isdir(path):
-        return sum(
-            os.path.getsize(os.path.join(r, f))
-            for r, _, files in os.walk(path)
-            for f in files
-            if not f.startswith(("_", "."))
-        )
-    try:
-        return os.path.getsize(path)
-    except OSError:
-        return 0
-
-
 def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Batch scan of one driver table (S3). Filter/column pruning are left
     to Catalyst - callers express predicates declaratively and the parquet
-    scan receives them as PushedFilters (both push through the repartition
-    below).
+    scan receives them as PushedFilters.
 
-    Parallelism floor: a non-trivial table whose file layout yields fewer
-    scan partitions than the session has cores (e.g. one single-row-group
-    parquet file - the driver testdata's layout) gets one repartition so
-    downstream compute uses every core. On a real multi-file dataset the
-    scan already has >= cores splits and this is a no-op; only the decode
-    of a degenerate layout stays serial, never the compute above it.
+    No automatic repartition here: measurement showed a blanket
+    parallelism floor costs more than it saves for shuffle-bound plans
+    (joins/aggs re-shuffle on their own keys immediately; the extra
+    exchange roughly doubled q3/q5/q10 and count-distinct latencies at
+    sf0.1). Operators whose post-scan work is CPU-bound per row
+    (shingling, hashing, vector math, regex batteries) opt in explicitly
+    via :func:`operators.relational.ensure_parallelism`, where the same
+    repartition wins 10-30x on a degenerate single-file layout.
     """
     df = spark.read.parquet(table_path(sf_dir, name))
     norm = _NORMALIZERS.get(name)
-    if norm:
-        df = norm(df)
-    par = spark.sparkContext.defaultParallelism
-    if (
-        _dataset_bytes(table_path(sf_dir, name)) >= _PARALLEL_SCAN_MIN_BYTES
-        and df.rdd.getNumPartitions() < par
-    ):
-        df = df.repartition(par)
-    return df
+    return norm(df) if norm else df
 
 
 def read_stream(
