@@ -29,6 +29,7 @@ from ..operators.relational import ensure_parallelism
 from .ngram import token_ngrams
 
 
+
 def minhash_signatures(
     docs: DataFrame,
     n: int = 3,
@@ -53,13 +54,21 @@ def minhash_signatures(
     grams = docs.select(
         F.col(id_col).alias("doc"), token_ngrams(text_col, n).alias("grams")
     )
-    def min_hash(seed: int):
-        # NB: the lambda must be unary - pyspark binds a second lambda
-        # parameter as the array *index*, which would shadow the seed.
-        return F.array_min(F.transform("grams", lambda g: F.xxhash64(g, F.lit(seed))))
+    # Hash each variable-length gram to a long ONCE, then derive the k
+    # minhash values by re-hashing that fixed 8-byte long with k seeds -
+    # the "one content hash + k cheap permutations" MinHash construction
+    # (a seeded long hash is ANSI-safe, unlike wrap-around multiply-add).
+    # NB: HOF lambdas must be unary - pyspark binds a second lambda
+    # parameter as the array *index*, which would shadow a captured seed.
+    base = grams.select(
+        "doc", "grams", F.transform("grams", lambda g: F.xxhash64(g)).alias("__h")
+    )
 
-    sig = F.array(*[min_hash(i) for i in range(num_hashes)])
-    return grams.select("doc", "grams", sig.alias("sig"))
+    def perm_min(seed: int):
+        return F.array_min(F.transform("__h", lambda h: F.xxhash64(h, F.lit(seed))))
+
+    sig = F.array(*[perm_min(i) for i in range(num_hashes)])
+    return base.select("doc", "grams", sig.alias("sig"))
 
 
 def minhash_lsh_pairs(
