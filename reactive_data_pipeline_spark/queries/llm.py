@@ -434,3 +434,92 @@ def mm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     (deterministic stub features; decode itself is stubbed - no codecs in
     the container)."""
     return multimodal.extract_features(_docs(spark, sf_dir))
+
+
+# ---------------------------------------------------------------------------
+# Chunking / packing / splits (training-data prep)
+# ---------------------------------------------------------------------------
+
+_CHUNK, _STRIDE, _OVER = 32, 24, 8
+
+
+@register(
+    "chunk_docs",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+    idx AS (
+      SELECT doc_id, t,
+             unnest(generate_series(
+               0, CAST(greatest(ceil((len(t) - {_OVER}) / {_STRIDE}.0), 1) AS INT) - 1
+             )) AS chunk_idx
+      FROM toks
+    )
+    SELECT doc_id, chunk_idx,
+           len(t[chunk_idx * {_STRIDE} + 1 : chunk_idx * {_STRIDE} + {_CHUNK}]) AS n_tokens,
+           array_to_string(t[chunk_idx * {_STRIDE} + 1 : chunk_idx * {_STRIDE} + {_CHUNK}], ' ')
+             AS chunk_text
+    FROM idx
+    """,
+    tags=("text", "chunking"),
+)
+def chunk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping token-window chunking (32-token chunks, 8 overlap):
+    1->N explode of slice indexes, all JVM (functions.chunking)."""
+    from ..functions.chunking import chunk_documents
+
+    return chunk_documents(_docs(spark, sf_dir), chunk_tokens=_CHUNK, overlap=_OVER)
+
+
+@register(
+    "pack_chunk_bins",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+    idx AS (
+      SELECT doc_id, t,
+             unnest(generate_series(
+               0, CAST(greatest(ceil((len(t) - {_OVER}) / {_STRIDE}.0), 1) AS INT) - 1
+             )) AS chunk_idx
+      FROM toks
+    ),
+    chunks AS (
+      SELECT doc_id, chunk_idx,
+             len(t[chunk_idx * {_STRIDE} + 1 : chunk_idx * {_STRIDE} + {_CHUNK}]) AS n_tokens
+      FROM idx
+    )
+    SELECT doc_id, chunk_idx, n_tokens,
+           CAST(floor(COALESCE(SUM(n_tokens) OVER (
+             ORDER BY doc_id, chunk_idx
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 128.0) AS BIGINT)
+             AS bin_id
+    FROM chunks
+    """,
+    tags=("text", "chunking", "packing"),
+)
+def pack_chunk_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing: running-token-sum bin assignment (~128 tokens/
+    bin) - the window-function form of first-fit that distributes (one
+    sort), bounded overflow per bin."""
+    from ..functions.chunking import chunk_documents, pack_bins
+
+    chunks = chunk_documents(_docs(spark, sf_dir), chunk_tokens=_CHUNK, overlap=_OVER)
+    return pack_bins(chunks.drop("chunk_text"), bin_tokens=128)
+
+
+@register(
+    "train_val_split",
+    oracle="""
+    SELECT doc_id,
+           CASE WHEN doc_id % 10 < 9 THEN 'train' ELSE 'val' END AS split
+    FROM documents
+    """,
+    tags=("text", "split"),
+)
+def train_val_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 90/10 train/val split by key residue - reproducible
+    across engines/runs/partitionings (production uses a salted hash
+    residue the same way; modulo keeps the oracle engine-portable)."""
+    d = _docs(spark, sf_dir)
+    return d.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 10 < 9, "train").otherwise("val").alias("split"),
+    )

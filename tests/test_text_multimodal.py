@@ -77,3 +77,29 @@ def test_sample_frames_one_to_many(spark):
     assert [(r.doc_id, r.frame_idx, r.n_bytes) for r in rows] == [
         (7, 0, 64), (7, 4, 64), (7, 8, 64),
     ]
+
+
+def test_chunking_windows_and_overlap(spark):
+    from reactive_data_pipeline_spark.functions.chunking import chunk_documents
+
+    text = " ".join(f"w{i}" for i in range(10))  # 10 tokens
+    docs = spark.createDataFrame([(1, text), (2, "solo")], "doc_id long, text string")
+    rows = {(r.doc_id, r.chunk_idx): r for r in chunk_documents(docs, 4, 2).collect()}
+    # stride 2: starts 0,2,4,6 while start <= len-overlap -> ceil((10-2)/2)=4 chunks
+    assert sorted(k for k in rows if k[0] == 1) == [(1, i) for i in range(4)]
+    assert rows[(1, 0)].chunk_text == "w0 w1 w2 w3"
+    assert rows[(1, 1)].chunk_text == "w2 w3 w4 w5"  # 2-token overlap
+    assert rows[(1, 3)].chunk_text == "w6 w7 w8 w9"
+    assert rows[(2, 0)].chunk_text == "solo" and rows[(2, 0)].n_tokens == 1
+
+
+def test_pack_bins_running_sum_rule(spark):
+    from reactive_data_pipeline_spark.functions.chunking import pack_bins
+
+    chunks = spark.createDataFrame(
+        [(1, 0, 60), (1, 1, 60), (2, 0, 60), (2, 1, 60)],
+        "doc_id long, chunk_idx long, n_tokens long",
+    )
+    got = {(r.doc_id, r.chunk_idx): r.bin_id for r in pack_bins(chunks, 128).collect()}
+    # running sums before: 0,60,120,180 -> bins 0,0,0,1
+    assert got == {(1, 0): 0, (1, 1): 0, (2, 0): 0, (2, 1): 1}
