@@ -91,3 +91,55 @@ def test_minhash_pairs_respect_threshold_and_symmetry(spark, texts):
     for r in pairs:
         assert r.doc_a < r.doc_b          # canonical orientation, no dupes
         assert 0.5 <= r.jaccard <= 1.0    # verification never lies
+
+
+@SLOW
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 1), st.integers(0, 10_000)), min_size=1, max_size=40
+    )
+)
+def test_sessionize_stream_fold_matches_batch_rule(spark, rows_in):
+    """The applyInPandasWithState fold (single batch) must agree with the
+    batch lag+running-sum sessionization on any event set."""
+    from reactive_data_pipeline_spark.streaming.sessions import (
+        SESSION_GAP_MIN,
+        _fold_user,
+    )
+
+    gap_s = SESSION_GAP_MIN * 60
+
+    class FakeState:
+        exists = False
+
+        def update(self, v):
+            self.exists = True
+
+    import pandas as pd
+
+    by_user = {}
+    for i, (u, t) in enumerate(rows_in):
+        by_user.setdefault(u, []).append((i, t))
+    got = {}
+    for u, evs in by_user.items():
+        pdf = pd.DataFrame(
+            {"event_id": [i for i, _ in evs], "__epoch": [t for _, t in evs],
+             "value": [1.0] * len(evs)}
+        )
+        for out in _fold_user((u,), iter([pdf]), FakeState(), gap_s):
+            for r in out.itertuples():
+                got[(r.user_id, r.session_no)] = (r.n_events, r.duration_s)
+    # reference model: sort by ts, break at gap > gap_s
+    expected = {}
+    for u, evs in by_user.items():
+        ts = sorted(t for _, t in evs)
+        sno, start, last, n = 0, None, None, 0
+        for t in ts:
+            if start is not None and t - last <= gap_s:
+                last, n = t, n + 1
+            else:
+                if start is not None:
+                    expected[(u, sno)] = (n, last - start)
+                sno, start, last, n = sno + 1, t, t, 1
+        expected[(u, sno)] = (n, last - start)
+    assert got == expected
