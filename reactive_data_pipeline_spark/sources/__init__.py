@@ -14,6 +14,7 @@ from .registry import (
     read_json,
     write_format,
     write_bucketed,
+    compact_dataset,
     register_views,
     append_sink,
     partitioned_append_sink,
@@ -27,6 +28,7 @@ __all__ = [
     "read_json",
     "write_format",
     "write_bucketed",
+    "compact_dataset",
     "register_views",
     "append_sink",
     "partitioned_append_sink",

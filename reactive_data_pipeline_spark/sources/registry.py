@@ -144,6 +144,41 @@ def write_bucketed(
     w.saveAsTable(table)
 
 
+def compact_dataset(
+    spark: SparkSession,
+    path: str,
+    out_path: str | None = None,
+    target_bytes: int = 128 * 1024 * 1024,
+) -> int:
+    """Compact a small-files parquet dataset to ~``target_bytes`` files.
+
+    Streaming sinks (one file per micro-batch per partition) and
+    per-day appends accumulate small files that poison scan planning at
+    scale (one task per file, metadata-bound listings). This rewrites
+    the dataset with ``coalesce(ceil(bytes/target))`` - coalesce, not
+    repartition: no shuffle, readers merge input splits. Returns the new
+    file count. In-place compaction writes to ``<path>.__compact``
+    then swaps; pass ``out_path`` to keep the original.
+    """
+    import math
+    import os
+    import shutil
+
+    total = sum(
+        os.path.getsize(os.path.join(r, f))
+        for r, _, files in os.walk(path)
+        for f in files
+        if f.endswith(".parquet")
+    )
+    n_files = max(1, math.ceil(total / target_bytes))
+    dest = out_path or f"{path}.__compact"
+    spark.read.parquet(path).coalesce(n_files).write.mode("overwrite").parquet(dest)
+    if out_path is None:
+        shutil.rmtree(path)
+        os.rename(dest, path)
+    return n_files
+
+
 def register_views(spark: SparkSession, sf_dir: str) -> None:
     """Register every driver table as a temp view for ``spark.sql`` use."""
     for name in schemas.TABLES:

@@ -88,3 +88,20 @@ def test_partitioned_write_prunes_on_read(spark, tmp_path):
     # the pruned scan returns exactly that day's rows
     expected = meta.filter(F.col("partition") == one_day).count()
     assert scan.count() == expected
+
+
+def test_compact_dataset_reduces_files_preserves_rows(spark, tmp_path):
+    from reactive_data_pipeline_spark.sources import compact_dataset
+
+    path = str(tmp_path / "frag")
+    ev = read_table(spark, SF_DIR, "events")
+    for i in range(12):  # simulate 12 tiny micro-batch files
+        ev.filter(ev.event_id % 12 == i).coalesce(1).write.mode("append").parquet(path)
+    import os
+    before = sum(f.endswith(".parquet") for _, _, fs in os.walk(path) for f in fs)
+    assert before >= 12
+    n_rows = ev.count()
+    n_files = compact_dataset(spark, path)
+    after = sum(f.endswith(".parquet") for _, _, fs in os.walk(path) for f in fs)
+    assert after == n_files == 1  # tiny dataset -> one file
+    assert spark.read.parquet(path).count() == n_rows
