@@ -523,3 +523,79 @@ def train_val_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.when(F.col("doc_id") % 10 < 9, "train").otherwise("val").alias("split"),
     )
+
+
+@register(
+    "training_data_pipeline",
+    oracle=f"""
+    WITH scored AS (
+      SELECT doc_id, text, norm,
+             round(least(1.0, CAST(len(string_split(norm, ' ')) AS DOUBLE) / 50.0) * 0.5
+                   + least(1.0, (CAST({_stop_sql('en')} AS DOUBLE)
+                                 / len(string_split(norm, ' '))) * 5.0) * 0.3
+                   + (1.0 - least(1.0, (CAST(len(regexp_extract_all(text, '{TX.PUNCT_CLASS}')) AS DOUBLE)
+                                        / length(text)) * 10.0)) * 0.2, 6) AS quality
+      FROM (SELECT doc_id, text, {_NORM} AS norm FROM documents)
+    ),
+    kept AS (
+      -- lang_id == 'en': the en score is positive and >= every other
+      -- language's (en is first in the tie-priority order)
+      SELECT doc_id, norm FROM (
+        SELECT doc_id, norm, quality,
+               {_stop_sql('en')} AS s_en, {_stop_sql('es')} AS s_es,
+               {_stop_sql('fr')} AS s_fr, {_stop_sql('de')} AS s_de
+        FROM scored
+      )
+      WHERE quality >= 0.5 AND s_en > 0
+        AND s_en = greatest(s_en, s_es, s_fr, s_de)
+    ),
+    dedup AS (
+      SELECT doc_id, norm FROM (
+        SELECT doc_id, norm, MIN(doc_id) OVER (PARTITION BY norm) AS keeper FROM kept
+      ) WHERE doc_id = keeper
+    ),
+    toks AS (SELECT doc_id, string_split(norm, ' ') AS t FROM dedup),
+    chunks AS (
+      SELECT doc_id, chunk_idx,
+             len(t[chunk_idx * 24 + 1 : chunk_idx * 24 + 32]) AS n_tokens
+      FROM (
+        SELECT doc_id, t,
+               unnest(generate_series(
+                 0, CAST(greatest(ceil((len(t) - 8) / 24.0), 1) AS INT) - 1)) AS chunk_idx
+        FROM toks
+      )
+    )
+    SELECT doc_id, chunk_idx, n_tokens,
+           CAST(floor(COALESCE(SUM(n_tokens) OVER (
+             ORDER BY doc_id, chunk_idx
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 128.0) AS BIGINT)
+             AS bin_id
+    FROM chunks
+    """,
+    tags=("text", "pipeline", "dedup", "chunking"),
+    bench=True,
+)
+def training_data_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The whole training-data prep flow as ONE declarative plan -
+    quality filter -> English filter -> exact dedup keep-one -> token
+    chunking -> sequence packing - so Catalyst fuses the text scoring
+    into a single scan-side stage, the dedup is the only wide shuffle
+    before the packing sort, and every stage stays oracle-checkable.
+    (The near-dup LSH stage would slot between dedup and chunking; its
+    hash buckets have no SQL twin, so this composed query keeps the
+    exact-dedup form.)"""
+    from ..functions.chunking import chunk_documents, pack_bins
+
+    d = _docs(spark, sf_dir)
+    kept = d.filter(
+        (TX.quality_score("text") >= 0.5) & (TX.lang_id("text") == "en")
+    )
+    keepers = (
+        kept.select("doc_id", TX.normalize_ws("text").alias("__norm"))
+        .groupBy("__norm")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    deduped = kept.join(keepers, "doc_id", "left_semi")
+    chunks = chunk_documents(deduped, chunk_tokens=32, overlap=8).drop("chunk_text")
+    return pack_bins(chunks, bin_tokens=128)
