@@ -876,3 +876,64 @@ def props_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.element_at(m, "k").alias("k_value"),
         F.size(m).alias("n_keys"),
     )
+
+
+@register(
+    "window_first_last_nth",
+    oracle="""
+    SELECT o_orderkey, o_custkey,
+           FIRST_VALUE(o_totalprice) OVER w AS first_price,
+           LAST_VALUE(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                                          ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+             AS last_price,
+           NTH_VALUE(o_totalprice, 2) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                                            ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+             AS second_price
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    """,
+    tags=("window",),
+)
+def window_first_last_nth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """first/last/nth_value over one per-customer order history (full-
+    frame bounds for last/nth, so the answer is frame-independent)."""
+    od = read_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return od.select(
+        "o_orderkey",
+        "o_custkey",
+        F.first("o_totalprice").over(w).alias("first_price"),
+        F.last("o_totalprice").over(full).alias("last_price"),
+        F.nth_value("o_totalprice", 2).over(full).alias("second_price"),
+    )
+
+
+@register(
+    "null_semantics_battery",
+    oracle="""
+    SELECT event_id,
+           COALESCE(NULLIF(event_type, 'error'), 'suppressed') AS type_or_suppressed,
+           (NULLIF(value, 0.0) IS NOT DISTINCT FROM NULL) AS value_was_zero,
+           CASE WHEN value > 10 THEN value END AS big_value,
+           COALESCE(CASE WHEN value > 10 THEN value END, -1.0) AS big_value_filled
+    FROM events
+    """,
+    tags=("scalar", "null"),
+)
+def null_semantics_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NULL algebra: NULLIF/COALESCE/CASE-without-ELSE and null-safe
+    equality (<=> / IS NOT DISTINCT FROM)."""
+    ev = read_table(spark, sf_dir, "events")
+    big = F.when(F.col("value") > 10, F.col("value"))
+    return ev.select(
+        "event_id",
+        F.coalesce(F.nullif("event_type", F.lit("error")), F.lit("suppressed")).alias(
+            "type_or_suppressed"
+        ),
+        F.nullif(F.col("value"), F.lit(0.0)).eqNullSafe(F.lit(None).cast("double")).alias(
+            "value_was_zero"
+        ),
+        big.alias("big_value"),
+        F.coalesce(big, F.lit(-1.0)).alias("big_value_filled"),
+    )

@@ -81,3 +81,13 @@ def test_q6_pushes_all_predicates(spark):
     pushed = plan.split("PushedFilters")[1][:400]
     for col in ("l_shipdate", "l_discount", "l_quantity"):
         assert col in pushed, pushed
+
+
+def test_training_pipeline_shuffle_budget(spark):
+    """The composed prep pipeline must stay at a handful of exchanges
+    (dedup groupBy + packing sort; the text scoring fuses into the scan
+    stage) and never degrade to a cartesian product."""
+    df = QUERIES["training_data_pipeline"].build(spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") <= 3, plan
+    assert "CartesianProduct" not in plan
