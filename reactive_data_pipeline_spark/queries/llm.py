@@ -599,3 +599,16 @@ def training_data_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     deduped = kept.join(keepers, "doc_id", "left_semi")
     chunks = chunk_documents(deduped, chunk_tokens=32, overlap=8).drop("chunk_text")
     return pack_bins(chunks, bin_tokens=128)
+
+
+@register("minhash_dedup_groups", oracle=None, tags=("dedup", "minhash", "components"))
+def minhash_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The at-scale dedup-group pipeline: MinHash+LSH candidate pairs
+    (verified by exact Jaccard) -> connected components -> one keeper
+    per group. Approximate recall from the LSH stage -> rows-only check;
+    the exact twin is neardup_groups_connected."""
+    from ..dedup import minhash_lsh_pairs, neardup_groups
+
+    docs = _docs(spark, sf_dir)
+    pairs = minhash_lsh_pairs(docs, n=3, num_hashes=32, bands=8, threshold=0.5)
+    return neardup_groups(docs, pairs)

@@ -937,3 +937,40 @@ def null_semantics_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         big.alias("big_value"),
         F.coalesce(big, F.lit(-1.0)).alias("big_value_filled"),
     )
+
+
+@register(
+    "pct_of_total_by_segment",
+    oracle="""
+    SELECT c_mktsegment, c_custkey, spend,
+           round(spend / SUM(spend) OVER (PARTITION BY c_mktsegment), 6) AS pct_of_segment
+    FROM (
+      SELECT c_mktsegment, c_custkey,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS spend
+      FROM customer JOIN orders ON c_custkey = o_custkey
+      GROUP BY c_mktsegment, c_custkey
+    )
+    """,
+    tags=("window", "agg", "ratio"),
+)
+def pct_of_total_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ratio-to-report: per-customer spend as a share of its market
+    segment (aggregate, then an unordered partition window over the
+    MUCH smaller aggregate - never a second pass over the fact table).
+    The window total sums the already-decimal-exact doubles in Spark's
+    partition-local order; DuckDB's differs, so the share is rounded to
+    6dp where both agree."""
+    cust = read_table(spark, sf_dir, "customer")
+    od = read_table(spark, sf_dir, "orders")
+    spend = (
+        cust.join(od, cust.c_custkey == od.o_custkey)
+        .groupBy("c_mktsegment", "c_custkey")
+        .agg(exact_sum("o_totalprice").alias("spend"))
+    )
+    w = Window.partitionBy("c_mktsegment")
+    return spend.select(
+        "c_mktsegment",
+        "c_custkey",
+        "spend",
+        F.round(F.col("spend") / F.sum("spend").over(w), 6).alias("pct_of_segment"),
+    )
