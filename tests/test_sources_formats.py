@@ -105,3 +105,23 @@ def test_compact_dataset_reduces_files_preserves_rows(spark, tmp_path):
     after = sum(f.endswith(".parquet") for _, _, fs in os.walk(path) for f in fs)
     assert after == n_files == 1  # tiny dataset -> one file
     assert spark.read.parquet(path).count() == n_rows
+
+
+def test_schema_evolution_merge_and_union(spark, tmp_path):
+    """Appends with an evolved schema must stay readable: mergeSchema
+    reconciles the files (new column null for old rows), and
+    unionByName(allowMissingColumns) does the same for DataFrames."""
+    from pyspark.sql import functions as F
+
+    path = str(tmp_path / "evolving")
+    v1 = spark.createDataFrame([(1, "a")], "id long, name string")
+    v2 = spark.createDataFrame([(2, "b", 0.9)], "id long, name string, score double")
+    v1.write.mode("append").parquet(path)
+    v2.write.mode("append").parquet(path)
+    merged = spark.read.option("mergeSchema", "true").parquet(path)
+    assert set(merged.columns) == {"id", "name", "score"}
+    rows = {r.id: r.score for r in merged.collect()}
+    assert rows == {1: None, 2: 0.9}
+
+    u = v1.unionByName(v2, allowMissingColumns=True)
+    assert {r.id: r.score for r in u.collect()} == {1: None, 2: 0.9}
