@@ -974,3 +974,68 @@ def pct_of_total_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
         "spend",
         F.round(F.col("spend") / F.sum("spend").over(w), 6).alias("pct_of_segment"),
     )
+
+
+@register(
+    "sample_n_per_group",
+    oracle="""
+    SELECT event_id, user_id, event_type FROM (
+      SELECT event_id, user_id, event_type,
+             ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY xor(event_id, 2654435761) , event_id)
+               AS rn
+      FROM events
+    ) WHERE rn <= 5
+    """,
+    tags=("sample", "window"),
+)
+def sample_n_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-N-per-group sampling: deterministic pseudo-random order
+    (key XOR a Knuth constant) + row_number <= N. Unlike sampleBy this
+    gives exact group quotas and is reproducible across engines and
+    partitionings."""
+    ev = read_table(spark, sf_dir, "events")
+    shuffle_key = F.col("event_id").bitwiseXOR(F.lit(2654435761))
+    w = Window.partitionBy("event_type").orderBy(shuffle_key, "event_id")
+    return (
+        ev.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= 5)
+        .select("event_id", "user_id", "event_type")
+    )
+
+
+@register(
+    "histogram_order_prices",
+    oracle="""
+    SELECT CASE WHEN o_totalprice < 0 THEN 0
+                WHEN o_totalprice >= 500000.0 THEN 21
+                ELSE CAST(floor(o_totalprice / 25000.0) AS BIGINT) + 1 END AS bucket,
+           COUNT(*) AS n_orders,
+           round(MIN(o_totalprice), 2) AS lo,
+           round(MAX(o_totalprice), 2) AS hi
+    FROM orders GROUP BY bucket
+    """,
+    tags=("agg", "histogram"),
+)
+def histogram_order_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width histogram via width_bucket (single pass, map-side
+    partials - the scalable histogram; sort-based quantile binning is
+    percentiles_quantity's job)."""
+    od = read_table(spark, sf_dir, "orders")
+    b = F.width_bucket(F.col("o_totalprice"), F.lit(0.0), F.lit(500000.0), F.lit(20))
+    return od.groupBy(b.alias("bucket")).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.min("o_totalprice"), 2).alias("lo"),
+        F.round(F.max("o_totalprice"), 2).alias("hi"),
+    )
+
+
+@register("approx_percentile_quantity", oracle=None, tags=("agg", "sketch", "percentile"))
+def approx_percentile_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable quantile sketch (approx_percentile): the one-pass scale
+    path whose exact twin is percentiles_quantity (engine-specific
+    estimates -> rows-only check)."""
+    li = read_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_percentile("l_quantity", F.lit(0.5), F.lit(10000)).alias("approx_q50"),
+        F.percentile("l_quantity", F.lit(0.5)).alias("exact_q50"),
+    )

@@ -15,6 +15,7 @@ from .registry import (
     write_format,
     write_bucketed,
     compact_dataset,
+    write_sorted,
     register_views,
     append_sink,
     partitioned_append_sink,
@@ -29,6 +30,7 @@ __all__ = [
     "write_format",
     "write_bucketed",
     "compact_dataset",
+    "write_sorted",
     "register_views",
     "append_sink",
     "partitioned_append_sink",

@@ -144,6 +144,21 @@ def write_bucketed(
     w.saveAsTable(table)
 
 
+def write_sorted(
+    df: DataFrame, path: str, sort_cols: list[str], n_files: int | None = None
+) -> None:
+    """Write a dataset range-partitioned + sorted on ``sort_cols``.
+
+    Clustering by the dominant filter/join column makes parquet row-group
+    min/max statistics selective: a range predicate on the sort column
+    skips whole files/row groups instead of post-filtering every row.
+    This is the write-side twin of predicate pushdown - pay one sort at
+    write, every later scan reads only the matching key range.
+    """
+    parts = df.repartitionByRange(*( [n_files] if n_files else [] ), *sort_cols)
+    parts.sortWithinPartitions(*sort_cols).write.mode("overwrite").parquet(path)
+
+
 def compact_dataset(
     spark: SparkSession,
     path: str,

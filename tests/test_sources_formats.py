@@ -125,3 +125,28 @@ def test_schema_evolution_merge_and_union(spark, tmp_path):
 
     u = v1.unionByName(v2, allowMissingColumns=True)
     assert {r.id: r.score for r in u.collect()} == {1: None, 2: 0.9}
+
+
+def test_write_sorted_clusters_key_ranges(spark, tmp_path):
+    """Range-partitioned sorted files: every file covers a disjoint key
+    range (row-group min/max stats become selective for range scans)."""
+    import pyarrow.parquet as pq
+    import os
+    from reactive_data_pipeline_spark.sources import write_sorted
+
+    od = read_table(spark, SF_DIR, "orders")
+    out = str(tmp_path / "sorted")
+    write_sorted(od, out, ["o_totalprice"], n_files=4)
+    ranges = []
+    for f in os.listdir(out):
+        if not f.endswith(".parquet"):
+            continue
+        t = pq.read_table(os.path.join(out, f), columns=["o_totalprice"])
+        vals = t.column(0).to_pylist()
+        assert vals == sorted(vals)  # sorted within file
+        ranges.append((min(vals), max(vals)))
+    ranges.sort()
+    assert len(ranges) == 4
+    for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+        assert hi1 <= lo2  # disjoint ranges across files
+    assert spark.read.parquet(out).count() == od.count()
