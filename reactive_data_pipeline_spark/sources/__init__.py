@@ -16,6 +16,8 @@ from .registry import (
     write_bucketed,
     compact_dataset,
     write_sorted,
+    read_jdbc,
+    write_jdbc,
     register_views,
     append_sink,
     partitioned_append_sink,
@@ -31,6 +33,8 @@ __all__ = [
     "write_bucketed",
     "compact_dataset",
     "write_sorted",
+    "read_jdbc",
+    "write_jdbc",
     "register_views",
     "append_sink",
     "partitioned_append_sink",

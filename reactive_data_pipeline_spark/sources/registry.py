@@ -144,6 +144,48 @@ def write_bucketed(
     w.saveAsTable(table)
 
 
+def read_jdbc(
+    spark: SparkSession,
+    url: str,
+    table: str,
+    partition_column: str | None = None,
+    lower_bound: int | None = None,
+    upper_bound: int | None = None,
+    num_partitions: int = 8,
+    **properties: str,
+) -> DataFrame:
+    """JDBC table scan - the engine-side equivalent of the reference's
+    SQLite ORM select (``resources.py:31,58-67``); Derby's embedded
+    driver (bundled with Spark) plays SQLite's role with no server.
+
+    Scale discipline: always pass ``partition_column``/bounds for big
+    tables - without them the whole table streams through ONE task.
+    Catalyst pushes filters and column pruning into the generated SQL
+    either way.
+    """
+    reader = spark.read.format("jdbc").option("url", url).option("dbtable", table)
+    if partition_column is not None:
+        reader = (
+            reader.option("partitionColumn", partition_column)
+            .option("lowerBound", str(lower_bound))
+            .option("upperBound", str(upper_bound))
+            .option("numPartitions", str(num_partitions))
+        )
+    for k, v in properties.items():
+        reader = reader.option(k, v)
+    return reader.load()
+
+
+def write_jdbc(df: DataFrame, url: str, table: str, mode: str = "overwrite",
+               **properties: str) -> None:
+    """JDBC append/overwrite sink (S4's transactional batch insert -
+    each task writes its partition in one transaction)."""
+    writer = df.write.format("jdbc").option("url", url).option("dbtable", table).mode(mode)
+    for k, v in properties.items():
+        writer = writer.option(k, v)
+    writer.save()
+
+
 def write_sorted(
     df: DataFrame, path: str, sort_cols: list[str], n_files: int | None = None
 ) -> None:

@@ -150,3 +150,26 @@ def test_write_sorted_clusters_key_ranges(spark, tmp_path):
     for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
         assert hi1 <= lo2  # disjoint ranges across files
     assert spark.read.parquet(out).count() == od.count()
+
+
+def test_jdbc_roundtrip_embedded_derby(spark, tmp_path):
+    """A real JDBC source/sink against Spark's bundled embedded Derby -
+    the engine-side analogue of the reference's embedded SQLite store
+    (write = transactional batch insert, read = partitioned scan)."""
+    from reactive_data_pipeline_spark.sources import read_jdbc, write_jdbc
+
+    url = f"jdbc:derby:{tmp_path}/refdb;create=true"
+    orig = read_table(spark, SF_DIR, "nation")
+    write_jdbc(orig, url, "nation_jdbc")
+    back = read_jdbc(spark, url, "nation_jdbc")
+    assert back.count() == orig.count()
+    assert {r.n_nationkey: r.n_name for r in back.collect()} == {
+        r.n_nationkey: r.n_name for r in orig.collect()
+    }
+    # partitioned read: same rows, parallel tasks
+    part = read_jdbc(
+        spark, url, "nation_jdbc",
+        partition_column="n_nationkey", lower_bound=0, upper_bound=25, num_partitions=4,
+    )
+    assert part.rdd.getNumPartitions() == 4
+    assert part.count() == orig.count()
