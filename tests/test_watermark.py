@@ -108,3 +108,36 @@ def test_stream_stream_interval_join_matches_batch(spark, tmp_path):
     b = side(events, "click", "c").join(side(events, "purchase", "p"), cond).select("c_id", "p_id")
     expected = {(r.c_id, r.p_id) for r in b.collect()}
     assert got == expected and expected
+
+
+def test_complete_mode_aggregation_converges_to_batch(spark, tmp_path):
+    """Complete output mode re-emits the whole aggregate each batch; the
+    final memory-sink table must equal the batch aggregation."""
+    from reactive_data_pipeline_spark.sources import read_table
+    from tests.conftest import SF_DIR
+
+    events = read_table(spark, SF_DIR, "events")
+    src = str(tmp_path / "ev")
+    for i in range(3):
+        events.filter(events.event_id % 3 == i).coalesce(1).write.mode("append").parquet(src)
+    stream = (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("complete_agg")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {r.event_type: r.n for r in spark.sql("SELECT * FROM complete_agg").collect()}
+    expected = {
+        r.event_type: r.n
+        for r in events.groupBy("event_type").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert got == expected
