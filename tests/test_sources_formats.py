@@ -173,3 +173,16 @@ def test_jdbc_roundtrip_embedded_derby(spark, tmp_path):
     )
     assert part.rdd.getNumPartitions() == 4
     assert part.count() == orig.count()
+
+
+def test_jdbc_scan_pushes_filters(spark, tmp_path):
+    """Predicates on a JDBC scan must reach the generated SQL as
+    PushedFilters (run database-side, not post-scan)."""
+    from reactive_data_pipeline_spark.sources import read_jdbc, write_jdbc
+
+    url = f"jdbc:derby:{tmp_path}/pushdb;create=true"
+    write_jdbc(read_table(spark, SF_DIR, "nation"), url, "nation_push")
+    scan = read_jdbc(spark, url, "nation_push").filter("n_regionkey = 2").select("n_name")
+    plan = scan._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan and "n_regionkey" in plan.split("PushedFilters")[1][:200]
+    assert scan.count() == 5
