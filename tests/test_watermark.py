@@ -141,3 +141,65 @@ def test_complete_mode_aggregation_converges_to_batch(spark, tmp_path):
         for r in events.groupBy("event_type").agg(F.count(F.lit(1)).alias("n")).collect()
     }
     assert got == expected
+
+
+def test_streaming_session_window_closed_sessions_match_batch(spark, tmp_path):
+    """Native session_window in a watermarked stream (append mode emits a
+    session once the watermark passes its end). Every emitted session
+    must match the batch session_window aggregation exactly; sessions
+    near the stream's end may legitimately still be open."""
+    from reactive_data_pipeline_spark.queries import QUERIES
+    from reactive_data_pipeline_spark.sources import read_table
+    from tests.conftest import SF_DIR
+
+    events = read_table(spark, SF_DIR, "events").withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    src = str(tmp_path / "ev")
+    # time-ordered splits so the watermark advances monotonically
+    epoch = F.col("ts").cast("long")
+    bounds = events.agg(F.min(epoch), F.max(epoch)).first()
+    lo, hi = bounds[0], bounds[1] + 1
+    cut = lo + (hi - lo) // 2
+    for pred in (epoch < cut, epoch >= cut):
+        events.filter(pred).coalesce(1).write.mode("append").parquet(src)
+
+    stream = (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+        .withWatermark("ts", "0 seconds")
+        .groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.unix_micros(F.col("w.start")).alias("session_start_us"),
+            "n_events",
+        )
+    )
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ck")
+    q = (
+        stream.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    assert not q.isActive
+
+    got = {
+        (r.user_id, r.session_start_us): r.n_events
+        for r in spark.read.parquet(out).collect()
+    }
+    assert got  # closed sessions were emitted
+    expected = {
+        (r.user_id, r.session_start_us): r.n_events
+        for r in QUERIES["session_window_stats"].build(spark, SF_DIR).collect()
+    }
+    # every emitted (closed) session agrees with the batch aggregate
+    for key, n in got.items():
+        assert expected.get(key) == n, key
+    # and most sessions closed (only tail-of-stream ones may be open)
+    assert len(got) >= len(expected) * 0.8
