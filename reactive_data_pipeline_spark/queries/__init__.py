@@ -69,6 +69,7 @@ def register(name: str, oracle: str | None, tags: tuple[str, ...] = (), bench: b
 from . import relational  # noqa: E402,F401
 from . import relational_ext  # noqa: E402,F401
 from . import relational_ext2  # noqa: E402,F401
+from . import relational_ext3  # noqa: E402,F401
 from . import reference  # noqa: E402,F401
 from . import llm  # noqa: E402,F401
 
