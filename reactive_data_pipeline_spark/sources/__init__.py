@@ -12,6 +12,7 @@ from .registry import (
     read_stream,
     read_csv,
     read_json,
+    read_orc,
     write_format,
     write_bucketed,
     compact_dataset,
@@ -29,6 +30,7 @@ __all__ = [
     "read_stream",
     "read_csv",
     "read_json",
+    "read_orc",
     "write_format",
     "write_bucketed",
     "compact_dataset",

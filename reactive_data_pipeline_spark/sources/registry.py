@@ -113,6 +113,20 @@ def read_json(
     return reader.json(path)
 
 
+def read_orc(
+    spark: SparkSession, path: str, name: str | None = None, **options: str
+) -> DataFrame:
+    """ORC connector; same declared-schema discipline as CSV/JSON (ORC
+    is self-describing, but applying the registry schema keeps column
+    types pinned to the engine's declarations)."""
+    reader = spark.read.options(**options)
+    if name is not None:
+        df = reader.schema(schemas.TABLES[name]).orc(path)
+        norm = _NORMALIZERS.get(name)
+        return norm(df) if norm else df
+    return reader.orc(path)
+
+
 def write_format(df: DataFrame, path: str, fmt: str = "parquet", mode: str = "overwrite") -> None:
     """Format-agnostic sink (parquet/csv/json/orc); CSV keeps a header so
     the file round-trips through read_csv."""

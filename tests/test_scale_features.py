@@ -1,0 +1,70 @@
+"""At-scale execution features the 100 TB design leans on, asserted
+locally: dynamic partition pruning (the star-schema join must skip fact
+partitions the dimension filter rules out), AQE shuffle coalescing (the
+runtime must shrink over-provisioned shuffle partitions), and the ORC
+connector round-trip.
+
+The reference has none of these concerns (single SQLite file,
+`/root/reference/dagster_repository/resources.py`); they exist because
+the engine's contract is the same queries at cluster scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from reactive_data_pipeline_spark.plans import physical_plan
+from reactive_data_pipeline_spark.sources import read_orc, read_table, write_format
+
+from .conftest import SF_DIR
+from .helpers import assert_df_equal
+
+
+def test_orc_roundtrip_customer(spark, tmp_path):
+    orig = read_table(spark, SF_DIR, "customer")
+    write_format(orig, str(tmp_path / "customer_orc"), fmt="orc")
+    back = read_orc(spark, str(tmp_path / "customer_orc"), name="customer")
+    assert back.schema == orig.schema
+    assert_df_equal(back, orig)
+
+
+def test_dynamic_partition_pruning(spark, tmp_path):
+    """A fact partitioned by day, joined to a dimension filtered on an
+    attribute, must scan only the days the dimension survives - the
+    filter is not on the fact, so only DPP can prune. At 100 TB this is
+    the difference between reading one week and reading three years.
+    """
+    fact_path = str(tmp_path / "orders_by_day")
+    o = read_table(spark, SF_DIR, "orders").withColumn("day", F.to_date("o_orderdate"))
+    o.write.mode("overwrite").partitionBy("day").parquet(fact_path)
+
+    # Day dimension with an attribute only it knows (first-3-days flag).
+    dim = (
+        o.select("day")
+        .distinct()
+        .withColumn("is_peak", F.dayofmonth("day") <= 3)
+    )
+    fact = spark.read.parquet(fact_path)
+    joined = fact.join(dim.filter("is_peak"), "day").select("o_orderkey", "day")
+
+    plan = physical_plan(joined)
+    assert "dynamicpruning" in plan.lower(), plan
+
+    expected = (
+        o.filter(F.dayofmonth("day") <= 3).select("o_orderkey", "day")
+    )
+    assert_df_equal(joined, expected)
+
+
+def test_aqe_coalesces_overprovisioned_shuffle(spark):
+    """With 4 configured shuffle partitions but only 3 groups of tiny
+    data, AQE's runtime statistics must coalesce the exchange reads
+    rather than schedule empty tasks. Locally this saves milliseconds;
+    on a 1000-executor job with shuffle.partitions sized for the
+    biggest stage, it is what makes the small stages cheap."""
+    li = read_table(spark, SF_DIR, "lineitem")
+    agg = li.groupBy("l_returnflag").agg(F.count(F.lit(1)).alias("n"))
+    agg.collect()  # adaptive plans finalize on execution
+    plan = physical_plan(agg)
+    assert "AQEShuffleRead" in plan, plan
+    assert "coalesced" in plan, plan

@@ -7,6 +7,8 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
+from .helpers import assert_df_equal
+
 
 def _write(spark, path, rows):
     df = spark.createDataFrame(rows, "event_id long, ts timestamp, value double")
@@ -203,3 +205,45 @@ def test_streaming_session_window_closed_sessions_match_batch(spark, tmp_path):
         assert expected.get(key) == n, key
     # and most sessions closed (only tail-of-stream ones may be open)
     assert len(got) >= len(expected) * 0.8
+
+
+def test_stream_static_broadcast_enrichment_matches_batch(spark, tmp_path):
+    """Stream-static join: a streaming fact enriched with a static
+    dimension (the canonical at-scale pattern - the dim broadcasts to
+    every micro-batch, no state, no watermark needed). The enriched
+    streaming aggregate must equal the same join done in batch."""
+    from reactive_data_pipeline_spark.sources import read_table
+    from tests.conftest import SF_DIR
+
+    events = read_table(spark, SF_DIR, "events")
+    dim = (
+        events.select("user_id")
+        .distinct()
+        .withColumn("cohort", F.concat(F.lit("c"), (F.col("user_id") % 7).cast("string")))
+    )
+    src = str(tmp_path / "ev")
+    for i in range(3):
+        events.filter(events.event_id % 3 == i).coalesce(1).write.mode("append").parquet(src)
+    stream = (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+        .join(F.broadcast(dim), "user_id")
+        .groupBy("cohort")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum(F.col("value").cast("decimal(18,6)")).alias("v"))
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("stream_static")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("SELECT * FROM stream_static")
+    expected = (
+        events.join(F.broadcast(dim), "user_id")
+        .groupBy("cohort")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum(F.col("value").cast("decimal(18,6)")).alias("v"))
+    )
+    assert_df_equal(got, expected)
