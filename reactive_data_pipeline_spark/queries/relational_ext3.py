@@ -717,3 +717,91 @@ def collect_expensive_orderkeys(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Data profiling (one-pass column statistics)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "profile_orders_columns",
+    oracle="""
+    SELECT COUNT(*) AS n_rows,
+           COUNT(DISTINCT o_custkey) AS n_customers,
+           COUNT(DISTINCT o_orderstatus) AS n_statuses,
+           COUNT(*) - COUNT(o_totalprice) AS price_nulls,
+           CAST(MIN(o_totalprice) AS DOUBLE) AS price_min,
+           CAST(MAX(o_totalprice) AS DOUBLE) AS price_max,
+           CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE)
+                / COUNT(o_totalprice) AS DOUBLE) AS price_mean,
+           CAST(MIN(o_orderdate) AS DATE) AS date_lo,
+           CAST(MAX(o_orderdate) AS DATE) AS date_hi
+    FROM orders
+    """,
+    tags=("profiling", "agg"),
+)
+def profile_orders_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset profiling in ONE aggregate pass: row count, key
+    cardinalities, null counts, numeric bounds and decimal-exact mean,
+    date range. The profile every ingestion step should emit - and
+    deliberately not df.describe()/summary(), which are driver
+    conveniences with string-typed output; this is a plain Catalyst
+    aggregate with partial map-side reduction, so it costs one scan at
+    any scale. COUNT(DISTINCT x, y) pairs expand to two-level hash
+    aggregates sharing the scan."""
+    o = read_table(spark, sf_dir, "orders")
+    return o.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("o_custkey").alias("n_customers"),
+        F.countDistinct("o_orderstatus").alias("n_statuses"),
+        (F.count(F.lit(1)) - F.count("o_totalprice")).alias("price_nulls"),
+        F.min("o_totalprice").alias("price_min"),
+        F.max("o_totalprice").alias("price_max"),
+        (exact_sum("o_totalprice") / F.count("o_totalprice").cast("double")).alias("price_mean"),
+        F.min(F.to_date("o_orderdate")).alias("date_lo"),
+        F.max(F.to_date("o_orderdate")).alias("date_hi"),
+    )
+
+
+@register(
+    "value_frequency_profile",
+    oracle="""
+    SELECT col_name, val, n FROM (
+      SELECT col_name, val, n,
+             ROW_NUMBER() OVER (PARTITION BY col_name
+                                ORDER BY n DESC, val) AS rk
+      FROM (
+        SELECT 'o_orderstatus' AS col_name, o_orderstatus AS val, COUNT(*) AS n
+        FROM orders GROUP BY o_orderstatus
+        UNION ALL
+        SELECT 'o_orderpriority', o_orderpriority, COUNT(*)
+        FROM orders GROUP BY o_orderpriority))
+    WHERE rk <= 3
+    """,
+    tags=("profiling", "agg", "topk"),
+)
+def value_frequency_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 most frequent values per categorical column (the
+    frequent-items half of a profiler). Long-form via unpivot so ONE
+    scan feeds every column's frequency count (Expand duplicates rows
+    executor-side), then a per-column top-k window with a (count DESC,
+    value) total order for deterministic ties."""
+    o = read_table(spark, sf_dir, "orders")
+    long = o.select(
+        F.col("o_orderkey"),
+        F.col("o_orderstatus").alias("o_orderstatus"),
+        F.col("o_orderpriority").alias("o_orderpriority"),
+    ).unpivot(
+        ids=["o_orderkey"],
+        values=["o_orderstatus", "o_orderpriority"],
+        variableColumnName="col_name",
+        valueColumnName="val",
+    )
+    counts = long.groupBy("col_name", "val").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("col_name").orderBy(F.desc("n"), "val")
+    return (
+        counts.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("col_name", "val", "n")
+    )
