@@ -413,10 +413,13 @@ def q21_lone_returned_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     l_returnflag = 'R' - the doubly-correlated EXISTS/NOT-EXISTS
     structure is the point.
 
-    Both correlations are equi on l_orderkey with a <> residual, so
-    they plan as one semi and one anti sort-merge join sharing the
-    probe's orderkey shuffle; the pair sets are pre-projected to
-    (orderkey, suppkey) and deduplicated to keep the build sides lean.
+    Both correlations are equi on l_orderkey with a <> residual. The
+    pair sets are pre-projected to (orderkey, suppkey) and deduplicated
+    to keep the build sides lean - small enough to broadcast here (the
+    measured plan is semi+anti BroadcastHashJoin with the residual as
+    join condition, zero cartesian); past the broadcast threshold the
+    same shapes become sort-merge joins sharing the probe's orderkey
+    shuffle, AQE's call per scale.
     """
     li = read_table(spark, sf_dir, "lineitem")
     o_f = (

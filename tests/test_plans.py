@@ -91,3 +91,35 @@ def test_training_pipeline_shuffle_budget(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange hashpartitioning") <= 3, plan
     assert "CartesianProduct" not in plan
+
+
+def test_q8_star_broadcasts_every_dimension(spark):
+    """The 8-way market-share star must broadcast all dimension sides -
+    the only hash-partitioned exchange allowed is the final year
+    aggregate (plus what AQE inserts for the fact-fact join); a single
+    shuffled dimension would serialize the star at scale."""
+    plan = physical_plan(QUERIES["q8_market_share"].build(spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert plan.count("BroadcastHashJoin") >= 6, plan
+
+
+def test_q21_correlations_stay_equi_with_residual(spark):
+    """The doubly-correlated EXISTS / NOT EXISTS must plan as semi and
+    anti hash joins whose <> correlate is a RESIDUAL condition on an
+    equi orderkey join - never a nested-loop over the fact."""
+    plan = physical_plan(QUERIES["q21_lone_returned_supplier"].build(spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "LeftSemi" in plan and "LeftAnti" in plan, plan
+    assert "NOT (l_suppkey" in plan, plan
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_q13_on_clause_filter_reaches_orders_scan(spark):
+    """Q13's join-side predicate (priority <> urgent) lives in the LEFT
+    JOIN's ON clause; it must still be pushed to the orders parquet scan
+    rather than evaluated post-join."""
+    plan = physical_plan(QUERIES["q13_customer_distribution"].build(spark, SF_DIR))
+    pushed = plan.split("PushedFilters")[1][:300] if "PushedFilters" in plan else ""
+    assert "o_orderpriority" in pushed, plan[:2000]
