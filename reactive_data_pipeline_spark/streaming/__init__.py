@@ -14,6 +14,7 @@ primitives:
 from .reactive import (
     events_stream,
     reactive_ticker_meta_run,
+    stream_to_jdbc,
     merge_ticker_meta_batch,
     read_ticker_meta,
     ObservedMetrics,
@@ -25,6 +26,7 @@ __all__ = [
     "latest_sessions",
     "events_stream",
     "reactive_ticker_meta_run",
+    "stream_to_jdbc",
     "merge_ticker_meta_batch",
     "read_ticker_meta",
     "ObservedMetrics",

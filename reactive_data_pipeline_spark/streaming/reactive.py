@@ -175,3 +175,38 @@ class ObservedMetrics(StreamingQueryListener):
 
     def onQueryTerminated(self, event):  # noqa: D102
         pass
+
+
+def stream_to_jdbc(
+    stream_df: DataFrame,
+    url: str,
+    table: str,
+    checkpoint_dir: str,
+    available_now: bool = True,
+    processing_time: str = "10 seconds",
+):
+    """Stream into an external JDBC table via ``foreachBatch``.
+
+    The structured-streaming side of the reference's SQLite append sink
+    (``resources.py:40-53``): each micro-batch is one transactional
+    batch insert. Exactly-once comes from the checkpoint's batch-id
+    replay contract - a retried batch re-runs the same append, so pair
+    this with an idempotent target (unique key / staging merge) when the
+    database cannot dedup; Derby/SQLite-class targets are fine for
+    at-least-once analytics appends. Returns the StreamingQuery.
+    """
+    from ..sources.registry import write_jdbc
+
+    def _sink(batch: DataFrame, _batch_id: int) -> None:
+        write_jdbc(batch, url, table, mode="append")
+
+    writer = (
+        stream_df.writeStream.foreachBatch(_sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .queryName(f"jdbc_sink_{table}")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    else:
+        writer = writer.trigger(processingTime=processing_time)
+    return writer.start()

@@ -186,3 +186,35 @@ def test_jdbc_scan_pushes_filters(spark, tmp_path):
     plan = scan._jdf.queryExecution().executedPlan().toString()
     assert "PushedFilters" in plan and "n_regionkey" in plan.split("PushedFilters")[1][:200]
     assert scan.count() == 5
+
+
+def test_streaming_jdbc_sink_matches_batch(spark, tmp_path):
+    """Streaming -> JDBC via foreachBatch: events streamed file-by-file
+    into an embedded Derby table must land exactly the batch row set
+    (each micro-batch one transactional append)."""
+    from pyspark.sql import functions as F
+
+    from reactive_data_pipeline_spark.sources import read_jdbc
+    from reactive_data_pipeline_spark.streaming import stream_to_jdbc
+
+    events = read_table(spark, SF_DIR, "events")
+    src = str(tmp_path / "ev_in")
+    for i in range(3):
+        events.filter(events.event_id % 3 == i).coalesce(1).write.mode("append").parquet(src)
+
+    url = f"jdbc:derby:{tmp_path}/streamdb;create=true"
+    stream = (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+        .select("event_id", "user_id", "event_type", "value")
+    )
+    q = stream_to_jdbc(stream, url, "events_sink", str(tmp_path / "ckpt"))
+    q.awaitTermination(120)
+    assert not q.isActive
+
+    back = read_jdbc(spark, url, "events_sink")
+    assert back.count() == events.count()
+    a = {r.event_id: (r.event_type, r.value) for r in back.collect()}
+    b = {r.event_id: (r.event_type, r.value) for r in events.collect()}
+    assert a == b
