@@ -606,15 +606,18 @@ def window_lag_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     "json_props_by_type",
     oracle="""
     SELECT event_type,
-           SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_total,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS k_total,
            COUNT(*) AS n_events,
-           CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS DOUBLE) / COUNT(*) AS k_avg
+           round(CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS DOUBLE) / COUNT(*), 6) AS k_avg
     FROM events GROUP BY event_type
     """,
     tags=("json", "agg", "events"),
     bench=True,
 )
 def json_props_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raw-double ratios are last-ulp sensitive across engines (DuckDB sums
+    BIGINT into HUGEINT); round the ratio to 6 dp on both sides so the
+    value-hash is representation-independent."""
     from ..functions.json_ops import props_int
 
     k = props_int("props", "k")
@@ -624,6 +627,6 @@ def json_props_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.sum(k).alias("k_total"),
             F.count(F.lit(1)).alias("n_events"),
-            (F.sum(k).cast("double") / F.count(F.lit(1))).alias("k_avg"),
+            F.round(F.sum(k).cast("double") / F.count(F.lit(1)), 6).alias("k_avg"),
         )
     )

@@ -381,16 +381,36 @@ def systematic_sample_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.filter(F.col("event_id") % 20 == 0).select("event_id", "user_id", "event_type")
 
 
-@register("approx_distinct_users", oracle=None, tags=("agg", "sketch"))
+@register(
+    "approx_distinct_users",
+    oracle="""
+    SELECT event_type,
+           COUNT(DISTINCT user_id) AS exact_users,
+           TRUE AS within_tol
+    FROM events GROUP BY event_type
+    """,
+    tags=("agg", "sketch"),
+)
 def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HyperLogLog++ distinct-user estimate per event type (mergeable
-    sketch: map-side partials, O(1) state per group). Estimates are
-    engine-specific -> rows-only check; the exact twin in the catalog is
-    count_distinct_lineitem."""
+    sketch: map-side partials, O(1) state per group). The raw estimate is
+    engine-specific, so the checkable contract is the tolerance assertion:
+    |approx - exact| / exact <= 10% (HLL++ at rsd=0.02 is far inside that;
+    the sketch merge is register-wise max, hence partition-order
+    deterministic). DuckDB asserts the same columns with within_tol TRUE."""
     ev = read_table(spark, sf_dir, "events")
-    return ev.groupBy("event_type").agg(
+    agg = ev.groupBy("event_type").agg(
         F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
         F.countDistinct("user_id").alias("exact_users"),
+    )
+    return agg.select(
+        "event_type",
+        "exact_users",
+        (
+            F.abs(F.col("approx_users") - F.col("exact_users"))
+            / F.col("exact_users")
+            <= F.lit(0.10)
+        ).alias("within_tol"),
     )
 
 
@@ -724,7 +744,7 @@ def q10_returned_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "event_types_per_user",
     oracle="""
-    SELECT user_id, list_sort(list(DISTINCT event_type)) AS types
+    SELECT user_id, array_to_string(list_sort(list(DISTINCT event_type)), ',') AS types
     FROM events GROUP BY user_id
     """,
     tags=("agg", "collection"),
@@ -732,10 +752,11 @@ def q10_returned_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 def event_types_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     """collect_set + sort_array: the deterministic form of list
     aggregation (an unsorted collect_list is partition-order-dependent
-    and can never be value-hash-checked)."""
+    and can never be value-hash-checked). Joined to a string because the
+    driver's pandas canonicalizer cannot hash list cells."""
     ev = read_table(spark, sf_dir, "events")
     return ev.groupBy("user_id").agg(
-        F.sort_array(F.collect_set("event_type")).alias("types")
+        F.array_join(F.sort_array(F.collect_set("event_type")), ",").alias("types")
     )
 
 

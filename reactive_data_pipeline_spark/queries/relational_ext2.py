@@ -160,10 +160,10 @@ def big_orders_in_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
     "case_agg_priority_lines",
     oracle="""
     SELECT l_returnflag,
-           SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
-                    THEN 1 ELSE 0 END) AS high_line_count,
-           SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
-                    THEN 1 ELSE 0 END) AS low_line_count
+           CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
     FROM orders JOIN lineitem ON o_orderkey = l_orderkey
     WHERE l_shipdate >= TIMESTAMP '1997-01-01'
       AND l_shipdate <  TIMESTAMP '1998-01-01'
@@ -520,13 +520,15 @@ def minmax_scale_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     5-row aggregate. MIN/MAX are exact on doubles, and the rescale
     arithmetic is identical on both engines, so no tolerance is needed.
     Degenerate groups (max == min) scale to NULL on both engines.
+    The join is null-safe (eqNullSafe) so a NULL event_type forms its
+    own group, matching the oracle's PARTITION BY null-group semantics.
     """
     ev = read_table(spark, sf_dir, "events")
     bounds = ev.groupBy(F.col("event_type").alias("bt")).agg(
         F.min("value").alias("v_lo"), F.max("value").alias("v_hi")
     )
     return (
-        ev.join(F.broadcast(bounds), F.col("event_type") == F.col("bt"))
+        ev.join(F.broadcast(bounds), F.col("event_type").eqNullSafe(F.col("bt")))
         .select(
             "event_id",
             "event_type",

@@ -637,11 +637,13 @@ def bool_aggs_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     "corr_qty_price_by_flag",
     oracle="""
     SELECT l_returnflag, n,
-           round((sxy - sx * sy / n) / (n - 1), 4) AS covar_samp,
+           CASE WHEN n > 1
+                THEN round((sxy - sx * sy / n) / (n - 1), 4) END AS covar_samp,
            round((sxy - sx * sy / n) / n, 4) AS covar_pop,
-           round((n * sxy - sx * sy)
-                 / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)),
-                 4) AS corr_xy,
+           CASE WHEN n > 1
+                THEN round((n * sxy - sx * sy)
+                           / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)),
+                           4) END AS corr_xy,
            median_qty
     FROM (
       SELECT l_returnflag,
@@ -683,10 +685,15 @@ def corr_qty_price_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
     return agg.select(
         "l_returnflag",
         "n",
-        F.round((sxy - sx * sy / n) / (n - 1), 4).alias("covar_samp"),
+        # Guard n==1: Spark yields NULL on 0/0 but DuckDB yields IEEE
+        # inf/NaN — make the degenerate group NULL on both engines.
+        F.when(n > 1, F.round((sxy - sx * sy / n) / (n - 1), 4)).alias("covar_samp"),
         F.round((sxy - sx * sy / n) / n, 4).alias("covar_pop"),
-        F.round(
-            (n * sxy - sx * sy) / (F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy)), 4
+        F.when(
+            n > 1,
+            F.round(
+                (n * sxy - sx * sy) / (F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy)), 4
+            ),
         ).alias("corr_xy"),
         "median_qty",
     )
@@ -696,7 +703,7 @@ def corr_qty_price_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
     "collect_expensive_orderkeys",
     oracle="""
     SELECT o_orderpriority,
-           list_sort(array_agg(o_orderkey)) AS orderkeys,
+           array_to_string(list_sort(array_agg(o_orderkey)), ',') AS orderkeys,
            COUNT(*) AS n
     FROM orders
     WHERE o_totalprice > 480000.0
@@ -710,13 +717,14 @@ def collect_expensive_orderkeys(spark: SparkSession, sf_dir: str) -> DataFrame:
     partition-dependent, so a deterministic catalog entry must
     sort_array before comparing. The filter bounds list size (array
     aggs are unbounded state at scale: filter first, or cap with
-    slice)."""
+    slice). Emitted as a joined string: the driver's pandas
+    canonicalizer cannot hash list cells."""
     return (
         read_table(spark, sf_dir, "orders")
         .filter(F.col("o_totalprice") > 480000.0)
         .groupBy("o_orderpriority")
         .agg(
-            F.sort_array(F.collect_list("o_orderkey")).alias("orderkeys"),
+            F.array_join(F.sort_array(F.collect_list("o_orderkey")), ",").alias("orderkeys"),
             F.count(F.lit(1)).alias("n"),
         )
     )

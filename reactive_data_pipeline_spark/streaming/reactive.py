@@ -185,20 +185,39 @@ def stream_to_jdbc(
     available_now: bool = True,
     processing_time: str = "10 seconds",
 ):
-    """Stream into an external JDBC table via ``foreachBatch``.
+    """Stream into an external JDBC table via ``foreachBatch``,
+    idempotently per micro-batch.
 
     The structured-streaming side of the reference's SQLite append sink
     (``resources.py:40-53``): each micro-batch is one transactional
-    batch insert. Exactly-once comes from the checkpoint's batch-id
-    replay contract - a retried batch re-runs the same append, so pair
-    this with an idempotent target (unique key / staging merge) when the
-    database cannot dedup; Derby/SQLite-class targets are fine for
-    at-least-once analytics appends. Returns the StreamingQuery.
+    batch insert. A bare foreachBatch append is only at-least-once (a
+    crash between the insert and the checkpoint commit replays the
+    batch); this sink upgrades it to effectively-once by stamping every
+    row with the checkpoint's ``_batch_id`` and deleting that batch's
+    rows before re-inserting - the replayed batch replaces its own
+    earlier partial write instead of duplicating it. Returns the
+    StreamingQuery.
     """
+    import pyspark.sql.functions as F
+
     from ..sources.registry import write_jdbc
 
-    def _sink(batch: DataFrame, _batch_id: int) -> None:
-        write_jdbc(batch, url, table, mode="append")
+    def _sink(batch: DataFrame, batch_id: int) -> None:
+        spark = batch.sparkSession
+        try:
+            # Delete any rows a previous (failed) attempt of this batch
+            # wrote. Raw JDBC through the JVM gateway; ignore the error
+            # the very first batch hits before the table exists.
+            conn = spark._jvm.java.sql.DriverManager.getConnection(url)
+            try:
+                stmt = conn.createStatement()
+                stmt.executeUpdate(f'DELETE FROM {table} WHERE "_batch_id" = {int(batch_id)}')
+                stmt.close()
+            finally:
+                conn.close()
+        except Exception:
+            pass
+        write_jdbc(batch.withColumn("_batch_id", F.lit(int(batch_id))), url, table, mode="append")
 
     writer = (
         stream_df.writeStream.foreachBatch(_sink)

@@ -218,3 +218,11 @@ def test_streaming_jdbc_sink_matches_batch(spark, tmp_path):
     a = {r.event_id: (r.event_type, r.value) for r in back.collect()}
     b = {r.event_id: (r.event_type, r.value) for r in events.collect()}
     assert a == b
+
+    # Idempotent replay: re-running the whole stream from a FRESH
+    # checkpoint re-emits the same batch ids; the batch-id delete-then-
+    # insert contract must replace rows, not duplicate them.
+    q2 = stream_to_jdbc(stream, url, "events_sink", str(tmp_path / "ckpt_replay"))
+    q2.awaitTermination(120)
+    assert not q2.isActive
+    assert read_jdbc(spark, url, "events_sink").count() == events.count()

@@ -1,20 +1,32 @@
 """Local stand-in for the driver's correctness gate.
 
 Runs every catalog query on Spark and its DuckDB oracle on the same
-parquet, compares row count, column names, and order-insensitive values
-(exact for ints/strings/dates, tolerant only in reporting - the goal is
-bit-equality). Usage:
+parquet and compares row count, column names, and order-insensitive
+values THE WAY THE DRIVER DOES: both results go through pandas
+(``toPandas`` / duckdb ``.df()``), columns are sorted by name, rows are
+``sort_values``-sorted over all columns, and cells are compared as
+``astype(str)`` strings. This deliberately inherits the driver's
+sharp edges, because a local gate that is more forgiving than the real
+one is worse than none (round-1 lesson):
 
-    python tools/parity.py [sf_dir] [query ...]
+* duckdb ``.df()`` maps HUGEINT (e.g. ``SUM(BIGINT)``) to float64, so
+  an uncast integer SUM prints ``123.0`` against Spark's ``123`` and
+  fails - cast oracle sums to BIGINT.
+* pandas ``sort_values`` raises ``TypeError: unhashable type`` on
+  array/map cells - stringify collection outputs (``array_join``).
+* float64 ``str()`` is shortest-round-trip, i.e. bit-exact - raw
+  double ratios must be rounded on both sides.
+
+Usage:  python tools/parity.py [sf_dir] [query ...]
 """
 
 from __future__ import annotations
 
-import math
 import sys
 import time
 
 import duckdb
+import pandas as pd
 
 sys.path.insert(0, "/root/repo")
 
@@ -24,21 +36,22 @@ from reactive_data_pipeline_spark.queries import QUERIES  # noqa: E402
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
 
 
-def norm_cell(v):
-    if v is None:
-        return "\0NULL"
-    if isinstance(v, float):
-        if math.isnan(v):
-            return "\0NaN"
-        return repr(v)
-    if isinstance(v, bool):
-        return str(int(v))
-    return str(v)
-
-
-def canon(rows, cols):
-    order = sorted(range(len(cols)), key=lambda i: cols[i])
-    return sorted("\x01".join(norm_cell(r[i]) for i in order) for r in rows)
+def canon(df: pd.DataFrame) -> pd.DataFrame:
+    """Driver-shaped canonicalization: name-sorted columns, all-column
+    row sort (raises on unhashable cells, as the driver's does), string
+    cells. Booleans normalize to 0/1 because Spark/pandas print ``True``
+    where duckdb prints ``true`` depending on dtype lineage."""
+    df = df[sorted(df.columns)]
+    if len(df):
+        df = df.sort_values(by=list(df.columns), kind="mergesort")
+    df = df.reset_index(drop=True)
+    out = pd.DataFrame(index=df.index)
+    for c in df.columns:
+        col = df[c]
+        if col.dtype == bool:
+            col = col.astype(int)
+        out[c] = col.astype(str)
+    return out
 
 
 def main():
@@ -56,41 +69,43 @@ def main():
         t0 = time.time()
         try:
             sdf = q.build(spark, sf_dir)
-            scols = sdf.columns
-            srows = [tuple(r) for r in sdf.collect()]
+            spdf = sdf.toPandas()
         except Exception as e:
             failures.append(name)
             print(f"FAIL {name}: spark error: {type(e).__name__}: {str(e)[:300]}")
             continue
         if q.oracle is None:
-            print(f"ok   {name}: rows-only ({len(srows)} rows, {time.time()-t0:.1f}s)")
+            print(f"ok   {name}: rows-only ({len(spdf)} rows, {time.time()-t0:.1f}s)")
             continue
         try:
-            res = con.sql(q.oracle)
-            ocols = [c for c in res.columns]
-            orows = res.fetchall()
+            opdf = con.sql(q.oracle).df()
         except Exception as e:
             failures.append(name)
             print(f"FAIL {name}: duckdb error: {str(e)[:300]}")
             continue
-        if sorted(scols) != sorted(ocols):
+        if sorted(spdf.columns) != sorted(opdf.columns):
             failures.append(name)
-            print(f"FAIL {name}: columns spark={sorted(scols)} oracle={sorted(ocols)}")
+            print(f"FAIL {name}: columns spark={sorted(spdf.columns)} oracle={sorted(opdf.columns)}")
             continue
-        if len(srows) != len(orows):
+        if len(spdf) != len(opdf):
             failures.append(name)
-            print(f"FAIL {name}: rowcount spark={len(srows)} oracle={len(orows)}")
+            print(f"FAIL {name}: rowcount spark={len(spdf)} oracle={len(opdf)}")
             continue
-        cs, co = canon(srows, scols), canon(orows, ocols)
-        if cs != co:
+        try:
+            cs, co = canon(spdf), canon(opdf)
+        except Exception as e:
             failures.append(name)
-            diffs = [(a, b) for a, b in zip(cs, co) if a != b][:3]
+            print(f"FAIL {name}: canonicalize error (driver would err too): {type(e).__name__}: {str(e)[:200]}")
+            continue
+        if not cs.equals(co):
+            failures.append(name)
+            neq = (cs != co).any(axis=1)
             print(f"FAIL {name}: value mismatch; first diffs:")
-            for a, b in diffs:
-                print(f"   spark : {a[:200]}")
-                print(f"   oracle: {b[:200]}")
+            for idx in cs.index[neq][:3]:
+                print(f"   spark : {cs.loc[idx].to_dict()}")
+                print(f"   oracle: {co.loc[idx].to_dict()}")
         else:
-            print(f"ok   {name}: {len(srows)} rows match ({time.time()-t0:.1f}s)")
+            print(f"ok   {name}: {len(spdf)} rows match ({time.time()-t0:.1f}s)")
     print(f"\n{len(QUERIES) - len(failures)}/{len(QUERIES)} pass")
     if failures:
         print("failing:", " ".join(failures))
