@@ -8,7 +8,7 @@ from .exact import exact_dedup_groups, dedup_documents
 from .ngram import token_ngrams, ngram_jaccard_pairs
 from .minhash import minhash_signatures, minhash_lsh_pairs
 from .simhash import simhash_docs, simhash_near_pairs
-from .embedding import embedding_neardup_pairs
+from .embedding import embedding_neardup_lsh, embedding_neardup_pairs
 from .components import connected_components, neardup_groups
 
 __all__ = [
@@ -22,5 +22,6 @@ __all__ = [
     "minhash_lsh_pairs",
     "simhash_docs",
     "simhash_near_pairs",
+    "embedding_neardup_lsh",
     "embedding_neardup_pairs",
 ]

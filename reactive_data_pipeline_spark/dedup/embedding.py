@@ -3,17 +3,25 @@
 Exact mode compares all pairs (broadcast-nested-loop on ``id_a < id_b``)
 with norms computed once per row - correct at correctness-harness scale
 and the oracle-checkable ground truth. The scale path is
-``similarity.lsh``'s hyperplane bucketing: same verification, candidates
-from an equi join on the bucket key instead of all pairs.
+``embedding_neardup_lsh``: banded random-hyperplane signatures, an equi
+join on the (band, bucket) key for candidates, then the SAME exact
+cosine verification - the minhash_lsh_pairs shape applied to dense
+vectors, linear in data + candidates instead of O(N^2).
 """
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.storagelevel import StorageLevel
 
 from ..functions.vectors import dot, l2_norm
 from ..operators.relational import ensure_parallelism
+
+DEFAULT_SEED = 42
 
 
 def embedding_neardup_pairs(
@@ -38,5 +46,76 @@ def embedding_neardup_pairs(
     pairs = a.join(b, F.col("vec_a") < F.col("vec_b"))
     cos = dot("va", "vb") / (F.col("na") * F.col("nb"))
     return pairs.filter(cos >= threshold).select(
+        "vec_a", "vec_b", F.round(cos, 6).alias("cos_sim")
+    )
+
+
+def embedding_neardup_lsh(
+    emb: DataFrame,
+    threshold: float = 0.5,
+    bits_per_band: int = 8,
+    num_bands: int = 32,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = DEFAULT_SEED,
+    dim: int = 64,
+) -> DataFrame:
+    """Banded sign-LSH near-dup pairs: same output contract as
+    ``embedding_neardup_pairs`` (vec_a < vec_b, exact cosine >=
+    threshold, rounded 6dp) but candidates come from an equi join on
+    (band, bucket) keys instead of the all-pairs nested loop.
+
+    Shape (the minhash_lsh_pairs pipeline for dense vectors):
+
+    1. signatures - ``num_bands * bits_per_band`` fixed seeded
+       hyperplanes; per band the packed sign bits form a bucket id.
+       Computed as ONE numpy matmul per Arrow batch (a pandas_udf: 256+
+       dot products per row is matrix work, where interpreted Catalyst
+       HOFs would evaluate 16k lambda steps per row).
+    2. explode to (id, band_key), self-join on the key with id_a < id_b,
+       distinct - linear in data + bucket collisions.
+    3. verify candidates with the exact JVM-side cosine, so output pairs
+       are never false positives; recall is the banding collision
+       probability 1-(1-p^b)^B with p = 1 - theta/pi.
+
+    Parameter regimes (collision math + measured on the driver corpus):
+    production near-dup dedup (threshold ~0.9) wants
+    ``bits_per_band=12, num_bands=24`` -> ~98% recall while passing
+    ~0.6% of random pairs. The defaults here (8, 32) are tuned for this
+    corpus's much looser 0.5 tail - uniform-on-the-sphere vectors with
+    NO planted duplicates, the worst case for any geometric blocking -
+    giving ~0.85 recall at ~7x candidate reduction
+    (tests/test_dedup_similarity.py pins both regimes).
+    """
+    rng = np.random.RandomState(seed)
+    planes = rng.standard_normal((num_bands * bits_per_band, dim))
+    planes /= np.linalg.norm(planes, axis=1, keepdims=True)
+    weights = (1 << np.arange(bits_per_band)).astype(np.int64)
+    n_bands, n_bits = num_bands, bits_per_band
+
+    @pandas_udf("array<long>")
+    def band_keys(v: pd.Series) -> pd.Series:
+        x = np.vstack(v.to_numpy())  # (batch, dim)
+        bits = (x @ planes.T) > 0  # (batch, B*b)
+        buckets = bits.reshape(len(x), n_bands, n_bits) @ weights  # (batch, B)
+        keys = buckets + (np.arange(n_bands, dtype=np.int64) << n_bits)
+        return pd.Series(list(keys))
+
+    emb = ensure_parallelism(emb)
+    sides = emb.select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("v"), l2_norm(vec_col).alias("nrm")
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    buckets = sides.select("id", F.explode(band_keys(F.col("v").cast("array<double>"))).alias("bk"))
+    a, b = buckets.alias("a"), buckets.alias("b")
+    cand = (
+        a.join(b, (F.col("a.bk") == F.col("b.bk")) & (F.col("a.id") < F.col("b.id")))
+        .select(F.col("a.id").alias("vec_a"), F.col("b.id").alias("vec_b"))
+        .distinct()
+    )
+    va = sides.select(F.col("id").alias("vec_a"), F.col("v").alias("va"), F.col("nrm").alias("na"))
+    vb = sides.select(F.col("id").alias("vec_b"), F.col("v").alias("vb"), F.col("nrm").alias("nb"))
+    verified = cand.join(va, "vec_a").join(vb, "vec_b")
+    cos = dot("va", "vb") / (F.col("na") * F.col("nb"))
+    return verified.filter(cos >= threshold).select(
         "vec_a", "vec_b", F.round(cos, 6).alias("cos_sim")
     )

@@ -104,6 +104,7 @@ CHECK_PRIORITY: tuple[str, ...] = (
     "knn_brute_cosine",
     "knn_pandas_cosine",
     "embedding_neardup_pairs",
+    "embedding_neardup_lsh",
     "mm_payload_meta",
     "chunk_docs",
     "pack_chunk_bins",
@@ -134,7 +135,6 @@ CHECK_PRIORITY: tuple[str, ...] = (
     "full_outer_daily_mix",
     "set_nations_intersect",
     "window_top3_orders_per_cust",
-    "window_rank_family",
     "sessionize_events",
 )
 

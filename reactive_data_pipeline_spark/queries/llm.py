@@ -17,6 +17,7 @@ from pyspark.sql import functions as F
 
 from .. import multimodal
 from ..dedup import (
+    embedding_neardup_lsh,
     embedding_neardup_pairs,
     exact_dedup_groups,
     minhash_lsh_pairs,
@@ -389,8 +390,30 @@ def knn_lsh_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     bench=True,
 )
 def embedding_neardup_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact embedding-cosine near-dup pairs (all-pairs ground truth)."""
+    """Exact embedding-cosine near-dup pairs. All-pairs O(N^2) BY
+    DESIGN: the oracle-checkable ground truth and the recall yardstick
+    for the scale path ``embedding_neardup_lsh`` (benched alongside it;
+    this one stays cross-engine comparable, the LSH one is the shape
+    you run on a real corpus - the ngram_jaccard_pairs /
+    minhash_neardup_pairs division of labor)."""
     return embedding_neardup_pairs(_emb(spark, sf_dir), threshold=0.45)
+
+
+@register(
+    "embedding_neardup_lsh",
+    oracle=None,
+    tags=("dedup", "similarity", "lsh"),
+    bench=True,
+)
+def embedding_neardup_lsh_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded sign-LSH embedding near-dup (the scale path that the bench
+    headlines): numpy-matmul signatures per Arrow batch, (band, bucket)
+    equi-join candidates, exact cosine verification - never a false
+    positive, recall pinned vs the all-pairs twin in
+    tests/test_dedup_similarity.py. Rows-only check: recall is the LSH
+    collision probability, so the exact twin embedding_neardup_pairs
+    carries the SQL oracle."""
+    return embedding_neardup_lsh(_emb(spark, sf_dir), threshold=0.5)
 
 
 # ---------------------------------------------------------------------------
