@@ -7,6 +7,7 @@ JSON source (``ops.py:13-29``). This package standardizes on parquet
 that a JDBC or Kafka source drops in by adding one normalizer entry.
 """
 
+from .bus import BUS_WIRE, decode_bus_events, kafka_stream, rate_bus_stream
 from .registry import (
     read_table,
     read_stream,
@@ -26,6 +27,10 @@ from .registry import (
 )
 
 __all__ = [
+    "BUS_WIRE",
+    "decode_bus_events",
+    "kafka_stream",
+    "rate_bus_stream",
     "read_table",
     "read_stream",
     "read_csv",

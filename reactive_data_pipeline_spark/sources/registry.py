@@ -254,9 +254,6 @@ def register_views(spark: SparkSession, sf_dir: str) -> None:
     """Register every driver table as a temp view for ``spark.sql`` use."""
     for name in schemas.TABLES:
         read_table(spark, sf_dir, name).createOrReplaceTempView(name)
-    """Register every driver table as a temp view for ``spark.sql`` use."""
-    for name in schemas.TABLES:
-        read_table(spark, sf_dir, name).createOrReplaceTempView(name)
 
 
 def append_sink(df: DataFrame, path: str) -> None:

@@ -37,14 +37,29 @@ from .. import schemas
 
 def events_stream(
     spark: SparkSession,
-    path: str,
+    path: str | None = None,
     max_files_per_trigger: int | None = None,
     dedup_watermark: str | None = "2 hours",
+    bus: DataFrame | None = None,
 ) -> DataFrame:
-    """R1's event source: file-stream over a directory of events parquet
-    parts, normalized, optionally dedup'd by event_id within a watermark
-    (R2 - ``sensors.py:15``'s run_key semantics per event)."""
-    ev = read_stream(spark, path, "events", max_files_per_trigger=max_files_per_trigger)
+    """R1's event source: normalized event rows, optionally dedup'd by
+    event_id within a watermark (R2 - ``sensors.py:15``'s run_key
+    semantics per event).
+
+    Two interchangeable inputs: ``path`` file-streams a directory of
+    events parquet parts; ``bus`` accepts a Kafka-wire-shaped streaming
+    frame (``sources.bus`` - real Kafka or the dependency-free rate
+    twin) and decodes its JSON payloads. Everything downstream is
+    source-agnostic.
+    """
+    if (path is None) == (bus is None):
+        raise ValueError("exactly one of path/bus must be given")
+    if bus is not None:
+        from ..sources.bus import decode_bus_events
+
+        ev = decode_bus_events(bus)
+    else:
+        ev = read_stream(spark, path, "events", max_files_per_trigger=max_files_per_trigger)
     if dedup_watermark is not None:
         # Watermark needs an instant-typed column; session tz is pinned UTC.
         ev = (
@@ -98,7 +113,7 @@ def merge_ticker_meta_batch(batch: DataFrame, out_path: str) -> None:
 
 def reactive_ticker_meta_run(
     spark: SparkSession,
-    source_dir: str,
+    source_dir: str | None,
     out_path: str,
     checkpoint_dir: str,
     available_now: bool = True,
@@ -106,6 +121,7 @@ def reactive_ticker_meta_run(
     dedup_watermark: str | None = "2 hours",
     observe: bool = True,
     max_files_per_trigger: int | None = None,
+    bus: DataFrame | None = None,
 ):
     """Launch the reactive derived-table maintenance query.
 
@@ -121,9 +137,17 @@ def reactive_ticker_meta_run(
     backfill replaying out-of-time-order files needs a delay covering
     the replayed span (or ``None`` to disable dedup - the min/max merge
     itself is idempotent under replays either way).
+
+    Pass ``bus`` (a Kafka-wire streaming frame from ``sources.bus``) to
+    run off a message bus instead of a file directory - the reference's
+    sensor-on-event-log shape with a real broker.
     """
     ev = events_stream(
-        spark, source_dir, dedup_watermark=dedup_watermark, max_files_per_trigger=max_files_per_trigger
+        spark,
+        source_dir if bus is None else None,
+        dedup_watermark=dedup_watermark,
+        max_files_per_trigger=max_files_per_trigger,
+        bus=bus,
     )
     if observe:
         ev = ev.observe(
