@@ -6,11 +6,14 @@ Arrow-batched ``mapInPandas`` (the only sanctioned Python hot path in
 the engine - one Python worker per partition, columnar transfer, no
 per-row pickling).
 
-The container has no image/audio codecs, so the decode step is STUBBED:
-``decode_media`` raises NotImplementedError by design, and
-``extract_features`` computes deterministic byte-level pseudo-features so
-the Spark-side plumbing (schema, batching, partitioning) is fully real
-and testable. Swapping in a real decoder touches only ``_FEATURE_FN``.
+The container has no image/audio codec libraries, so full pixel/sample
+decode is out of reach - but ``decode_media`` is NOT a stub: it takes a
+pluggable per-payload ``decoder`` callable and ships a pure-stdlib
+default (:func:`probe_media_header`) that parses real container headers
+- PNG / GIF / JPEG / BMP dimensions, WAV channel/sample-rate - so the
+operator runs end-to-end everywhere and a PIL/ffmpeg-backed decoder
+drops in without touching the Spark plumbing. ``extract_features``
+similarly computes deterministic byte-level pseudo-features by default.
 """
 
 from __future__ import annotations
@@ -68,13 +71,109 @@ def payload_meta(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
     )
 
 
-def decode_media(docs: DataFrame, media_type: str) -> DataFrame:
-    """STUB: real decode (image resize, audio resample, video frame
-    sampling) requires codec libraries not present in this container."""
-    raise NotImplementedError(
-        "media decode is stubbed in this environment; plug a decoder into "
-        "extract_features(feature_fn=...) - the Spark plumbing is real."
-    )
+DECODE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("media_type", T.StringType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("channels", T.IntegerType()),
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("n_bytes", T.LongType()),
+        T.StructField("ok", T.BooleanType()),
+        T.StructField("error", T.StringType()),
+    ]
+)
+
+
+def probe_media_header(b: bytes) -> dict:
+    """Pure-stdlib container-header decode: identifies the format from
+    magic bytes and extracts the cheap structural metadata (image
+    dimensions, WAV audio layout) without any codec library. The default
+    ``decoder`` for :func:`decode_media`; a PIL/ffmpeg decoder returning
+    the same dict shape plugs in unchanged."""
+    out = {"media_type": None, "width": None, "height": None,
+           "channels": None, "sample_rate": None}
+    if b[:8] == b"\x89PNG\r\n\x1a\n" and len(b) >= 24:
+        out["media_type"] = "image/png"
+        out["width"] = int.from_bytes(b[16:20], "big")
+        out["height"] = int.from_bytes(b[20:24], "big")
+    elif b[:6] in (b"GIF87a", b"GIF89a") and len(b) >= 10:
+        out["media_type"] = "image/gif"
+        out["width"] = int.from_bytes(b[6:8], "little")
+        out["height"] = int.from_bytes(b[8:10], "little")
+    elif b[:2] == b"BM" and len(b) >= 26:
+        out["media_type"] = "image/bmp"
+        out["width"] = int.from_bytes(b[18:22], "little", signed=True)
+        out["height"] = abs(int.from_bytes(b[22:26], "little", signed=True))
+    elif b[:2] == b"\xff\xd8":
+        out["media_type"] = "image/jpeg"
+        i = 2
+        while i + 9 < len(b) and b[i] == 0xFF:
+            marker, seg_len = b[i + 1], int.from_bytes(b[i + 2 : i + 4], "big")
+            if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+                out["height"] = int.from_bytes(b[i + 5 : i + 7], "big")
+                out["width"] = int.from_bytes(b[i + 7 : i + 9], "big")
+                break
+            i += 2 + seg_len
+    elif b[:4] == b"RIFF" and b[8:12] == b"WAVE" and len(b) >= 28:
+        out["media_type"] = "audio/wav"
+        out["channels"] = int.from_bytes(b[22:24], "little")
+        out["sample_rate"] = int.from_bytes(b[24:28], "little")
+    else:
+        try:
+            b.decode("utf-8")
+            out["media_type"] = "text/plain"
+        except (UnicodeDecodeError, AttributeError):
+            out["media_type"] = "application/octet-stream"
+    return out
+
+
+def decode_media(
+    docs: DataFrame,
+    decoder=None,
+    text_col: str = "text",
+    payload_col: str | None = None,
+) -> DataFrame:
+    """Per-payload media decode as an Arrow-batched 1->1 map.
+
+    ``decoder: bytes -> dict`` supplies the decode itself (default:
+    :func:`probe_media_header`, stdlib-only header parsing - real in
+    every environment; swap in PIL/ffmpeg for pixel/sample access).
+    Decoder exceptions land in the ``(ok, error)`` columns instead of
+    killing the job - at corpus scale a few corrupt payloads are data,
+    not a crash.
+
+    With ``payload_col`` the input already carries binary payloads
+    (the real multimodal layout); otherwise ``text_col`` is lifted via
+    :func:`attach_payload` (the driver corpus shape).
+    """
+    fn = decoder or probe_media_header
+    if payload_col is None:
+        src = attach_payload(docs, text_col).select("doc_id", "payload")
+    else:
+        src = docs.select("doc_id", F.col(payload_col).alias("payload"))
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            if not len(batch):
+                continue
+            rows = []
+            for doc_id, payload in zip(batch["doc_id"], batch["payload"]):
+                raw = bytes(payload) if payload is not None else b""
+                try:
+                    d = fn(raw)
+                    rows.append(
+                        (int(doc_id), d.get("media_type"), d.get("width"),
+                         d.get("height"), d.get("channels"), d.get("sample_rate"),
+                         len(raw), True, None)
+                    )
+                except Exception as e:  # corrupt payload -> data, not crash
+                    rows.append((int(doc_id), None, None, None, None, None,
+                                 len(raw), False, f"{type(e).__name__}: {e}"))
+            yield pd.DataFrame(rows, columns=[f.name for f in DECODE_SCHEMA.fields])
+
+    return src.mapInPandas(run, schema=DECODE_SCHEMA)
 
 
 def _default_features(batch: pd.DataFrame) -> pd.DataFrame:

@@ -437,6 +437,31 @@ def mm_payload_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.payload_meta(_docs(spark, sf_dir))
 
 
+@register(
+    "mm_decode",
+    oracle="""
+    SELECT doc_id,
+           'text/plain' AS media_type,
+           CAST(NULL AS INTEGER) AS width,
+           CAST(NULL AS INTEGER) AS height,
+           CAST(NULL AS INTEGER) AS channels,
+           CAST(NULL AS INTEGER) AS sample_rate,
+           octet_length(encode(text)) AS n_bytes,
+           TRUE AS ok,
+           CAST(NULL AS VARCHAR) AS error
+    FROM documents
+    """,
+    tags=("multimodal", "pandas_udf", "decode"),
+)
+def mm_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pluggable media decode (default stdlib header probe) over the
+    corpus payloads. UTF-8 text payloads identify as text/plain with
+    no image/audio fields - deterministic, hence a full SQL oracle;
+    the image/audio header paths are pinned by constructed-payload
+    tests (tests/test_text_multimodal.py)."""
+    return multimodal.decode_media(_docs(spark, sf_dir))
+
+
 @register("mm_resize", oracle=None, tags=("multimodal", "pandas_udf"))
 def mm_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Resize plumbing over payload binaries (1->1 Arrow-batched map;

@@ -51,10 +51,73 @@ def test_multimodal_features_deterministic(spark):
     assert row.head_hex == payload[:4].hex()
 
 
-def test_decode_media_is_stubbed(spark):
-    docs = spark.createDataFrame([(1, "x", "en", "s", 1)], "doc_id long, text string, lang string, source string, n_chars long")
-    with pytest.raises(NotImplementedError):
-        multimodal.decode_media(docs, "image/png")
+def _png(w: int, h: int) -> bytes:
+    return (b"\x89PNG\r\n\x1a\n" + (13).to_bytes(4, "big") + b"IHDR"
+            + w.to_bytes(4, "big") + h.to_bytes(4, "big") + b"\x08\x02\x00\x00\x00")
+
+
+def _gif(w: int, h: int) -> bytes:
+    return b"GIF89a" + w.to_bytes(2, "little") + h.to_bytes(2, "little") + b"\x00" * 4
+
+
+def _bmp(w: int, h: int) -> bytes:
+    return (b"BM" + b"\x00" * 16 + w.to_bytes(4, "little")
+            + h.to_bytes(4, "little") + b"\x00" * 4)
+
+
+def _jpeg(w: int, h: int) -> bytes:
+    sof0 = (b"\xff\xc0" + (11).to_bytes(2, "big") + b"\x08"
+            + h.to_bytes(2, "big") + w.to_bytes(2, "big") + b"\x03\x01\x11\x00")
+    return b"\xff\xd8" + b"\xff\xe0" + (4).to_bytes(2, "big") + b"JF" + sof0
+
+
+def _wav(channels: int, rate: int) -> bytes:
+    return (b"RIFF" + b"\x00" * 4 + b"WAVE" + b"fmt " + (16).to_bytes(4, "little")
+            + (1).to_bytes(2, "little") + channels.to_bytes(2, "little")
+            + rate.to_bytes(4, "little") + b"\x00" * 8)
+
+
+def test_decode_media_parses_real_container_headers(spark):
+    """The stdlib header probe decodes constructed PNG/GIF/BMP/JPEG/WAV
+    payloads through the full Arrow mapInPandas path."""
+    rows = [
+        (1, _png(640, 480)),
+        (2, _gif(320, 200)),
+        (3, _bmp(800, 600)),
+        (4, _jpeg(1024, 768)),
+        (5, _wav(2, 44100)),
+        (6, b"plain utf-8 text"),
+        (7, b"\xff\xfe\x00\x01garbage"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, payload binary")
+    got = {r.doc_id: r for r in multimodal.decode_media(docs, payload_col="payload").collect()}
+    assert (got[1].media_type, got[1].width, got[1].height) == ("image/png", 640, 480)
+    assert (got[2].media_type, got[2].width, got[2].height) == ("image/gif", 320, 200)
+    assert (got[3].media_type, got[3].width, got[3].height) == ("image/bmp", 800, 600)
+    assert (got[4].media_type, got[4].width, got[4].height) == ("image/jpeg", 1024, 768)
+    assert (got[5].media_type, got[5].channels, got[5].sample_rate) == ("audio/wav", 2, 44100)
+    assert got[6].media_type == "text/plain"
+    assert got[7].media_type == "application/octet-stream"
+    assert all(r.ok for r in got.values())
+
+
+def test_decode_media_pluggable_decoder_and_error_capture(spark):
+    """A custom decoder plugs in; its exceptions become (ok=False, error)
+    rows instead of failing the job."""
+
+    def decoder(b: bytes) -> dict:
+        if b.startswith(b"BAD"):
+            raise ValueError("corrupt payload")
+        return {"media_type": "custom/x", "width": len(b), "height": 1}
+
+    docs = spark.createDataFrame(
+        [(1, b"hello"), (2, b"BAD...")], "doc_id long, payload binary"
+    )
+    got = {r.doc_id: r for r in
+           multimodal.decode_media(docs, decoder=decoder, payload_col="payload").collect()}
+    assert got[1].ok and got[1].media_type == "custom/x" and got[1].width == 5
+    assert not got[2].ok and "corrupt payload" in got[2].error
+    assert got[2].media_type is None
 
 
 def test_resize_media_pads_and_truncates(spark):
