@@ -369,11 +369,13 @@ def knn_ivf_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return knn_ivf(_emb(spark, sf_dir), query_id=0, k=10, n_cells=16, nprobe=4)
 
 
-@register("knn_lsh_cosine", oracle=None, tags=("similarity", "lsh"))
+@register("knn_lsh_cosine", oracle=None, tags=("similarity", "lsh"), bench=True)
 def knn_lsh_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hyperplane-LSH approximate top-10 (bucket + multi-probe; rows-only
     check, exact twin knn_brute_cosine). Few planes + radius-2 probing
-    because this corpus's neighbors are weak (cosine <= ~0.5)."""
+    because this corpus's neighbors are weak (cosine <= ~0.5). Benched
+    alongside the exact twin: this is the plan you run when the table
+    is too big to scan per query."""
     return knn_lsh(_emb(spark, sf_dir), query_id=0, k=10, num_planes=4, probe_radius=2)
 
 

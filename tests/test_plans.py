@@ -123,3 +123,21 @@ def test_q13_on_clause_filter_reaches_orders_scan(spark):
     plan = physical_plan(QUERIES["q13_customer_distribution"].build(spark, SF_DIR))
     pushed = plan.split("PushedFilters")[1][:300] if "PushedFilters" in plan else ""
     assert "o_orderpriority" in pushed, plan[:2000]
+
+
+def test_embedding_lsh_plan_is_bucketed_not_all_pairs(spark):
+    """The benched embedding near-dup path must candidate via the
+    (band,bucket) equi join - no nested-loop/cartesian anywhere - while
+    the exact twin is all-pairs BNLJ by design."""
+    from reactive_data_pipeline_spark.dedup import (
+        embedding_neardup_lsh,
+        embedding_neardup_pairs,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    lsh_plan = physical_plan(embedding_neardup_lsh(emb))
+    assert "CartesianProduct" not in lsh_plan
+    assert "BroadcastNestedLoopJoin" not in lsh_plan
+    assert "SortMergeJoin" in lsh_plan or "ShuffledHashJoin" in lsh_plan or "BroadcastHashJoin" in lsh_plan
+    exact_plan = physical_plan(embedding_neardup_pairs(emb))
+    assert "BroadcastNestedLoopJoin" in exact_plan or "CartesianProduct" in exact_plan
