@@ -1,0 +1,129 @@
+"""Corpus-curation catalog queries: contamination checking, domain
+mixing, PII scrubbing (functions.curation; SURVEY.md section 7.5
+rounding-out set - what a training-data pipeline runs between dedup and
+chunking)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.curation import (
+    contamination_overlap,
+    digit_count,
+    scrub_digit_runs,
+    stratified_keep,
+)
+from ..sources import read_table
+from . import register
+from .llm import _NORM, _TOKS, _docs
+
+#: DuckDB twin of token_ngrams(text, 3) (matches llm.ngram3 oracle).
+_GRAMS3 = (
+    "list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2] "
+    "FOR i IN generate_series(1, len(t) - 2)])"
+)
+
+
+@register(
+    "contamination_ngram_overlap",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+    grams AS (SELECT doc_id, {_GRAMS3} AS g FROM toks),
+    bench AS (SELECT DISTINCT unnest(g) AS gram FROM grams WHERE doc_id % 50 = 0),
+    corpus AS (SELECT doc_id, unnest(g) AS gram FROM grams WHERE doc_id % 50 <> 0)
+    SELECT corpus.doc_id,
+           COUNT(*) AS n_grams,
+           COUNT(bench.gram) AS n_contaminated,
+           round(CAST(COUNT(bench.gram) AS DOUBLE) / COUNT(*), 6)
+             AS contamination_ratio
+    FROM corpus LEFT JOIN bench ON corpus.gram = bench.gram
+    GROUP BY corpus.doc_id
+    """,
+    tags=("text", "contamination", "curation"),
+)
+def contamination_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: per-training-doc count of word
+    trigrams leaked from the held-out set (docs with doc_id % 50 == 0
+    stand in for the eval suite). The benchmark gram set broadcasts -
+    eval suites are tiny next to a 100 TB corpus - so the corpus scan
+    joins map-side and the only shuffle is the per-doc count."""
+    d = _docs(spark, sf_dir)
+    return contamination_overlap(
+        d.filter(F.col("doc_id") % 50 != 0),
+        d.filter(F.col("doc_id") % 50 == 0),
+        n=3,
+    )
+
+
+@register(
+    "domain_mix_sample",
+    oracle="""
+    WITH rated AS (
+      SELECT source,
+             CASE WHEN CAST(substr(source, 4) AS INT) % 2 = 0
+                  THEN 0.8 ELSE 0.25 END AS target_rate,
+             (doc_id * 1000003) % 1000 AS residue
+      FROM documents
+    )
+    SELECT source, target_rate,
+           COUNT(*) AS n_total,
+           COUNT(CASE WHEN residue < target_rate * 1000 THEN 1 END) AS n_kept,
+           round(CAST(COUNT(CASE WHEN residue < target_rate * 1000 THEN 1 END)
+                      AS DOUBLE) / COUNT(*), 6) AS achieved_rate
+    FROM rated
+    GROUP BY source, target_rate
+    """,
+    tags=("sampling", "curation"),
+)
+def domain_mix_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain mixing: down-sample each source to a per-domain target
+    rate (even-indexed sources 0.8, odd 0.25) with a deterministic
+    hash-residue predicate - reproducible across engines, runs and
+    partitionings, unlike sample(). Reports achieved vs target rate per
+    stratum. Pure per-row predicate + one agg: no extra shuffle at any
+    scale."""
+    d = read_table(spark, sf_dir, "documents")
+    rate = F.when(F.substring("source", 4, 10).cast("int") % 2 == 0, F.lit(0.8)).otherwise(
+        F.lit(0.25)
+    )
+    kept = stratified_keep(d, rate, "doc_id")
+    return (
+        d.select("source", rate.alias("target_rate"), kept.cast("int").alias("__k"))
+        .groupBy("source", "target_rate")
+        .agg(
+            F.count(F.lit(1)).alias("n_total"),
+            F.sum("__k").alias("n_kept"),
+        )
+        .select(
+            "source",
+            "target_rate",
+            "n_total",
+            "n_kept",
+            F.round(F.col("n_kept") / F.col("n_total"), 6).alias("achieved_rate"),
+        )
+    )
+
+
+@register(
+    "pii_scrub_customers",
+    oracle="""
+    SELECT c_custkey,
+           regexp_replace(c_name, '[0-9]+', '<ID>', 'g') AS masked_name,
+           length(c_name) - length(regexp_replace(c_name, '[0-9]', '', 'g'))
+             AS n_masked
+    FROM customer
+    """,
+    tags=("pii", "curation"),
+)
+def pii_scrub_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing: mask digit runs (account-number-shaped tokens) in
+    customer names and count masked characters. Per-row JVM regex in
+    whole-stage codegen - linear, no shuffle; the template for
+    email/phone/SSN patterns on a real corpus."""
+    c = read_table(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        scrub_digit_runs("c_name").alias("masked_name"),
+        digit_count("c_name").alias("n_masked"),
+    )
