@@ -106,6 +106,40 @@ def domain_mix_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "streaming_dedup_docs",
+    oracle=f"""
+    SELECT MIN(doc_id) AS keeper_doc_id,
+           COUNT(*) AS n_copies,
+           md5(norm) AS fingerprint
+    FROM (SELECT doc_id, {_NORM} AS norm FROM documents)
+    GROUP BY norm
+    """,
+    tags=("dedup", "streaming", "curation"),
+)
+def streaming_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup registry maintained BY THE STREAM: run the Structured
+    Streaming availableNow job over the documents as a file stream
+    (streaming/dedup.py), then return the materialized registry. The
+    oracle is the plain batch aggregation - stream-batch equivalence as
+    a value-hash-checked driver query, the LLM-pipeline counterpart of
+    reactive_ticker_meta_stream."""
+    import os
+    import tempfile
+
+    from ..sources.registry import table_path
+    from ..streaming import streaming_dedup_run
+
+    work = tempfile.mkdtemp(prefix="streaming_dedup_")
+    out, ckpt = f"{work}/registry", f"{work}/ckpt"
+    src = f"{work}/docs_in"
+    os.mkdir(src)
+    os.symlink(table_path(sf_dir, "documents"), f"{src}/documents.parquet")
+    q = streaming_dedup_run(spark, src, out, ckpt, available_now=True)
+    q.awaitTermination(300)
+    return spark.read.parquet(out)
+
+
+@register(
     "pii_scrub_customers",
     oracle="""
     SELECT c_custkey,

@@ -196,8 +196,8 @@ def dedup_exact_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def dedup_keep_one(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The dedup deliverable for exact dedup: the retained corpus (one
-    deterministic keeper per content group; semi join back on min id -
-    stable across partitionings, unlike dropDuplicates)."""
+    deterministic min-id keeper per content group via a content-keyed
+    window - stable across partitionings, unlike dropDuplicates)."""
     from ..dedup import dedup_documents
 
     return dedup_documents(_docs(spark, sf_dir)).select("doc_id", "lang", "n_chars")

@@ -19,11 +19,14 @@ from .reactive import (
     read_ticker_meta,
     ObservedMetrics,
 )
+from .dedup import dedup_registry_stream, streaming_dedup_run
 from .sessions import sessionize_stream, latest_sessions
 
 __all__ = [
     "sessionize_stream",
     "latest_sessions",
+    "dedup_registry_stream",
+    "streaming_dedup_run",
     "events_stream",
     "reactive_ticker_meta_run",
     "stream_to_jdbc",
