@@ -18,10 +18,12 @@ one is worse than none (round-1 lesson):
   double ratios must be rounded on both sides.
 
 Usage:  python tools/parity.py [sf_dir] [query ...]
+        PARITY_VANILLA=1 python tools/parity.py [sf_dir]   # driver's bare session
 """
 
 from __future__ import annotations
 
+import os
 import sys
 import time
 
@@ -57,7 +59,14 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
 def main():
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
     only = set(sys.argv[2:])
-    spark = get_spark("parity", master="local[8]", shuffle_partitions=8)
+    if os.environ.get("PARITY_VANILLA"):
+        # Exactly the driver's session: NO engine conf - catalog
+        # builders must self-configure through queries.RUNTIME_CONF.
+        from pyspark.sql import SparkSession
+
+        spark = SparkSession.builder.master("local[8]").appName("parity-vanilla").getOrCreate()
+    else:
+        spark = get_spark("parity", master="local[8]", shuffle_partitions=8)
     con = duckdb.connect()
     for t in TABLES:
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
