@@ -141,3 +141,27 @@ def test_embedding_lsh_plan_is_bucketed_not_all_pairs(spark):
     assert "SortMergeJoin" in lsh_plan or "ShuffledHashJoin" in lsh_plan or "BroadcastHashJoin" in lsh_plan
     exact_plan = physical_plan(embedding_neardup_pairs(emb))
     assert "BroadcastNestedLoopJoin" in exact_plan or "CartesianProduct" in exact_plan
+
+
+def test_contamination_broadcasts_benchmark_set(spark):
+    """The benchmark gram set must broadcast (eval suites are tiny);
+    the corpus side must never feed a shuffle before the join."""
+    plan = physical_plan(QUERIES["contamination_ngram_overlap"].build(spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_dedup_keep_one_single_shuffle(spark):
+    """Window-form keep-one: exactly one exchange (the content-keyed
+    window), not an agg exchange plus a join exchange."""
+    plan = physical_plan(QUERIES["dedup_keep_one"].build(spark, SF_DIR))
+    # One ENSURE_REQUIREMENTS (content-hash) exchange; the only other
+    # allowed exchange is ensure_parallelism's explicit round-robin.
+    assert plan.count("ENSURE_REQUIREMENTS") == 1, plan[:2000]
+    assert "Join" not in plan
+
+
+def test_domain_mix_is_scan_plus_one_agg(spark):
+    """Per-row residue predicate + one aggregation: no join anywhere."""
+    plan = physical_plan(QUERIES["domain_mix_sample"].build(spark, SF_DIR))
+    assert "Join" not in plan
