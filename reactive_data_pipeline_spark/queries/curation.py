@@ -15,7 +15,7 @@ from ..functions.curation import (
     stratified_keep,
 )
 from ..sources import read_table
-from . import register
+from . import QUERIES, register
 from .llm import _NORM, _TOKS, _docs
 
 #: DuckDB twin of token_ngrams(text, 3) (matches llm.ngram3 oracle).
@@ -160,4 +160,41 @@ def pii_scrub_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c_custkey",
         scrub_digit_runs("c_name").alias("masked_name"),
         digit_count("c_name").alias("n_masked"),
+    )
+
+
+_TDP_ORACLE = QUERIES["training_data_pipeline"].oracle
+
+
+@register(
+    "training_shards_manifest",
+    oracle=f"""
+    WITH tdp AS ({_TDP_ORACLE})
+    SELECT bin_id % 8 AS shard,
+           COUNT(*) AS n_chunks,
+           COUNT(DISTINCT doc_id) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS n_tokens
+    FROM tdp GROUP BY bin_id % 8
+    """,
+    tags=("export", "curation", "pipeline"),
+)
+def training_shards_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The export step's manifest, oracle-checked end-to-end THROUGH the
+    whole pipeline: run training_data_pipeline, assign deterministic
+    bin-residue shards (export.assign_shards), aggregate per-shard
+    chunk/doc/token counts. The filesystem write itself (one sorted
+    writer task per shard + xxhash64 content fingerprint) is exercised
+    in tests/test_export.py - engine-specific hashes stay out of the
+    cross-engine oracle."""
+    from ..export import assign_shards
+
+    chunks = QUERIES["training_data_pipeline"].build(spark, sf_dir)
+    return (
+        assign_shards(chunks, 8)
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("n_tokens"),
+        )
     )
