@@ -61,8 +61,8 @@ def contamination_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH rated AS (
       SELECT source,
-             CASE WHEN CAST(substr(source, 4) AS INT) % 2 = 0
-                  THEN 0.8 ELSE 0.25 END AS target_rate,
+             CAST(CASE WHEN CAST(substr(source, 4) AS INT) % 2 = 0
+                       THEN 0.8 ELSE 0.25 END AS DOUBLE) AS target_rate,
              (doc_id * 1000003) % 1000 AS residue
       FROM documents
     )
