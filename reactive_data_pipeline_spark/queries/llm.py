@@ -359,6 +359,33 @@ def knn_pandas_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return knn_pandas(_emb(spark, sf_dir), query_id=0, k=10)
 
 
+@register(
+    "knn_batch_cosine",
+    oracle=f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding AS qv
+               FROM embeddings WHERE vec_id % 100 = 0),
+    s AS (SELECT q.query_id, e.vec_id, {_cos_sql('e.embedding', 'q.qv')} AS cos
+          FROM embeddings e, q WHERE e.vec_id <> q.query_id)
+    SELECT query_id, vec_id, round(cos, 6) AS cos_sim,
+           CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY round(cos, 6) DESC, vec_id) AS INT)
+             AS rank
+    FROM s
+    QUALIFY rank <= 10
+    """,
+    tags=("similarity", "batch"),
+)
+def knn_batch_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch retrieval: exact top-10 per query for the whole query set
+    (every 100th vector). Broadcast query block, one local score pass
+    over the corpus, one query-keyed exchange for the ranking - see
+    similarity.brute.knn_batch for the scale notes."""
+    from ..similarity import knn_batch
+
+    emb = _emb(spark, sf_dir)
+    return knn_batch(emb, emb.filter(F.col("vec_id") % 100 == 0), k=10)
+
+
 @register("knn_ivf_cosine", oracle=None, tags=("similarity", "ivf"))
 def knn_ivf_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF (k-means inverted-file) approximate top-10: scan only the 4

@@ -36,3 +36,45 @@ def knn_brute(
         )
     )
     return top_k(scored, [F.desc("cos_sim"), F.asc("vec_id")], k)
+
+
+def knn_batch(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Top-k per query for a whole query SET - the realistic batch
+    retrieval workload (a single-query top-k is the degenerate case).
+
+    Columns: query_id, vec_id, cos_sim, rank (1..k per query_id, total
+    order: cos desc, vec_id asc).
+
+    Shape at scale: the query set broadcasts (query batches are KBs-MBs
+    against a TB corpus), every corpus partition scores all queries
+    locally (BroadcastNestedLoopJoin - a *deliberate* one: it IS the
+    dense score matrix, linear in corpus x queries with zero corpus
+    shuffle), then one exchange keyed query_id ranks the per-query
+    top-k. The shuffle carries only (query, candidate, score) triples -
+    never vectors. For huge query sets, chunk the queries and union, or
+    move to the bucketed LSH/IVF paths (similarity.lsh / similarity.ivf)
+    which prune candidates before scoring."""
+    from pyspark.sql import Window
+
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("__q")
+    )
+    scored = (
+        emb.join(F.broadcast(q), F.col(id_col) != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col(id_col).alias("vec_id"),
+            F.round(cosine(vec_col, "__q"), 6).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )

@@ -165,3 +165,12 @@ def test_domain_mix_is_scan_plus_one_agg(spark):
     """Per-row residue predicate + one aggregation: no join anywhere."""
     plan = physical_plan(QUERIES["domain_mix_sample"].build(spark, SF_DIR))
     assert "Join" not in plan
+
+
+def test_knn_batch_broadcasts_queries_single_exchange(spark):
+    """Batch retrieval: query block broadcast (deliberate BNLJ = the
+    dense score matrix), corpus never shuffled before scoring; the only
+    exchange is the query-keyed ranking."""
+    plan = physical_plan(QUERIES["knn_batch_cosine"].build(spark, SF_DIR))
+    assert "BroadcastNestedLoopJoin" in plan
+    assert plan.count("ENSURE_REQUIREMENTS") == 1, plan[:2000]
