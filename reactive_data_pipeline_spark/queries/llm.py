@@ -386,6 +386,48 @@ def knn_batch_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return knn_batch(emb, emb.filter(F.col("vec_id") % 100 == 0), k=10)
 
 
+@register(
+    "embedding_quantize_stats",
+    oracle="""
+    SELECT vec_id,
+           round(scale, 6) AS scale,
+           round(list_max(list_transform(emb,
+                 x -> abs(x - floor(x / scale + 0.5) * scale))), 6) AS max_err
+    FROM (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb,
+             list_max(list_transform(CAST(embedding AS DOUBLE[]), x -> abs(x))) / 127.0
+               AS scale
+      FROM embeddings
+    )
+    WHERE scale > 0
+    """,
+    tags=("similarity", "quantization"),
+)
+def embedding_quantize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """int8 symmetric quantization audit: per-vector scale (max|x|/127)
+    and max reconstruction error - the 4x-memory-reduction preprocessing
+    step for ANN serving, held to a cross-engine oracle through the
+    whole round-trip arithmetic. Pure per-row HOF expressions, zero
+    shuffle."""
+    from ..functions.vectors import quantize_error, quantize_scale
+
+    e = _emb(spark, sf_dir)
+    scale = quantize_scale("embedding", bits=8)
+    return (
+        e.select(
+            "vec_id",
+            scale.alias("__s"),
+            quantize_error("embedding", scale).alias("__e"),
+        )
+        .filter(F.col("__s").isNotNull())
+        .select(
+            "vec_id",
+            F.round("__s", 6).alias("scale"),
+            F.round("__e", 6).alias("max_err"),
+        )
+    )
+
+
 @register("knn_ivf_cosine", oracle=None, tags=("similarity", "ivf"))
 def knn_ivf_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF (k-means inverted-file) approximate top-10: scan only the 4

@@ -175,3 +175,28 @@ def test_embedding_lsh_recall_and_precision_vs_exact(spark):
     for k, v in approx.items():
         assert v == exact[k]                  # same exact cosine, same rounding
     assert len(approx) / len(exact) >= 0.5    # measured ~0.6+ at b=8,B=32
+
+
+def test_quantization_error_bounded_by_half_step(spark):
+    """Round-to-nearest symmetric quantization can never err more than
+    half a quantization step; the scale must cover the max element."""
+    from reactive_data_pipeline_spark.functions.vectors import (
+        quantize_error,
+        quantize_scale,
+    )
+
+    emb = spark.createDataFrame(
+        [(1, [0.5, -1.0, 0.25, 0.0]), (2, [2.0, 1.0, -2.0, 0.5]), (3, [0.0, 0.0, 0.0, 0.0])],
+        "vec_id long, embedding array<double>",
+    )
+    s = quantize_scale("embedding")
+    rows = {
+        r.vec_id: r
+        for r in emb.select(
+            "vec_id", s.alias("s"), quantize_error("embedding", s).alias("e")
+        ).collect()
+    }
+    assert rows[1].e <= rows[1].s / 2 + 1e-12
+    assert rows[2].e <= rows[2].s / 2 + 1e-12
+    assert abs(rows[1].s - 1.0 / 127) < 1e-12
+    assert rows[3].s is None  # zero vector: nothing to quantize
