@@ -105,7 +105,6 @@ CHECK_PRIORITY: tuple[str, ...] = (
     "knn_brute_cosine",
     "knn_pandas_cosine",
     "embedding_neardup_pairs",
-    "embedding_neardup_lsh",
     "mm_payload_meta",
     "chunk_docs",
     "pack_chunk_bins",
@@ -115,9 +114,16 @@ CHECK_PRIORITY: tuple[str, ...] = (
     "json_props_by_type",
     "event_types_per_user",
     "approx_distinct_users",
-    "case_agg_priority_lines",
-    "collect_expensive_orderkeys",
     "corr_qty_price_by_flag",
+    # round-2 curation/export/streaming additions (new families:
+    # contamination check, stream-maintained dedup registry, and the
+    # export manifest that drives the WHOLE composed pipeline through
+    # the gate). embedding_neardup_lsh moved out of the head: it gets
+    # only the weak rows-only check there, its recall is pytest-pinned,
+    # and the lsh family keeps minhash_neardup_pairs as its driver row.
+    "contamination_ngram_overlap",
+    "streaming_dedup_docs",
+    "training_shards_manifest",
     # one representative per remaining relational family
     "q1_pricing_summary",
     "count_distinct_lineitem",
