@@ -143,3 +143,102 @@ def test_sessionize_stream_fold_matches_batch_rule(spark, rows_in):
                 sno, start, last, n = sno + 1, t, t, 1
         expected[(u, sno)] = (n, last - start)
     assert got == expected
+
+
+texts_strat = st.lists(st.text("xy z", min_size=0, max_size=40), min_size=1, max_size=10)
+
+
+@SLOW
+@given(texts_strat)
+def test_dedup_partitions_the_corpus_on_any_input(spark, texts):
+    """exact_dedup_groups partitions rows (copy counts sum to N) and
+    dedup_documents is idempotent with exactly one keeper per group."""
+    from reactive_data_pipeline_spark.dedup import dedup_documents, exact_dedup_groups
+
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    groups = exact_dedup_groups(docs).collect()
+    assert sum(r.n_copies for r in groups) == len(texts)
+    kept = dedup_documents(docs)
+    assert kept.count() == len(groups)
+    again = dedup_documents(kept)
+    assert sorted(r.doc_id for r in again.collect()) == sorted(
+        r.doc_id for r in kept.collect()
+    )
+
+
+@SLOW
+@given(st.lists(st.integers(0, 80), min_size=1, max_size=8))
+def test_chunking_covers_every_token_exactly(spark, lengths):
+    """Chunk windows: first chunk starts at 0, strides are constant,
+    every chunk is non-empty and <= chunk_tokens, and the union of
+    windows covers all T tokens."""
+    from reactive_data_pipeline_spark.functions.chunking import chunk_documents
+
+    chunk_tokens, overlap = 8, 3
+    stride = chunk_tokens - overlap
+    docs = spark.createDataFrame(
+        [(i, " ".join(f"w{j}" for j in range(n))) for i, n in enumerate(lengths)],
+        "doc_id long, text string",
+    )
+    out = chunk_documents(docs, chunk_tokens=chunk_tokens, overlap=overlap).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append((r.chunk_idx, r.n_tokens))
+    for i, n in enumerate(lengths):
+        if n == 0:
+            # empty text splits to [''] (same as DuckDB string_split):
+            # one chunk holding the single empty token
+            assert by_doc[i] == [(0, 1)]
+            continue
+        chunks = sorted(by_doc[i])
+        assert chunks[0][0] == 0
+        assert [c for c, _ in chunks] == list(range(len(chunks)))
+        assert all(0 < t <= chunk_tokens for _, t in chunks)
+        # coverage: last chunk reaches the last token
+        last_idx, last_n = chunks[-1]
+        assert last_idx * stride + last_n == n
+
+
+@SLOW
+@given(st.lists(st.integers(1, 9), min_size=1, max_size=25))
+def test_pack_bins_running_sum_rule_bounds_overflow(spark, token_counts):
+    """bin_id is non-decreasing in pack order and every bin except
+    possibly the last holds >= bin_tokens - max_chunk tokens; no bin
+    exceeds bin_tokens + max_chunk (the bounded-overflow contract)."""
+    from reactive_data_pipeline_spark.functions.chunking import pack_bins
+
+    bin_tokens, max_chunk = 16, 9
+    chunks = spark.createDataFrame(
+        [(0, i, n) for i, n in enumerate(token_counts)],
+        "doc_id long, chunk_idx long, n_tokens long",
+    )
+    rows = sorted(pack_bins(chunks, bin_tokens=bin_tokens).collect(),
+                  key=lambda r: (r.doc_id, r.chunk_idx))
+    bins = {}
+    prev = 0
+    for r in rows:
+        assert r.bin_id >= prev
+        prev = r.bin_id
+        bins[r.bin_id] = bins.get(r.bin_id, 0) + r.n_tokens
+    for b, total in bins.items():
+        assert total <= bin_tokens + max_chunk
+        if b != max(bins):
+            assert total >= bin_tokens - max_chunk
+
+
+@SLOW
+@given(texts_strat)
+def test_contamination_is_total_against_itself(spark, texts):
+    """A corpus checked against itself is 100% contaminated; counts are
+    always bounded by the doc's gram count."""
+    from reactive_data_pipeline_spark.functions.curation import contamination_overlap
+
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    out = contamination_overlap(docs, docs, n=1).collect()
+    for r in out:
+        assert r.n_contaminated == r.n_grams
+        assert r.contamination_ratio == 1.0
