@@ -163,6 +163,45 @@ def pii_scrub_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "cms_user_frequencies",
+    oracle="""
+    SELECT user_id,
+           COUNT(*) AS exact_n,
+           TRUE AS est_ge_exact,
+           TRUE AS within_eps
+    FROM events GROUP BY user_id
+    """,
+    tags=("sketch", "agg", "curation"),
+)
+def cms_user_frequencies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch per-user event frequencies (sketches.py) under
+    the sketch-family tolerance contract: the estimate is one-sidedly
+    >= the exact count, and over by at most ceil(e*N/w) (the CMS bound,
+    deterministic here given fixed seeds). The sketch itself is d*w
+    cells - constant size at any input scale, mergeable cell-wise."""
+    from ..sketches import W_BUCKETS, cms_build, cms_estimate
+
+    ev = read_table(spark, sf_dir, "events")
+    sketch = cms_build(ev, "user_id")
+    exact = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("exact_n"))
+    est = cms_estimate(sketch, exact.select("user_id"), "user_id")
+    # Total-N rides in as a broadcast 1-row aggregate (never a
+    # whole-frame window - that serializes onto one task at scale).
+    totals = ev.agg(F.count(F.lit(1)).alias("__N"))
+    eps_bound = F.ceil(F.lit(2.718281828) * F.col("__N") / F.lit(W_BUCKETS))
+    return (
+        exact.join(est, "user_id")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "user_id",
+            "exact_n",
+            (F.col("est_n") >= F.col("exact_n")).alias("est_ge_exact"),
+            ((F.col("est_n") - F.col("exact_n")) <= eps_bound).alias("within_eps"),
+        )
+    )
+
+
 _TDP_ORACLE = QUERIES["training_data_pipeline"].oracle
 
 

@@ -65,3 +65,28 @@ def test_scrub_masks_digit_runs(spark):
     assert out[0].n == 8
     assert out[1].m == "no digits here"
     assert out[1].n == 0
+
+
+def test_cms_one_sided_and_mergeable(spark):
+    """CMS estimates never undercount; building one sketch over a union
+    equals cell-wise-adding the parts' sketches (the mergeability that
+    makes it a distributed sketch)."""
+    from reactive_data_pipeline_spark.sketches import cms_build, cms_estimate
+
+    a = spark.createDataFrame([(i % 7,) for i in range(200)], "k long")
+    b = spark.createDataFrame([(i % 5,) for i in range(100)], "k long")
+    union = a.union(b)
+    exact = {r.k: r.n for r in union.groupBy("k").agg(F.count(F.lit(1)).alias("n")).collect()}
+    keys = union.select("k").distinct()
+    est_union = {
+        r.k: r.est_n for r in cms_estimate(cms_build(union, "k"), keys, "k").collect()
+    }
+    for k, n in exact.items():
+        assert est_union[k] >= n
+    # merge = cell-wise sum of the two part sketches
+    merged = (
+        cms_build(a, "k").union(cms_build(b, "k"))
+        .groupBy("r", "b").agg(F.sum("n").alias("n"))
+    )
+    est_merged = {r.k: r.est_n for r in cms_estimate(merged, keys, "k").collect()}
+    assert est_merged == est_union
