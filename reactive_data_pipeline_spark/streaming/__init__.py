@@ -19,6 +19,7 @@ from .reactive import (
     read_ticker_meta,
     ObservedMetrics,
 )
+from .corpus import corpus_ingest_run, ingest_batch
 from .dedup import dedup_registry_stream, streaming_dedup_run
 from .sessions import sessionize_stream, latest_sessions
 
@@ -26,6 +27,8 @@ __all__ = [
     "sessionize_stream",
     "latest_sessions",
     "dedup_registry_stream",
+    "corpus_ingest_run",
+    "ingest_batch",
     "streaming_dedup_run",
     "events_stream",
     "reactive_ticker_meta_run",
