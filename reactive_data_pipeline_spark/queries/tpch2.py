@@ -1,0 +1,367 @@
+"""TPC-H skeleton completion: the 8 queries (Q2/Q4/Q12/Q14/Q17/Q18/
+Q19/Q20) not yet in the catalog, closing the full 22-query suite on the
+driver's star schema.
+
+The testdata has no ``partsupp`` table and lineitem carries no
+commit/receipt dates or ship modes, so Q2/Q4/Q12/Q20 are *documented
+adaptations* that preserve each query's canonical plan shape (the thing
+the suite exercises) over the available columns - same policy as the
+existing q11/q16 skeletons. Determinism follows the house rules:
+decimal-exact money sums, no raw-double arithmetic in comparisons
+except where both engines compute the identical fold, dates leave as
+DATE.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.relational import exact_sum
+from ..sources import read_table
+from . import register
+
+
+def _ts(lit: str):
+    return F.to_timestamp(F.lit(lit))
+
+
+@register(
+    "q2_min_cost_supplier",
+    oracle="""
+    WITH eu AS (
+      SELECT s_suppkey, s_name, s_acctbal, n_name
+      FROM supplier JOIN nation ON s_nationkey = n_nationkey
+                    JOIN region ON n_regionkey = r_regionkey
+      WHERE r_name = 'EUROPE'
+    ),
+    offers AS (
+      SELECT p_partkey, p_brand, s_suppkey, s_name, s_acctbal, n_name,
+             l_extendedprice
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+                    JOIN eu ON l_suppkey = s_suppkey
+      WHERE p_size = 15 AND p_type = 'LARGE'
+    )
+    , mins AS (
+      SELECT p_partkey, MIN(l_extendedprice) AS mn FROM offers GROUP BY p_partkey
+    )
+    SELECT o.p_partkey, o.p_brand, o.s_name, o.n_name, o.s_acctbal,
+           o.l_extendedprice AS min_cost
+    FROM offers o JOIN mins m
+      ON o.p_partkey = m.p_partkey AND o.l_extendedprice = m.mn
+    """,
+    tags=("join", "tpch", "subquery", "argmin"),
+)
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 skeleton (adapted: no partsupp, so the 'supply cost' is
+    the cheapest observed shipment price in lineitem): per qualifying
+    part, the European supplier(s) achieving the minimum price - the
+    correlated-MIN + multi-dimension join shape. All dims broadcast;
+    the argmin is a broadcast join of the per-part minima (comparisons
+    only on stored doubles, no arithmetic)."""
+    li = read_table(spark, sf_dir, "lineitem")
+    p = read_table(spark, sf_dir, "part").filter(
+        (F.col("p_size") == 15) & (F.col("p_type") == "LARGE")
+    )
+    s = read_table(spark, sf_dir, "supplier")
+    n = read_table(spark, sf_dir, "nation")
+    r = read_table(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    eu = (
+        s.join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    offers = (
+        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(eu), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("p_partkey", "p_brand", "s_name", "n_name", "s_acctbal", "l_extendedprice")
+    )
+    minima = offers.groupBy("p_partkey").agg(F.min("l_extendedprice").alias("__mn"))
+    return (
+        offers.join(F.broadcast(minima), "p_partkey")
+        .filter(F.col("l_extendedprice") == F.col("__mn"))
+        .select(
+            "p_partkey", "p_brand", "s_name", "n_name", "s_acctbal",
+            F.col("l_extendedprice").alias("min_cost"),
+        )
+    )
+
+
+@register(
+    "q4_order_priority",
+    oracle="""
+    SELECT o_orderpriority, COUNT(*) AS order_count
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+      AND o_orderdate <  TIMESTAMP '1997-04-01'
+      AND EXISTS (
+        SELECT 1 FROM lineitem
+        WHERE l_orderkey = o_orderkey
+          AND l_shipdate > o_orderdate + INTERVAL 30 DAY)
+    GROUP BY o_orderpriority
+    """,
+    tags=("join", "tpch", "semi", "agg"),
+)
+def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 skeleton (adapted: no commit/receipt dates, so the
+    late-delivery EXISTS tests shipment >30 days after order): priority
+    distribution of orders with at least one late line - the
+    correlated-EXISTS → semi-join shape."""
+    o = read_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= _ts("1997-01-01"))
+        & (F.col("o_orderdate") < _ts("1997-04-01"))
+    )
+    li = read_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    late = o.join(
+        li,
+        (F.col("l_orderkey") == F.col("o_orderkey"))
+        & (F.col("l_shipdate") > F.date_add(F.col("o_orderdate"), 30)),
+        "left_semi",
+    )
+    return late.groupBy("o_orderpriority").agg(F.count(F.lit(1)).alias("order_count"))
+
+
+@register(
+    "q12_shipping_delay",
+    oracle="""
+    SELECT delay_class,
+           CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM (
+      SELECT o_orderpriority,
+             CASE WHEN l_shipdate > o_orderdate + INTERVAL 60 DAY THEN 'slow'
+                  WHEN l_shipdate > o_orderdate + INTERVAL 30 DAY THEN 'medium'
+                  ELSE 'fast' END AS delay_class
+      FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+      WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        AND l_shipdate <  TIMESTAMP '1998-01-01'
+    )
+    GROUP BY delay_class
+    """,
+    tags=("join", "tpch", "case", "agg"),
+)
+def q12_shipping_delay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 skeleton (adapted: no ship modes or commit dates, so
+    lines bucket by shipping delay instead): per delay class, how many
+    lines belong to high- vs low-priority orders - the
+    conditional-count-over-join shape."""
+    o = read_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    li = read_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= _ts("1997-01-01"))
+        & (F.col("l_shipdate") < _ts("1998-01-01"))
+    )
+    j = li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+    delay = F.datediff(F.col("l_shipdate"), F.col("o_orderdate"))
+    klass = (
+        F.when(delay > 60, "slow").when(delay > 30, "medium").otherwise("fast")
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return j.groupBy(klass.alias("delay_class")).agg(
+        F.sum(high.cast("long")).alias("high_line_count"),
+        F.sum((~high).cast("long")).alias("low_line_count"),
+    )
+
+
+@register(
+    "q14_promo_revenue",
+    oracle="""
+    SELECT round(100.0 * promo / total, 4) AS promo_revenue_pct
+    FROM (
+      SELECT
+        CAST(SUM(CASE WHEN p_type = 'PROMO'
+                 THEN CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))
+                 ELSE CAST(0 AS DECIMAL(18,6)) END) AS DOUBLE) AS promo,
+        CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6)))
+          AS DOUBLE) AS total
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+      WHERE l_shipdate >= TIMESTAMP '1997-09-01'
+        AND l_shipdate <  TIMESTAMP '1997-10-01'
+    )
+    """,
+    tags=("join", "tpch", "agg", "case"),
+)
+def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14: share of September-1997 revenue from PROMO parts
+    (exact p_type match - this corpus's types are single words). Both
+    sums are decimal-exact; the single ratio is rounded."""
+    li = read_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= _ts("1997-09-01"))
+        & (F.col("l_shipdate") < _ts("1997-10-01"))
+    )
+    p = read_table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    j = li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+    agg = j.agg(
+        exact_sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0.0))).alias(
+            "promo"
+        ),
+        exact_sum(rev).alias("total"),
+    )
+    return agg.select(
+        F.round(F.lit(100.0) * F.col("promo") / F.col("total"), 4).alias(
+            "promo_revenue_pct"
+        )
+    )
+
+
+@register(
+    "q17_small_qty_revenue",
+    oracle="""
+    SELECT round(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE)
+                 / 7.0, 4) AS avg_yearly
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE p_brand = 'Brand#3'
+      AND l_quantity < (
+        SELECT 0.2 * (CAST(SUM(CAST(l2.l_quantity AS DECIMAL(18,6))) AS DOUBLE)
+                      / COUNT(*))
+        FROM lineitem l2 WHERE l2.l_partkey = lineitem.l_partkey)
+    """,
+    tags=("join", "tpch", "subquery", "agg"),
+)
+def q17_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17: revenue (scaled to a yearly average) lost to
+    small-quantity orders of one brand's parts - the correlated
+    per-part-average subquery shape, planned as an aggregate joined
+    back onto the fact. The 0.2*avg threshold is the identical
+    decimal-sum/count→double fold on both engines, so the comparison
+    is bit-deterministic."""
+    li = read_table(spark, sf_dir, "lineitem")
+    p = read_table(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#3")
+    avg_q = li.groupBy(F.col("l_partkey").alias("__pk")).agg(
+        (
+            F.lit(0.2)
+            * (
+                F.sum(F.col("l_quantity").cast("decimal(18,6)")).cast("double")
+                / F.count(F.lit(1))
+            )
+        ).alias("__thresh")
+    )
+    return (
+        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .join(avg_q, F.col("l_partkey") == F.col("__pk"))
+        .filter(F.col("l_quantity") < F.col("__thresh"))
+        .agg(
+            F.round(exact_sum(F.col("l_extendedprice")) / F.lit(7.0), 4).alias(
+                "avg_yearly"
+            )
+        )
+    )
+
+
+@register(
+    "q18_large_volume_customers",
+    oracle="""
+    SELECT c_name, c_custkey, o_orderkey,
+           CAST(o_orderdate AS DATE) AS o_date, o_totalprice,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS total_qty
+    FROM customer JOIN orders ON c_custkey = o_custkey
+                  JOIN lineitem ON o_orderkey = l_orderkey
+    GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+    HAVING SUM(CAST(l_quantity AS DECIMAL(18,6))) > 250
+    """,
+    tags=("join", "tpch", "agg", "having"),
+)
+def q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18: orders whose total line quantity exceeds 250 with the
+    owning customer - the HAVING-on-join-aggregate shape. The customer
+    dim broadcasts; the decimal HAVING threshold is exact."""
+    c = read_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    o = read_table(spark, sf_dir, "orders")
+    li = read_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    qty = F.sum(F.col("l_quantity").cast("decimal(18,6)"))
+    return (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+        .agg(qty.alias("__q"))
+        .filter(F.col("__q") > 250)
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            F.col("o_orderdate").cast("date").alias("o_date"),
+            "o_totalprice",
+            F.col("__q").cast("double").alias("total_qty"),
+        )
+    )
+
+
+@register(
+    "q19_discounted_revenue",
+    oracle="""
+    SELECT CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6)))
+           AS DOUBLE) AS revenue
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 5
+           AND l_quantity BETWEEN 1 AND 11)
+       OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 10
+           AND l_quantity BETWEEN 10 AND 20)
+       OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 15
+           AND l_quantity BETWEEN 20 AND 30)
+    """,
+    tags=("join", "tpch", "predicate", "agg"),
+)
+def q19_discounted_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19: revenue from three OR'd brand/size/quantity bands -
+    the disjunctive multi-table predicate shape (the part side of each
+    disjunct is pushable; the mixed l/p terms evaluate post-join)."""
+    li = read_table(spark, sf_dir, "lineitem")
+    p = read_table(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
+    j = li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+    band = (
+        ((F.col("p_brand") == "Brand#1") & F.col("p_size").between(1, 5)
+         & F.col("l_quantity").between(1, 11))
+        | ((F.col("p_brand") == "Brand#2") & F.col("p_size").between(1, 10)
+           & F.col("l_quantity").between(10, 20))
+        | ((F.col("p_brand") == "Brand#3") & F.col("p_size").between(1, 15)
+           & F.col("l_quantity").between(20, 30))
+    )
+    return j.filter(band).agg(
+        exact_sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue")
+    )
+
+
+@register(
+    "q20_promo_suppliers",
+    oracle="""
+    SELECT s_suppkey, s_name, n_name
+    FROM supplier JOIN nation ON s_nationkey = n_nationkey
+    WHERE s_suppkey IN (
+      SELECT l_suppkey
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+      WHERE p_type = 'PROMO'
+        AND l_shipdate >= TIMESTAMP '1997-01-01'
+        AND l_shipdate <  TIMESTAMP '1998-01-01'
+      GROUP BY l_suppkey
+      HAVING SUM(CAST(l_quantity AS DECIMAL(18,6))) > 100)
+    """,
+    tags=("join", "tpch", "semi", "having"),
+)
+def q20_promo_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 skeleton (adapted: no partsupp availability, so the
+    'excess stock' test becomes shipped-volume > 100 units of PROMO
+    parts in 1997): suppliers selected by a semi join against an
+    aggregate-filtered subquery - Q20's defining nested shape."""
+    li = read_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= _ts("1997-01-01"))
+        & (F.col("l_shipdate") < _ts("1998-01-01"))
+    )
+    p = read_table(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO")
+    heavy = (
+        li.join(F.broadcast(p.select("p_partkey")), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("l_suppkey")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(18,6)")).alias("__q"))
+        .filter(F.col("__q") > 100)
+        .select("l_suppkey")
+    )
+    s = read_table(spark, sf_dir, "supplier")
+    n = read_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    return (
+        s.join(heavy, F.col("s_suppkey") == F.col("l_suppkey"), "left_semi")
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", "s_name", "n_name")
+    )
