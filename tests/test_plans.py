@@ -174,3 +174,19 @@ def test_knn_batch_broadcasts_queries_single_exchange(spark):
     plan = physical_plan(QUERIES["knn_batch_cosine"].build(spark, SF_DIR))
     assert "BroadcastNestedLoopJoin" in plan
     assert plan.count("ENSURE_REQUIREMENTS") == 1, plan[:2000]
+
+
+def test_q4_plans_semi_join_not_exists_loop(spark):
+    """The correlated late-line EXISTS must plan as a semi join with the
+    date correlate as a join condition - never a per-row subquery."""
+    plan = physical_plan(QUERIES["q4_order_priority"].build(spark, SF_DIR))
+    assert "LeftSemi" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q17_broadcasts_dim_not_the_per_part_aggregate(spark):
+    """Brand dim broadcasts; the per-part average (fact-sized keyspace)
+    must NOT be forced broadcast - at scale it is as big as part."""
+    plan = physical_plan(QUERIES["q17_small_qty_revenue"].build(spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan  # the brand dim
+    assert "CartesianProduct" not in plan
