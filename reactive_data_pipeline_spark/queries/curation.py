@@ -237,3 +237,79 @@ def training_shards_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_tokens").cast("long").alias("n_tokens"),
         )
     )
+
+
+@register(
+    "dq_star_schema_suite",
+    oracle="""
+    SELECT 'not_null:o_custkey' AS check_name, 'orders' AS table_name,
+           (SELECT COUNT(*) - COUNT(o_custkey) FROM orders) = 0 AS passed,
+           round(CAST((SELECT COUNT(*) - COUNT(o_custkey) FROM orders) AS DOUBLE)
+                 / (SELECT COUNT(*) FROM orders), 6) AS observed
+    UNION ALL
+    SELECT 'unique:o_orderkey', 'orders',
+           (SELECT COUNT(*) - COUNT(DISTINCT o_orderkey) FROM orders) = 0,
+           CAST((SELECT COUNT(*) - COUNT(DISTINCT o_orderkey) FROM orders) AS DOUBLE)
+    UNION ALL
+    SELECT 'fk:o_custkey->c_custkey', 'orders',
+           (SELECT COUNT(*) FROM orders o LEFT JOIN customer c
+            ON o.o_custkey = c.c_custkey
+            WHERE o.o_custkey IS NOT NULL AND c.c_custkey IS NULL) = 0,
+           CAST((SELECT COUNT(*) FROM orders o LEFT JOIN customer c
+                 ON o.o_custkey = c.c_custkey
+                 WHERE o.o_custkey IS NOT NULL AND c.c_custkey IS NULL) AS DOUBLE)
+    UNION ALL
+    SELECT 'fk:l_orderkey->o_orderkey', 'lineitem',
+           (SELECT COUNT(*) FROM lineitem l LEFT JOIN orders o
+            ON l.l_orderkey = o.o_orderkey
+            WHERE l.l_orderkey IS NOT NULL AND o.o_orderkey IS NULL) = 0,
+           CAST((SELECT COUNT(*) FROM lineitem l LEFT JOIN orders o
+                 ON l.l_orderkey = o.o_orderkey
+                 WHERE l.l_orderkey IS NOT NULL AND o.o_orderkey IS NULL) AS DOUBLE)
+    UNION ALL
+    SELECT 'domain:o_orderstatus', 'orders',
+           (SELECT COUNT(CASE WHEN o_orderstatus NOT IN ('F','O','P')
+                              AND o_orderstatus IS NOT NULL THEN 1 END)
+            FROM orders) = 0,
+           CAST((SELECT COUNT(CASE WHEN o_orderstatus NOT IN ('F','O','P')
+                                   AND o_orderstatus IS NOT NULL THEN 1 END)
+                 FROM orders) AS DOUBLE)
+    UNION ALL
+    SELECT 'range:l_discount', 'lineitem',
+           (SELECT COUNT(CASE WHEN l_discount IS NOT NULL
+                              AND (l_discount < 0 OR l_discount > 0.1) THEN 1 END)
+            FROM lineitem) = 0,
+           CAST((SELECT COUNT(CASE WHEN l_discount IS NOT NULL
+                                   AND (l_discount < 0 OR l_discount > 0.1) THEN 1 END)
+                 FROM lineitem) AS DOUBLE)
+    """,
+    tags=("quality", "curation", "agg"),
+)
+def dq_star_schema_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The data-quality gate as a query: null-rate, key-uniqueness,
+    referential-integrity, domain, and range checks over the star
+    schema, one result row per check (quality.py). Each check is a
+    single aggregate / anti join; the whole suite is a handful of scans
+    at any scale."""
+    from ..quality import (
+        check_in_domain,
+        check_not_null,
+        check_range,
+        check_references,
+        check_unique,
+        run_suite,
+    )
+
+    o = read_table(spark, sf_dir, "orders")
+    li = read_table(spark, sf_dir, "lineitem")
+    c = read_table(spark, sf_dir, "customer")
+    return run_suite(
+        [
+            check_not_null(o, "orders", "o_custkey"),
+            check_unique(o, "orders", ["o_orderkey"]),
+            check_references(o, "orders", "o_custkey", c, "c_custkey"),
+            check_references(li, "lineitem", "l_orderkey", o, "o_orderkey"),
+            check_in_domain(o, "orders", "o_orderstatus", ["F", "O", "P"]),
+            check_range(li, "lineitem", "l_discount", 0.0, 0.1),
+        ]
+    )
