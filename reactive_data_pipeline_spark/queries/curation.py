@@ -313,3 +313,62 @@ def dq_star_schema_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
             check_range(li, "lineitem", "l_discount", 0.0, 0.1),
         ]
     )
+
+
+@register(
+    "tfidf_top_terms",
+    oracle=f"""
+    WITH tf AS (
+      SELECT doc_id, t AS term, COUNT(*) AS tf
+      FROM (SELECT doc_id, unnest({_TOKS}) AS t FROM documents)
+      GROUP BY doc_id, t
+    ),
+    df AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM tf GROUP BY term),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents),
+    scored AS (
+      SELECT doc_id, tf.term AS term,
+             round(tf * ln(CAST(n_docs AS DOUBLE) / df), 6) AS tfidf
+      FROM tf, df, n WHERE tf.term = df.term
+    )
+    SELECT doc_id, term, tfidf, rank FROM (
+      SELECT doc_id, term, tfidf,
+             CAST(ROW_NUMBER() OVER (PARTITION BY doc_id
+                                     ORDER BY tfidf DESC, term) AS INT) AS rank
+      FROM scored)
+    WHERE rank <= 3
+    """,
+    tags=("text", "tfidf", "curation"),
+)
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document top-3 TF-IDF terms - the classic corpus-mining
+    ranking. One explode feeds both the per-doc TF and the corpus DF;
+    the vocabulary-sized IDF table broadcasts back onto TF; ranking is
+    one doc-keyed window. Scores round to 6dp BEFORE ranking so the
+    (score, term) tie-break is identical cross-engine (libm ln tails
+    sit ~1e-14 below the rounding grid)."""
+    from pyspark.sql import Window
+
+    from ..functions.text import tokens
+
+    d = _docs(spark, sf_dir)
+    terms = d.select("doc_id", F.explode(tokens("text")).alias("term"))
+    tf = terms.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df = tf.groupBy("term").agg(F.count_distinct("doc_id").alias("df"))
+    n = d.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(F.broadcast(df), "term")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "term",
+            F.round(
+                F.col("tf") * F.log(F.col("n_docs").cast("double") / F.col("df")), 6
+            ).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("doc_id", "term", "tfidf", "rank")
+    )
