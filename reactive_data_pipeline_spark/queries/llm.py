@@ -730,3 +730,44 @@ def minhash_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir)
     pairs = minhash_lsh_pairs(docs, n=3, num_hashes=32, bands=8, threshold=0.5)
     return neardup_groups(docs, pairs)
+
+
+@register(
+    "ann_recall_contract",
+    oracle="""
+    SELECT 'ivf' AS method, 10 AS n_results, TRUE AS meets_recall_floor
+    UNION ALL
+    SELECT 'lsh', 10, TRUE
+    """,
+    tags=("similarity", "lsh", "ivf", "contract"),
+)
+def ann_recall_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The approximate-similarity quality gate as a HASH-CHECKED query
+    (the sketch-family tolerance-contract pattern): run brute-force
+    exact top-10 and both ANN scale paths for the same query vector,
+    and emit each method's result count plus recall >= 0.6 against the
+    exact set. The raw neighbor lists are engine-hash-specific (hence
+    the twins' rows-only checks); the CONTRACT is deterministic given
+    the fixed seeds and drives through the driver's value-hash gate."""
+    from ..similarity import knn_ivf, knn_lsh
+
+    emb = _emb(spark, sf_dir)
+    exact = knn_brute(emb, query_id=0, k=10).select("vec_id")
+    ivf = knn_ivf(emb, query_id=0, k=10, n_cells=16, nprobe=4).select("vec_id")
+    lsh = knn_lsh(emb, query_id=0, k=10, num_planes=4, probe_radius=2).select("vec_id")
+
+    def contract(method: str, approx: DataFrame) -> DataFrame:
+        hits = approx.join(exact, "vec_id", "left_semi").agg(
+            F.count(F.lit(1)).alias("__hits")
+        )
+        n = approx.agg(F.count(F.lit(1)).alias("__n"))
+        return (
+            hits.crossJoin(n)
+            .select(
+                F.lit(method).alias("method"),
+                F.col("__n").cast("int").alias("n_results"),
+                (F.col("__hits") >= F.lit(6)).alias("meets_recall_floor"),
+            )
+        )
+
+    return contract("ivf", ivf).unionByName(contract("lsh", lsh))
