@@ -372,3 +372,69 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= 3)
         .select("doc_id", "term", "tfidf", "rank")
     )
+
+
+@register(
+    "funnel_view_click_purchase",
+    oracle="""
+    WITH stages AS (
+      SELECT user_id,
+             MIN(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+             MIN(CASE WHEN event_type = 'click' THEN ts END) AS t_click_any,
+             MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS t_buy_any
+      FROM events GROUP BY user_id
+    ),
+    ordered AS (
+      SELECT user_id, t_view,
+             CASE WHEN t_click_any > t_view THEN t_click_any END AS t_click
+      FROM stages
+    ),
+    full_funnel AS (
+      SELECT o.user_id, o.t_view, o.t_click,
+             MIN(CASE WHEN e.event_type = 'purchase' AND e.ts > o.t_click
+                      THEN e.ts END) AS t_buy
+      FROM ordered o LEFT JOIN events e ON e.user_id = o.user_id
+      GROUP BY o.user_id, o.t_view, o.t_click
+    )
+    SELECT CAST(COUNT(t_view) AS BIGINT) AS n_viewed,
+           CAST(COUNT(t_click) AS BIGINT) AS n_clicked_after_view,
+           CAST(COUNT(t_buy) AS BIGINT) AS n_purchased_after_click,
+           round(CAST(COUNT(t_buy) AS DOUBLE) / COUNT(t_view), 6) AS conversion
+    FROM full_funnel
+    """,
+    tags=("events", "funnel", "agg"),
+)
+def funnel_view_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel analysis: users who viewed, then clicked after
+    viewing, then purchased after that click - the classic
+    strictly-ordered conversion funnel. One conditional-min aggregation
+    per user resolves the first two stages; the purchase-after-click
+    stage re-aggregates against the per-user click time (a second
+    user-keyed pass, same shuffle key - co-partitioned). Counts reduce
+    to a single row."""
+    ev = read_table(spark, sf_dir, "events")
+    stages = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("t_view"),
+        F.min(F.when(F.col("event_type") == "click", F.col("ts"))).alias("t_click_any"),
+    )
+    ordered = stages.select(
+        "user_id",
+        "t_view",
+        F.when(F.col("t_click_any") > F.col("t_view"), F.col("t_click_any")).alias(
+            "t_click"
+        ),
+    )
+    funnel = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(ordered, "user_id", "right")
+        .groupBy("user_id", "t_view", "t_click")
+        .agg(
+            F.min(F.when(F.col("ts") > F.col("t_click"), F.col("ts"))).alias("t_buy")
+        )
+    )
+    return funnel.agg(
+        F.count("t_view").cast("long").alias("n_viewed"),
+        F.count("t_click").cast("long").alias("n_clicked_after_view"),
+        F.count("t_buy").cast("long").alias("n_purchased_after_click"),
+        F.round(F.count("t_buy") / F.count("t_view"), 6).alias("conversion"),
+    )
