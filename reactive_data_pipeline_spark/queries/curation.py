@@ -438,3 +438,107 @@ def funnel_view_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("t_buy").cast("long").alias("n_purchased_after_click"),
         F.round(F.count("t_buy") / F.count("t_view"), 6).alias("conversion"),
     )
+
+
+@register(
+    "retention_cohorts",
+    oracle="""
+    WITH firsts AS (
+      SELECT user_id, MIN(CAST(ts AS DATE)) AS d0 FROM events GROUP BY user_id
+    ),
+    activity AS (
+      SELECT DISTINCT e.user_id,
+             CAST(floor(date_diff('day', DATE '1995-01-01', f.d0) / 7.0) AS BIGINT)
+               AS cohort_week,
+             CAST(floor(date_diff('day', f.d0, CAST(e.ts AS DATE)) / 7.0) AS BIGINT)
+               AS week_no
+      FROM events e JOIN firsts f ON e.user_id = f.user_id
+    )
+    SELECT cohort_week, week_no, CAST(COUNT(*) AS BIGINT) AS n_active
+    FROM activity GROUP BY cohort_week, week_no
+    """,
+    tags=("events", "cohort", "agg"),
+)
+def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: users grouped by first-activity week,
+    counted as active in each week-offset since. Week keys are pure
+    day-arithmetic from a fixed epoch (no engine week-start
+    conventions). Two user-keyed aggregations on the same shuffle key -
+    co-partitioned, no extra exchange for the join."""
+    ev = read_table(spark, sf_dir, "events")
+    day = F.to_date("ts")
+    firsts = ev.groupBy("user_id").agg(F.min(day).alias("d0"))
+    epoch = F.to_date(F.lit("1995-01-01"))
+    act = (
+        ev.join(firsts, "user_id")
+        .select(
+            "user_id",
+            F.floor(F.datediff(F.col("d0"), epoch) / 7).alias("cohort_week"),
+            F.floor(F.datediff(day, F.col("d0")) / 7).alias("week_no"),
+        )
+        .distinct()
+    )
+    return act.groupBy("cohort_week", "week_no").agg(
+        F.count(F.lit(1)).cast("long").alias("n_active")
+    )
+
+
+@register(
+    "boilerplate_strip_stats",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents),
+    df AS (
+      SELECT tok, COUNT(DISTINCT doc_id) AS df
+      FROM (SELECT doc_id, unnest(list_distinct(t)) AS tok FROM toks)
+      GROUP BY tok
+    ),
+    boiler AS (
+      SELECT COALESCE(list(tok), []) AS bl
+      FROM (SELECT tok FROM df, n WHERE df > 0.5 * n_docs)
+    )
+    SELECT doc_id,
+           CAST(len(t) AS BIGINT) AS n_tokens,
+           CAST(len(list_filter(t, x -> NOT list_contains(bl, x))) AS BIGINT)
+             AS n_kept,
+           round(1.0 - CAST(len(list_filter(t, x -> NOT list_contains(bl, x)))
+                 AS DOUBLE) / len(t), 6) AS boilerplate_ratio
+    FROM toks, boiler
+    """,
+    tags=("text", "boilerplate", "curation"),
+)
+def boilerplate_strip_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate stripping: tokens appearing in more than half the
+    corpus are boilerplate (navigation chrome / license headers on a
+    real crawl); report per-doc token counts before/after removal. The
+    boilerplate vocabulary is corpus-bounded and broadcasts; the strip
+    is a JVM array filter - no per-doc shuffle."""
+    d = _docs(spark, sf_dir)
+    from ..functions.text import tokens
+
+    toks = d.select("doc_id", tokens("text").alias("t"))
+    n = d.agg(F.count(F.lit(1)).alias("n_docs"))
+    df = (
+        toks.select("doc_id", F.explode(F.array_distinct("t")).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("df"))
+    )
+    boiler = (
+        df.crossJoin(F.broadcast(n))
+        .filter(F.col("df") > 0.5 * F.col("n_docs"))
+        .agg(F.sort_array(F.collect_set("tok")).alias("__bl"))
+    )
+    stripped = F.filter(
+        F.col("t"), lambda x: ~F.array_contains(F.col("__bl"), x)
+    )
+    return (
+        toks.crossJoin(F.broadcast(boiler))
+        .select(
+            "doc_id",
+            F.size("t").cast("long").alias("n_tokens"),
+            F.size(stripped).cast("long").alias("n_kept"),
+            F.round(1.0 - F.size(stripped) / F.size("t"), 6).alias(
+                "boilerplate_ratio"
+            ),
+        )
+    )
