@@ -94,15 +94,21 @@ CHECK_PRIORITY: tuple[str, ...] = (
     "events_dedup_stats",
     "reactive_ticker_meta_stream",
     # LLM-pipeline operators (SURVEY section 7.5)
+    # (text_quality yields its slot: its scoring expression is already
+    # hash-checked transitively inside training_data_pipeline's oracle)
     "text_stats",
-    "text_quality",
     "lang_id_docs",
     "doc_fingerprints",
     "dedup_exact_docs",
     "dedup_keep_one",
     "ngram_jaccard_pairs",
     "neardup_groups_connected",
-    "minhash_neardup_pairs",
+    # hash-checked quality gates for the approximate scale paths: each
+    # RUNS the full LSH pipeline (minhash banding / hyperplane-LSH /
+    # IVF) and value-hash-checks its contract vs the exact twin -
+    # strictly stronger driver evidence than the twins' rows-only slots
+    "minhash_recall_contract",
+    "ann_recall_contract",
     "knn_brute_cosine",
     "knn_pandas_cosine",
     "embedding_neardup_pairs",
