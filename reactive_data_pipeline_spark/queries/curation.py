@@ -542,3 +542,97 @@ def boilerplate_strip_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@register(
+    "sft_pair_stats",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+    halves AS (
+      SELECT doc_id, len(t) AS n,
+             CAST(floor(len(t) / 2) AS INT) AS cut
+      FROM toks WHERE len(t) >= 8
+    )
+    SELECT doc_id,
+           CAST(cut AS BIGINT) AS prompt_tokens,
+           CAST(n - cut AS BIGINT) AS completion_tokens,
+           round(CAST(cut AS DOUBLE) / n, 6) AS prompt_frac
+    FROM halves
+    """,
+    tags=("text", "sft", "curation"),
+)
+def sft_pair_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Instruction-tuning pair construction (completion-style): split
+    each sufficiently long document at its token midpoint into
+    (prompt, completion) and report the token budget per side - the
+    deterministic skeleton of SFT-pair building (real pipelines cut at
+    semantic boundaries; the budget accounting is identical). Pure
+    per-row arithmetic over the token array - no shuffle."""
+    from ..functions.text import tokens
+
+    d = _docs(spark, sf_dir)
+    t = tokens("text")
+    n = F.size(t)
+    cut = F.floor(n / 2).cast("int")
+    return (
+        d.select("doc_id", n.alias("n"), cut.alias("cut"))
+        .filter(F.col("n") >= 8)
+        .select(
+            "doc_id",
+            F.col("cut").cast("long").alias("prompt_tokens"),
+            (F.col("n") - F.col("cut")).cast("long").alias("completion_tokens"),
+            F.round(F.col("cut") / F.col("n"), 6).alias("prompt_frac"),
+        )
+    )
+
+
+@register(
+    "packing_efficiency",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+    idx AS (
+      SELECT doc_id, t,
+             unnest(generate_series(
+               0, CAST(greatest(ceil((len(t) - 8) / 24.0), 1) AS INT) - 1)) AS chunk_idx
+      FROM toks
+    ),
+    chunks AS (
+      SELECT doc_id, chunk_idx,
+             len(t[chunk_idx * 24 + 1 : chunk_idx * 24 + 32]) AS n_tokens
+      FROM idx
+    ),
+    packed AS (
+      SELECT n_tokens,
+             CAST(floor(COALESCE(SUM(n_tokens) OVER (
+               ORDER BY doc_id, chunk_idx
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 128.0)
+               AS BIGINT) AS bin_id
+      FROM chunks
+    ),
+    bins AS (SELECT bin_id, SUM(n_tokens) AS fill FROM packed GROUP BY bin_id)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_bins,
+           CAST(MIN(fill) AS BIGINT) AS min_fill,
+           CAST(MAX(fill) AS BIGINT) AS max_fill,
+           round(CAST(SUM(fill) AS DOUBLE) / (COUNT(*) * 128), 6) AS utilization
+    FROM bins
+    """,
+    tags=("text", "packing", "curation"),
+)
+def packing_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Packing quality audit: bin count, min/max fill, and mean
+    utilization of the running-sum sequence packer against its
+    bin_tokens budget - the metric that tells you whether packed
+    batches waste accelerator time as padding."""
+    from ..functions.chunking import chunk_documents, pack_bins
+
+    chunks = chunk_documents(_docs(spark, sf_dir), chunk_tokens=32, overlap=8).drop(
+        "chunk_text"
+    )
+    packed = pack_bins(chunks, bin_tokens=128)
+    bins = packed.groupBy("bin_id").agg(F.sum("n_tokens").alias("fill"))
+    return bins.agg(
+        F.count(F.lit(1)).cast("long").alias("n_bins"),
+        F.min("fill").cast("long").alias("min_fill"),
+        F.max("fill").cast("long").alias("max_fill"),
+        F.round(F.sum("fill") / (F.count(F.lit(1)) * 128), 6).alias("utilization"),
+    )

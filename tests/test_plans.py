@@ -190,3 +190,18 @@ def test_q17_broadcasts_dim_not_the_per_part_aggregate(spark):
     plan = physical_plan(QUERIES["q17_small_qty_revenue"].build(spark, SF_DIR))
     assert "BroadcastHashJoin" in plan  # the brand dim
     assert "CartesianProduct" not in plan
+
+
+def test_tfidf_broadcasts_vocabulary(spark):
+    """The vocabulary-sized IDF table must broadcast back onto TF; the
+    ranking is the only windowed exchange."""
+    plan = physical_plan(QUERIES["tfidf_top_terms"].build(spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_funnel_is_user_copartitioned(spark):
+    """Both funnel aggregations key on user_id - the join between them
+    must not introduce a third repartitioning of the events table."""
+    plan = physical_plan(QUERIES["funnel_view_click_purchase"].build(spark, SF_DIR))
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
