@@ -74,6 +74,7 @@ from . import reference  # noqa: E402,F401
 from . import llm  # noqa: E402,F401
 from . import curation  # noqa: E402,F401
 from . import tpch2  # noqa: E402,F401
+from . import etl  # noqa: E402,F401
 
 #: The external gate checks a prefix of the catalog in registration
 #: order (round 1: exactly the first 50). This explicit head guarantees

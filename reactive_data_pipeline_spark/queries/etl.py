@@ -1,0 +1,362 @@
+"""Warehouse-maintenance operators: CDC snapshot diff, percentile
+trimming, partial-aggregate re-merge, z-score outlier scan.
+
+These are the day-2 operations a pipeline built on the reference's
+materialization model (``/root/reference/dagster_repository/assets.py``
+re-materializes whole tables per run) needs once tables stop fitting in
+one run: diff two snapshots instead of rewriting, merge pre-aggregated
+partials instead of re-scanning raw, trim/flag outliers before they
+poison training statistics.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.relational import exact_sum
+from ..sources import read_table
+from . import register
+
+
+def _dec_sum(col, precision: int = 38, scale: int = 8):
+    c = F.col(col) if isinstance(col, str) else col
+    return F.sum(c.cast(f"decimal({precision},{scale})")).cast("double")
+
+
+@register(
+    "snapshot_diff_orders",
+    oracle="""
+    WITH old AS (
+      SELECT o_orderkey, o_totalprice AS price
+      FROM orders WHERE o_orderdate < DATE '2000-01-01'
+    ),
+    new AS (
+      SELECT o_orderkey,
+             CASE WHEN o_orderpriority = '1-URGENT'
+                  THEN CAST(CAST(o_totalprice AS DECIMAL(14,2))
+                            * CAST('1.10' AS DECIMAL(3,2)) AS DOUBLE)
+                  ELSE o_totalprice END AS price
+      FROM orders WHERE o_orderdate >= DATE '1996-01-01'
+    )
+    SELECT COALESCE(old.o_orderkey, new.o_orderkey) AS o_orderkey,
+           CASE WHEN old.o_orderkey IS NULL THEN 'added'
+                WHEN new.o_orderkey IS NULL THEN 'removed'
+                ELSE 'changed' END AS status,
+           old.price AS old_price,
+           new.price AS new_price
+    FROM old FULL OUTER JOIN new ON old.o_orderkey = new.o_orderkey
+    WHERE old.o_orderkey IS NULL OR new.o_orderkey IS NULL
+       OR old.price <> new.price
+    """,
+    tags=("etl", "cdc", "join"),
+)
+def snapshot_diff_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC-style snapshot diff: classify every key as added / removed /
+    changed between two table versions, emitting only the changeset.
+
+    The two snapshots are deterministic derivations of ``orders`` (old =
+    pre-2000 rows; new = post-1996 rows with urgent orders repriced
+    +10% in exact decimal), so the diff itself - one full-outer join on
+    the key, a CASE classifier, and an any-column-changed predicate -
+    is fully oracle-checkable. This replaces the reference's
+    rewrite-the-whole-table materialization with an O(changeset) delta.
+
+    Scale: a key-keyed sort-merge join - both sides shuffle on
+    ``o_orderkey`` once. On a real lakehouse both snapshots would be
+    bucketed by the primary key, making the diff an exchange-free
+    zipper merge; AQE handles the residual skew. The changed-predicate
+    compares exact values, so no tolerance machinery is needed.
+    """
+    o = read_table(spark, sf_dir, "orders")
+    old = o.filter(F.col("o_orderdate") < F.lit("2000-01-01").cast("date")).select(
+        "o_orderkey", F.col("o_totalprice").alias("old_price")
+    )
+    new = o.filter(F.col("o_orderdate") >= F.lit("1996-01-01").cast("date")).select(
+        "o_orderkey",
+        F.when(
+            F.col("o_orderpriority") == "1-URGENT",
+            (
+                F.col("o_totalprice").cast("decimal(14,2)")
+                * F.lit("1.10").cast("decimal(3,2)")
+            ).cast("double"),
+        )
+        .otherwise(F.col("o_totalprice"))
+        .alias("new_price"),
+    )
+    diff = old.join(new, "o_orderkey", "full_outer")
+    status = (
+        F.when(F.col("old_price").isNull(), F.lit("added"))
+        .when(F.col("new_price").isNull(), F.lit("removed"))
+        .otherwise(F.lit("changed"))
+    )
+    return diff.select("o_orderkey", status.alias("status"), "old_price", "new_price").filter(
+        F.col("old_price").isNull()
+        | F.col("new_price").isNull()
+        | (F.col("old_price") != F.col("new_price"))
+    )
+
+
+@register(
+    "length_trim_stats",
+    oracle="""
+    WITH b AS (
+      SELECT lang,
+             quantile_cont(n_chars, 0.05) AS lo,
+             quantile_cont(n_chars, 0.95) AS hi,
+             COUNT(*) AS n_total
+      FROM documents GROUP BY lang
+    )
+    SELECT b.lang, round(b.lo, 4) AS p05, round(b.hi, 4) AS p95,
+           b.n_total,
+           COUNT(*) FILTER (d.n_chars >= b.lo AND d.n_chars <= b.hi) AS n_kept
+    FROM documents d JOIN b ON d.lang = b.lang
+    GROUP BY b.lang, b.lo, b.hi, b.n_total
+    """,
+    tags=("curation", "percentile"),
+)
+def length_trim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percentile-based length trimming: per-language p05/p95 character
+    bounds and how many documents survive the trim - the standard
+    outlier-length filter in corpus curation (truncated pages at the
+    low end, concatenation junk at the high end).
+
+    Exact interpolated percentiles on both engines (sort + linear
+    interpolation at (n-1)*q; DuckDB ``quantile_cont``). The per-group
+    bounds are a 5-row aggregate broadcast back onto the fact scan -
+    NOT a whole-partition window, which would funnel each language
+    through one task. Filtering uses the raw (unrounded) bounds so the
+    kept-count is bit-identical across engines; rounding is display-only.
+    """
+    d = read_table(spark, sf_dir, "documents")
+    bounds = d.groupBy(F.col("lang").alias("bl")).agg(
+        F.percentile("n_chars", F.lit(0.05)).alias("lo"),
+        F.percentile("n_chars", F.lit(0.95)).alias("hi"),
+        F.count(F.lit(1)).alias("n_total"),
+    )
+    return (
+        d.join(F.broadcast(bounds), F.col("lang") == F.col("bl"))
+        .groupBy("lang", "lo", "hi", "n_total")
+        .agg(
+            F.count(
+                F.when((F.col("n_chars") >= F.col("lo")) & (F.col("n_chars") <= F.col("hi")), 1)
+            ).alias("n_kept")
+        )
+        .select(
+            "lang",
+            F.round("lo", 4).alias("p05"),
+            F.round("hi", 4).alias("p95"),
+            "n_total",
+            "n_kept",
+        )
+    )
+
+
+@register(
+    "reagg_daily_to_weekly",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+             COUNT(*) AS n,
+             SUM(CAST(value AS DECIMAL(18,6))) AS s
+      FROM events GROUP BY 1
+    )
+    SELECT CAST(date_trunc('week', day) AS DATE) AS week,
+           CAST(SUM(n) AS BIGINT) AS n_events,
+           CAST(SUM(s) AS DOUBLE) AS total_value,
+           round(CAST(SUM(s) AS DOUBLE) / SUM(n), 6) AS avg_value
+    FROM daily GROUP BY 1
+    """,
+    tags=("etl", "incremental", "agg"),
+)
+def reagg_daily_to_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partial-aggregate re-merge: daily (count, exact-decimal sum)
+    partials roll up to weekly totals WITHOUT touching raw rows again -
+    the incremental-materialization pattern (store mergeable state per
+    fine grain, derive coarse grains and ratios from the partials).
+
+    Count and decimal sum are mergeable monoids, so the weekly layer
+    is exact regardless of how many increments produced the dailies;
+    avg is derived at read time (an avg-of-avgs would be wrong - the
+    docstring-visible reason this op exists). Two map-side-combined
+    hash aggregates; at 100 TB the daily layer is what a reactive run
+    persists per partition (jobs.py), and this query is the cheap
+    downstream re-read.
+    """
+    ev = read_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("value").cast("decimal(18,6)")).alias("s"),
+    )
+    return (
+        daily.groupBy(F.trunc("day", "week").alias("week"))
+        .agg(F.sum("n").alias("n_events"), F.sum("s").alias("sd"))
+        .select(
+            "week",
+            "n_events",
+            F.col("sd").cast("double").alias("total_value"),
+            F.round(F.col("sd").cast("double") / F.col("n_events"), 6).alias("avg_value"),
+        )
+    )
+
+
+@register(
+    "anomaly_zscore_events",
+    oracle="""
+    WITH m AS (
+      SELECT event_type,
+             CAST(COUNT(*) AS DOUBLE) AS n,
+             CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum1,
+             CAST(SUM(CAST(value * value AS DECIMAL(38,8))) AS DOUBLE) AS sum2
+      FROM events GROUP BY event_type
+    ),
+    s AS (
+      SELECT event_type, sum1 / n AS mean,
+             sqrt((sum2 - sum1 * sum1 / n) / (n - 1)) AS sd
+      FROM m WHERE n > 1
+    )
+    SELECT e.event_id, e.event_type, e.value,
+           round((e.value - s.mean) / s.sd, 4) AS z
+    FROM events e JOIN s ON e.event_type = s.event_type
+    WHERE s.sd > 0 AND abs((e.value - s.mean) / s.sd) > 2.0
+    """,
+    tags=("curation", "anomaly"),
+)
+def anomaly_zscore_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group z-score outlier scan: flag events whose value is more
+    than 2 sample standard deviations from its type's mean - the
+    filter-by-model shape (fit tiny per-group statistics, broadcast
+    them back, classify every row) used to drop metric glitches before
+    they enter training aggregates.
+
+    Mean/std come from decimal-exact raw moments (same determinism
+    argument as moments_price_by_flag: a distributed Welford merge's
+    last float bits depend on partitioning; exact sums don't). The
+    5-row stats aggregate broadcasts onto the fact scan, so the plan is
+    one shuffle + one broadcast-hash join at any scale. The z threshold
+    compares unrounded doubles built from identical arithmetic on both
+    engines; rounding is display-only.
+    """
+    ev = read_table(spark, sf_dir, "events")
+    m = ev.groupBy(F.col("event_type").alias("bt")).agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        exact_sum("value").alias("sum1"),
+        _dec_sum(F.col("value") * F.col("value")).alias("sum2"),
+    )
+    s = m.filter(F.col("n") > 1).select(
+        "bt",
+        (F.col("sum1") / F.col("n")).alias("mean"),
+        F.sqrt((F.col("sum2") - F.col("sum1") * F.col("sum1") / F.col("n")) / (F.col("n") - 1)).alias("sd"),
+    )
+    z = (F.col("value") - F.col("mean")) / F.col("sd")
+    return (
+        ev.join(F.broadcast(s), F.col("event_type") == F.col("bt"))
+        .filter((F.col("sd") > 0) & (F.abs(z) > 2.0))
+        .select("event_id", "event_type", "value", F.round(z, 4).alias("z"))
+    )
+
+
+@register(
+    "copurchase_part_pairs",
+    oracle="""
+    SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+           COUNT(*) AS n_orders
+    FROM lineitem a JOIN lineitem b
+      ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    GROUP BY 1, 2
+    ORDER BY n_orders DESC, part_a, part_b
+    LIMIT 20
+    """,
+    tags=("analytics", "basket", "join"),
+)
+def copurchase_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket pair mining: the 20 part pairs most often bought
+    in the same order (the pair-counting core of frequent-itemset /
+    recommendation pipelines).
+
+    A self-join on the basket key explodes each k-line order into
+    k*(k-1)/2 ordered pairs - bounded blowup (TPC-H orders have <=7
+    lines), NOT an all-pairs cross join. Both join sides hash-partition
+    on ``l_orderkey`` (one shuffle; Spark reuses the exchange for both
+    sides of a self-join), the pair count is a map-side-combined hash
+    aggregate, and the top-20 is TakeOrderedAndProject with a total
+    (count, part_a, part_b) order for deterministic ties - no global
+    sort materializes.
+    """
+    li = read_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a = li.alias("a")
+    b = li.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+        & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+    ).select(F.col("a.l_partkey").alias("part_a"), F.col("b.l_partkey").alias("part_b"))
+    return (
+        pairs.groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .orderBy(F.desc("n_orders"), "part_a", "part_b")
+        .limit(20)
+    )
+
+
+@register(
+    "token_drift_by_source",
+    oracle="""
+    WITH tok AS (
+      SELECT source, unnest(string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ')) AS tok
+      FROM documents
+    ),
+    per_src AS (SELECT source, tok, COUNT(*) AS c FROM tok GROUP BY 1, 2),
+    src_tot AS (SELECT source, SUM(c) AS t FROM per_src GROUP BY 1),
+    corpus AS (SELECT tok, SUM(c) AS cc FROM per_src GROUP BY 1),
+    corpus_tot AS (SELECT SUM(cc) AS ct FROM corpus)
+    SELECT s.source,
+           CAST(SUM(CAST(0.5 * abs(p.c / s.t - q.cc / ct.ct) AS DECIMAL(38,12))) AS DOUBLE) AS tvd,
+           round(CAST(SUM(CAST((p.c / s.t - q.cc / ct.ct) * (p.c / s.t - q.cc / ct.ct)
+                               / (q.cc / ct.ct) AS DECIMAL(38,12))) AS DOUBLE), 8) AS chi2
+    FROM per_src p
+    JOIN src_tot s ON p.source = s.source
+    JOIN corpus q ON p.tok = q.tok
+    CROSS JOIN corpus_tot ct
+    GROUP BY s.source
+    """,
+    tags=("curation", "drift", "text"),
+)
+def token_drift_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-distribution drift per source vs the whole corpus: total
+    variation distance and chi-square divergence over unigram
+    frequencies - the audit that catches one shard of a training mix
+    going off-distribution (scraper drift, encoding rot, spam bursts).
+
+    Deliberately built from division/multiplication/abs only - each is
+    an IEEE-correctly-rounded operation on exact integer counts, so
+    every per-token term is bit-identical across engines (unlike
+    ln-based KL, where libm last-ulp differences leak into a value
+    hash); the term sum goes through a fixed-point decimal cast, making
+    the reduction order-insensitive. Plan: one explode feeds the
+    per-source counts; corpus counts re-aggregate those partials
+    (mergeable-state reuse, same pattern as reagg_daily_to_weekly);
+    the tiny totals broadcast back onto the term join.
+    """
+    d = read_table(spark, sf_dir, "documents")
+    norm = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
+    tok = d.select("source", F.explode(F.split(norm, " ")).alias("tok"))
+    per_src = tok.groupBy("source", "tok").agg(F.count(F.lit(1)).alias("c"))
+    src_tot = per_src.groupBy(F.col("source").alias("ts")).agg(F.sum("c").alias("t"))
+    corpus = per_src.groupBy(F.col("tok").alias("qt")).agg(F.sum("c").alias("cc"))
+    corpus_tot = corpus.agg(F.sum("cc").alias("ct"))
+    p = F.col("c") / F.col("t")
+    q = F.col("cc") / F.col("ct")
+    joined = (
+        per_src.join(F.broadcast(src_tot), F.col("source") == F.col("ts"))
+        .join(corpus, F.col("tok") == F.col("qt"))
+        .crossJoin(F.broadcast(corpus_tot))
+    )
+    return joined.groupBy("source").agg(
+        F.sum((F.lit(0.5) * F.abs(p - q)).cast("decimal(38,12)"))
+        .cast("double")
+        .alias("tvd"),
+        F.round(
+            F.sum(((p - q) * (p - q) / q).cast("decimal(38,12)")).cast("double"), 8
+        ).alias("chi2"),
+    )
