@@ -360,3 +360,46 @@ def token_drift_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(((p - q) * (p - q) / q).cast("decimal(38,12)")).cast("double"), 8
         ).alias("chi2"),
     )
+
+
+@register(
+    "stream_join_attribution",
+    oracle="""
+    SELECT c.user_id, c.event_id AS click_id, p.event_id AS purchase_id,
+           epoch_us(CAST(p.ts AS TIMESTAMP)) - epoch_us(CAST(c.ts AS TIMESTAMP))
+             AS lag_us
+    FROM events c JOIN events p
+      ON c.user_id = p.user_id
+     AND c.event_type = 'click' AND p.event_type = 'purchase'
+     AND CAST(p.ts AS TIMESTAMP) >= CAST(c.ts AS TIMESTAMP)
+     AND CAST(p.ts AS TIMESTAMP) <= CAST(c.ts AS TIMESTAMP) + INTERVAL 3600 SECONDS
+    """,
+    tags=("streaming", "join", "attribution"),
+)
+def stream_join_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversion attribution as a STREAM-STREAM interval join: run the
+    watermarked self-join (streaming/join.py) over the events as a live
+    file stream on BOTH sides, then return the materialized pairs. The
+    oracle is the plain batch interval join - stream-batch equivalence
+    value-hash-checked by the driver, extending the pattern of
+    reactive_ticker_meta_stream / streaming_dedup_docs to the join
+    family (the one streaming family round 1 lacked).
+
+    The time-bound join condition is what lets Structured Streaming
+    expire click state older than (watermark - window); see the module
+    docstring for the state-size argument at scale.
+    """
+    import os
+    import tempfile
+
+    from ..sources.registry import table_path
+    from ..streaming import stream_join_run
+
+    work = tempfile.mkdtemp(prefix="stream_join_")
+    out, ckpt = f"{work}/pairs", f"{work}/ckpt"
+    src = f"{work}/events_in"
+    os.mkdir(src)
+    os.symlink(table_path(sf_dir, "events"), f"{src}/events.parquet")
+    q = stream_join_run(spark, src, out, ckpt, window_s=3600, available_now=True)
+    q.awaitTermination(300)
+    return spark.read.parquet(out)

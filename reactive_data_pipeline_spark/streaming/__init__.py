@@ -22,8 +22,11 @@ from .reactive import (
 from .corpus import corpus_ingest_run, ingest_batch
 from .dedup import dedup_registry_stream, streaming_dedup_run
 from .sessions import sessionize_stream, latest_sessions
+from .join import click_purchase_pairs, stream_join_run
 
 __all__ = [
+    "click_purchase_pairs",
+    "stream_join_run",
     "sessionize_stream",
     "latest_sessions",
     "dedup_registry_stream",
