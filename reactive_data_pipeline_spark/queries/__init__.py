@@ -111,9 +111,17 @@ CHECK_PRIORITY: tuple[str, ...] = (
     "minhash_recall_contract",
     "ann_recall_contract",
     "knn_brute_cosine",
-    "knn_pandas_cosine",
+    # (knn_pandas_cosine yields its slot to the stream-stream join:
+    # it shares knn_brute_cosine's oracle verbatim, so the driver row
+    # for brute already proves the values; the pandas_udf twin stays
+    # pinned against that same oracle by pytest/tools/parity.)
+    "stream_join_attribution",
     "embedding_neardup_pairs",
-    "mm_payload_meta",
+    # mm_decode over mm_payload_meta: same multimodal family, but it
+    # additionally drives the Arrow pandas_udf decode path (fallback
+    # header decoder) under the hash check, so the head keeps a
+    # pandas_udf representative after knn_pandas_cosine yielded its slot.
+    "mm_decode",
     "chunk_docs",
     "pack_chunk_bins",
     "train_val_split",
