@@ -205,3 +205,43 @@ def test_funnel_is_user_copartitioned(spark):
     must not introduce a third repartitioning of the events table."""
     plan = physical_plan(QUERIES["funnel_view_click_purchase"].build(spark, SF_DIR))
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_zscore_broadcasts_group_stats(spark):
+    """The per-type stats join back onto the fact scan as a broadcast -
+    never a shuffled join against a 5-row side."""
+    df = QUERIES["anomaly_zscore_events"].build(spark, SF_DIR)
+    assert_plan(df, contains=("BroadcastHashJoin",), absent=("SortMergeJoin",))
+
+
+def test_length_trim_broadcasts_bounds(spark):
+    df = QUERIES["length_trim_stats"].build(spark, SF_DIR)
+    assert_plan(df, contains=("BroadcastHashJoin",), absent=("SortMergeJoin",))
+
+
+def test_copurchase_topk_no_global_sort(spark):
+    """Pair mining ends in TakeOrderedAndProject (bounded top-k), and the
+    self-join is an equi join - no nested-loop blowup."""
+    df = QUERIES["copurchase_part_pairs"].build(spark, SF_DIR)
+    assert_plan(
+        df,
+        contains=("TakeOrderedAndProject",),
+        absent=("CartesianProduct", "BroadcastNestedLoop"),
+    )
+
+
+def test_snapshot_diff_is_single_key_join(spark):
+    """The CDC diff is one equi full-outer join on the key; the changed-
+    row predicate must not degrade it to a nested loop."""
+    df = QUERIES["snapshot_diff_orders"].build(spark, SF_DIR)
+    assert_plan(df, absent=("CartesianProduct", "BroadcastNestedLoop"))
+    plan = physical_plan(df)
+    assert "FullOuter" in plan
+
+
+def test_token_drift_broadcasts_totals(spark):
+    """Source totals and the corpus grand total are tiny aggregates that
+    broadcast back; the only sort-merge allowed is the per-token join of
+    the two count relations."""
+    df = QUERIES["token_drift_by_source"].build(spark, SF_DIR)
+    assert_plan(df, contains=("BroadcastHashJoin",), absent=("CartesianProduct",))
