@@ -1050,13 +1050,33 @@ def histogram_order_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("approx_percentile_quantity", oracle=None, tags=("agg", "sketch", "percentile"))
+@register(
+    "approx_percentile_quantity",
+    oracle="""
+    SELECT l_returnflag,
+           round(quantile_cont(l_quantity, 0.5), 4) AS exact_q50,
+           TRUE AS within_tol
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    tags=("agg", "sketch", "percentile"),
+)
 def approx_percentile_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable quantile sketch (approx_percentile): the one-pass scale
-    path whose exact twin is percentiles_quantity (engine-specific
-    estimates -> rows-only check)."""
+    path whose exact twin is percentiles_quantity. The raw estimate is
+    engine-specific, so (same treatment as approx_distinct_users /
+    cms_user_frequencies) the hash-checked contract is the tolerance
+    assertion |approx - exact| <= 1% of exact, computed in-query; the
+    oracle asserts the exact median and within_tol TRUE."""
     li = read_table(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
+    agg = li.groupBy("l_returnflag").agg(
         F.approx_percentile("l_quantity", F.lit(0.5), F.lit(10000)).alias("approx_q50"),
         F.percentile("l_quantity", F.lit(0.5)).alias("exact_q50"),
+    )
+    return agg.select(
+        "l_returnflag",
+        F.round("exact_q50", 4).alias("exact_q50"),
+        (
+            F.abs(F.col("approx_q50") - F.col("exact_q50"))
+            <= F.lit(0.01) * F.abs(F.col("exact_q50"))
+        ).alias("within_tol"),
     )
