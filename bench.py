@@ -5,6 +5,11 @@ Runs the bench-tagged catalog queries at ``$SPARK_GRAFT_SF_DIR``
 Execution is timed end-to-end per query with results drained through
 the noop sink (full pipeline cost, no driver-collect skew; tiny
 LIMIT-k results are collected instead, which is their real cost model).
+
+Each query runs ``$SPARK_GRAFT_REPS`` times (default 3) and reports the
+MEDIAN: single-shot timings on a shared machine showed 2x phantom
+swings round-to-round on sub-second queries (scheduling floor + cache
+state + co-tenant contention), so one sample is noise, not signal.
 """
 
 from __future__ import annotations
@@ -30,6 +35,11 @@ def run_one(spark, q, sf_dir: str) -> float:
     else:
         df.write.format("noop").mode("overwrite").save()
     return time.time() - t0
+
+
+def run_median(spark, q, sf_dir: str, reps: int) -> float:
+    samples = sorted(run_one(spark, q, sf_dir) for _ in range(reps))
+    return samples[len(samples) // 2]
 
 
 def main() -> None:
@@ -75,12 +85,13 @@ def main() -> None:
         "overwrite"
     ).save()
 
+    reps = max(1, int(os.environ.get("SPARK_GRAFT_REPS", "3")))
     timings: dict[str, float] = {}
     for name, q in QUERIES.items():
         if not q.bench:
             continue
-        timings[name] = round(run_one(spark, q, sf_dir), 3)
-        print(f"# {name}: {timings[name]:.3f}s", file=sys.stderr)
+        timings[name] = round(run_median(spark, q, sf_dir, reps), 3)
+        print(f"# {name}: {timings[name]:.3f}s (median of {reps})", file=sys.stderr)
 
     total = round(sum(timings.values()), 3)
     print(

@@ -129,6 +129,41 @@ def probe_media_header(b: bytes) -> dict:
     return out
 
 
+def pil_decoder(b: bytes) -> dict:
+    """Real pixel-level image decode via PIL when it is installed:
+    opens the payload, reads verified dimensions and channel count from
+    the decoded image (not the container header), and falls back to
+    :func:`probe_media_header` for non-image payloads or when PIL is
+    absent. Same dict shape as the header probe, so it plugs into
+    :func:`decode_media` unchanged. Import happens inside the call (on
+    the executor) so clusters with PIL on workers but not the driver
+    still work - and vice versa the fallback keeps the pipeline total.
+    """
+    try:
+        import io
+
+        from PIL import Image
+    except ImportError:
+        return probe_media_header(b)
+    out = probe_media_header(b)
+    if out["media_type"] and out["media_type"].startswith("image/"):
+        with Image.open(io.BytesIO(b)) as im:
+            out["width"], out["height"] = im.size
+            out["channels"] = len(im.getbands())
+    return out
+
+
+def best_decoder():
+    """The strongest decoder available in this environment: PIL-backed
+    when importable, else the stdlib header probe."""
+    try:
+        import PIL  # noqa: F401
+
+        return pil_decoder
+    except ImportError:
+        return probe_media_header
+
+
 def decode_media(
     docs: DataFrame,
     decoder=None,

@@ -140,6 +140,40 @@ def streaming_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "streaming_dedup_update",
+    oracle=f"""
+    SELECT MIN(doc_id) AS keeper_doc_id,
+           COUNT(*) AS n_copies,
+           md5(norm) AS fingerprint
+    FROM (SELECT doc_id, {_NORM} AS norm FROM documents)
+    GROUP BY norm
+    """,
+    tags=("dedup", "streaming", "curation"),
+)
+def streaming_dedup_update(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PRODUCTION dedup-registry path under the same stream-batch
+    equivalence oracle as streaming_dedup_docs: update-output mode
+    emits only changed fingerprints per trigger and the idempotent
+    bucket-merge sink folds them into the partitioned registry table
+    (streaming/dedup.py:merge_dedup_registry_batch) - per trigger cost
+    O(changed keys) instead of complete mode's O(registry)."""
+    import os
+    import tempfile
+
+    from ..sources.registry import table_path
+    from ..streaming import streaming_dedup_update_run
+
+    work = tempfile.mkdtemp(prefix="streaming_dedup_upd_")
+    out, ckpt = f"{work}/registry", f"{work}/ckpt"
+    src = f"{work}/docs_in"
+    os.mkdir(src)
+    os.symlink(table_path(sf_dir, "documents"), f"{src}/documents.parquet")
+    q = streaming_dedup_update_run(spark, src, out, ckpt, available_now=True)
+    q.awaitTermination(300)
+    return spark.read.parquet(out).select("keeper_doc_id", "n_copies", "fingerprint")
+
+
+@register(
     "pii_scrub_customers",
     oracle="""
     SELECT c_custkey,

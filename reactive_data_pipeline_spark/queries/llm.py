@@ -458,15 +458,14 @@ def knn_lsh_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     ) WHERE cos >= 0.45
     """,
     tags=("dedup", "similarity"),
-    bench=True,
 )
 def embedding_neardup_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact embedding-cosine near-dup pairs. All-pairs O(N^2) BY
     DESIGN: the oracle-checkable ground truth and the recall yardstick
-    for the scale path ``embedding_neardup_lsh`` (benched alongside it;
-    this one stays cross-engine comparable, the LSH one is the shape
-    you run on a real corpus - the ngram_jaccard_pairs /
-    minhash_neardup_pairs division of labor)."""
+    for the scale path ``embedding_neardup_lsh`` (which IS benched;
+    this one is deliberately NOT a bench headline - at 100x rows it is
+    10,000x work - it exists as sf-scale ground truth and feeds
+    embedding_recall_contract's oracle-recomputed recall gate)."""
     return embedding_neardup_pairs(_emb(spark, sf_dir), threshold=0.45)
 
 
@@ -734,10 +733,23 @@ def minhash_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "ann_recall_contract",
-    oracle="""
-    SELECT 'ivf' AS method, 10 AS n_results, TRUE AS meets_recall_floor
+    oracle=f"""
+    WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+    exact AS (
+      SELECT vec_id, round(cos, 6) AS cos_sim FROM (
+        SELECT e.vec_id, {_cos_sql('e.embedding', 'q.qv')} AS cos
+        FROM embeddings e, q WHERE e.vec_id <> 0
+      ) ORDER BY cos_sim DESC, vec_id LIMIT 10
+    ),
+    stats AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_exact,
+             CAST(SUM(vec_id) AS BIGINT) AS exact_id_sum
+      FROM exact
+    )
+    SELECT 'ivf' AS method, n_exact, exact_id_sum,
+           10 AS n_results, TRUE AS meets_recall_floor FROM stats
     UNION ALL
-    SELECT 'lsh', 10, TRUE
+    SELECT 'lsh', n_exact, exact_id_sum, 10, TRUE FROM stats
     """,
     tags=("similarity", "lsh", "ivf", "contract"),
 )
@@ -746,13 +758,21 @@ def ann_recall_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
     (the sketch-family tolerance-contract pattern): run brute-force
     exact top-10 and both ANN scale paths for the same query vector,
     and emit each method's result count plus recall >= 0.6 against the
-    exact set. The raw neighbor lists are engine-hash-specific (hence
-    the twins' rows-only checks); the CONTRACT is deterministic given
-    the fixed seeds and drives through the driver's value-hash gate."""
+    exact set. The ORACLE independently recomputes the exact top-10 by
+    brute-force cosine in DuckDB and derives ``n_exact`` and
+    ``exact_id_sum`` (the checksum of the exact neighbor ids) from it -
+    so a broken exact-side baseline shifts the Spark checksum off the
+    oracle's and fails the hash, unlike a same-engine recall ratio.
+    The raw approximate neighbor lists are engine-hash-specific (hence
+    the twins' rows-only checks); the recall booleans stay Spark-side."""
     from ..similarity import knn_ivf, knn_lsh
 
     emb = _emb(spark, sf_dir)
     exact = knn_brute(emb, query_id=0, k=10).select("vec_id")
+    exact_stats = exact.agg(
+        F.count(F.lit(1)).alias("n_exact"),
+        F.sum("vec_id").alias("exact_id_sum"),
+    )
     ivf = knn_ivf(emb, query_id=0, k=10, n_cells=16, nprobe=4).select("vec_id")
     lsh = knn_lsh(emb, query_id=0, k=10, num_planes=4, probe_radius=2).select("vec_id")
 
@@ -762,9 +782,12 @@ def ann_recall_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         n = approx.agg(F.count(F.lit(1)).alias("__n"))
         return (
-            hits.crossJoin(n)
+            hits.crossJoin(F.broadcast(n))
+            .crossJoin(F.broadcast(exact_stats))
             .select(
                 F.lit(method).alias("method"),
+                "n_exact",
+                "exact_id_sum",
                 F.col("__n").cast("int").alias("n_results"),
                 (F.col("__hits") >= F.lit(6)).alias("meets_recall_floor"),
             )
@@ -822,6 +845,59 @@ def minhash_recall_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("__hits") == F.col("__n_lsh")).alias("no_false_positives"),
             (
                 F.col("__hits") >= F.lit(0.8) * F.col("n_exact_pairs")
+            ).alias("meets_recall_floor"),
+        )
+    )
+
+
+@register(
+    "embedding_recall_contract",
+    oracle=f"""
+    WITH pairs AS (
+      SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+             {_cos_sql('a.embedding', 'b.embedding')} AS cos
+      FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    ),
+    exact AS (SELECT vec_a, vec_b FROM pairs WHERE cos >= 0.5)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_exact_pairs,
+           CAST(COALESCE(SUM(vec_a + vec_b), 0) AS BIGINT) AS exact_pair_id_sum,
+           TRUE AS no_false_positives,
+           TRUE AS meets_recall_floor
+    FROM exact
+    """,
+    tags=("dedup", "similarity", "lsh", "contract"),
+)
+def embedding_recall_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The sign-LSH embedding near-dup quality gate as a hash-checked
+    query (minhash_recall_contract's pattern for the dense-vector path):
+    run the banded sign-LSH pipeline AND the all-pairs exact ground
+    truth at the same threshold, emit the exact pair count and an
+    id-sum checksum of the exact pair set (both ORACLE-recomputed by
+    DuckDB's own all-pairs cosine) plus zero-false-positive and
+    recall-floor booleans. The O(N^2) exact twin runs here as sf-scale
+    ground truth only - the bench headlines the linear LSH path."""
+    emb = _emb(spark, sf_dir)
+    exact = embedding_neardup_pairs(emb, threshold=0.5).select("vec_a", "vec_b")
+    lsh = embedding_neardup_lsh(emb, threshold=0.5).select("vec_a", "vec_b")
+    n_exact = exact.agg(
+        F.count(F.lit(1)).alias("n_exact_pairs"),
+        F.coalesce(F.sum(F.col("vec_a") + F.col("vec_b")), F.lit(0))
+        .cast("long")
+        .alias("exact_pair_id_sum"),
+    )
+    n_lsh = lsh.agg(F.count(F.lit(1)).alias("__n_lsh"))
+    hits = lsh.join(exact, ["vec_a", "vec_b"], "left_semi").agg(
+        F.count(F.lit(1)).alias("__hits")
+    )
+    return (
+        n_exact.crossJoin(F.broadcast(n_lsh))
+        .crossJoin(F.broadcast(hits))
+        .select(
+            "n_exact_pairs",
+            "exact_pair_id_sum",
+            (F.col("__hits") == F.col("__n_lsh")).alias("no_false_positives"),
+            (
+                F.col("__hits") >= F.lit(0.7) * F.col("n_exact_pairs")
             ).alias("meets_recall_floor"),
         )
     )

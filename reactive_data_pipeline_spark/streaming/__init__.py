@@ -20,7 +20,12 @@ from .reactive import (
     ObservedMetrics,
 )
 from .corpus import corpus_ingest_run, ingest_batch
-from .dedup import dedup_registry_stream, streaming_dedup_run
+from .dedup import (
+    dedup_registry_stream,
+    merge_dedup_registry_batch,
+    streaming_dedup_run,
+    streaming_dedup_update_run,
+)
 from .sessions import sessionize_stream, latest_sessions
 from .join import click_purchase_pairs, stream_join_run
 
@@ -33,6 +38,8 @@ __all__ = [
     "corpus_ingest_run",
     "ingest_batch",
     "streaming_dedup_run",
+    "streaming_dedup_update_run",
+    "merge_dedup_registry_batch",
     "events_stream",
     "reactive_ticker_meta_run",
     "stream_to_jdbc",

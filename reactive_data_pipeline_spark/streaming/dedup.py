@@ -11,11 +11,15 @@ the stream-batch equivalence invariant).
 
 Scale notes: the aggregation state is hash-partitioned on the
 fingerprint across the state store (RocksDB-backed on a real cluster),
-so the registry shards horizontally; the sequential-rewrite cost of
-complete mode is the harness convenience, and the production sink is
-update mode + an idempotent keeper merge (min-id is monotone, so
-re-merging a batch is a no-op - same contract as
-``reactive.merge_ticker_meta_batch``).
+so the registry shards horizontally. Complete-output mode re-emits the
+whole registry per trigger (harness convenience, O(registry) per
+trigger); the PRODUCTION path is ``streaming_dedup_update_run``:
+update-output mode emits only the fingerprints a batch touched, and
+``merge_dedup_registry_batch`` folds them into a bucket-partitioned
+registry table by monotone merge (min keeper id / max copy count), so
+a replayed micro-batch is a provable no-op and each trigger rewrites
+only the buckets it touched - the
+``reactive.merge_ticker_meta_batch`` contract applied to dedup state.
 """
 
 from __future__ import annotations
@@ -26,6 +30,13 @@ from pyspark.sql.streaming import StreamingQuery
 
 from ..functions.text import fingerprint_md5
 from ..sources.registry import read_stream
+
+#: Bucket count for the materialized registry. At harness scale this is
+#: plumbing; at corpus scale set it so one bucket's registry shard fits
+#: an executor comfortably (10^12 docs / 4096 buckets ~ 2.4e8 rows of
+#: ~50 B = ~12 GB per bucket -> use 65536 there; it is a table-layout
+#: constant, not a code change).
+REGISTRY_BUCKETS = 16
 
 
 def dedup_registry_stream(spark: SparkSession, src_dir: str) -> DataFrame:
@@ -58,6 +69,78 @@ def streaming_dedup_run(
     writer = (
         registry.writeStream.outputMode("complete")
         .foreachBatch(_sink)
+        .option("checkpointLocation", checkpoint)
+    )
+    if available_now:
+        return writer.trigger(availableNow=True).start()
+    return writer.trigger(processingTime="1 second").start()
+
+
+def merge_dedup_registry_batch(updates: DataFrame, out_path: str) -> None:
+    """Fold one update-mode micro-batch into the bucket-partitioned
+    registry table, idempotently.
+
+    ``updates`` carries the full current aggregate for every fingerprint
+    the batch touched (update-mode streaming aggregations re-emit the
+    whole state row for changed keys, not deltas). The merge is
+    monotone - ``min(keeper_doc_id)``, ``max(n_copies)`` - so replaying
+    a failed batch, or even re-applying an old batch after a newer one,
+    leaves the table unchanged: min of a shrinking id is stable, max of
+    a growing count is stable. Steps mirror
+    ``reactive.merge_ticker_meta_batch``:
+
+    1. bucket the update rows by fingerprint hash;
+    2. read ONLY the touched buckets of the existing table (partition
+       pruning on the ``bucket`` column - O(touched), not O(table));
+    3. union + monotone re-aggregate, dynamic-overwrite those buckets.
+    """
+    spark = updates.sparkSession
+    partial = updates.withColumn(
+        "bucket", F.pmod(F.xxhash64("fingerprint"), F.lit(REGISTRY_BUCKETS))
+    ).persist()
+    buckets = [r["bucket"] for r in partial.select("bucket").distinct().collect()]
+    if not buckets:
+        partial.unpersist()
+        return
+    try:
+        existing = spark.read.parquet(out_path).filter(F.col("bucket").isin(buckets))
+    except Exception:  # first batch: table does not exist yet
+        existing = spark.createDataFrame([], partial.schema)
+    merged = (
+        existing.unionByName(partial)
+        .groupBy("fingerprint")
+        .agg(
+            F.min("keeper_doc_id").alias("keeper_doc_id"),
+            F.max("n_copies").alias("n_copies"),
+            F.min("bucket").alias("bucket"),  # constant per fingerprint
+        )
+    )
+    (
+        merged.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("bucket")
+        .parquet(out_path)
+    )
+    partial.unpersist()
+
+
+def streaming_dedup_update_run(
+    spark: SparkSession,
+    src_dir: str,
+    out_path: str,
+    checkpoint: str,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """The production dedup-registry maintenance job: update-output mode
+    (emit only changed fingerprints per trigger) + the idempotent
+    bucket-merge sink. Per trigger this does O(changed keys) state I/O
+    and rewrites O(touched buckets) of the table, versus complete
+    mode's O(registry) re-emit - the difference between a registry that
+    scales with the corpus and one that scales with the batch."""
+    registry = dedup_registry_stream(spark, src_dir)
+    writer = (
+        registry.writeStream.outputMode("update")
+        .foreachBatch(lambda b, _id: merge_dedup_registry_batch(b, out_path))
         .option("checkpointLocation", checkpoint)
     )
     if available_now:

@@ -101,6 +101,44 @@ def test_decode_media_parses_real_container_headers(spark):
     assert all(r.ok for r in got.values())
 
 
+def test_pil_decoder_without_pil_matches_header_probe():
+    """pil_decoder degrades to the header probe byte-for-byte when PIL
+    is not importable (this container), and best_decoder() picks the
+    strongest available implementation."""
+    payloads = [_png(640, 480), _wav(2, 44100), b"plain utf-8 text"]
+    try:
+        import PIL  # noqa: F401
+
+        has_pil = True
+    except ImportError:
+        has_pil = False
+    if has_pil:
+        assert multimodal.best_decoder() is multimodal.pil_decoder
+    else:
+        assert multimodal.best_decoder() is multimodal.probe_media_header
+        for b in payloads:
+            assert multimodal.pil_decoder(b) == multimodal.probe_media_header(b)
+
+
+def test_decode_media_pil_real_pixels(spark):
+    """When PIL exists, pil_decoder reads verified dimensions/channels
+    from the DECODED image (not the container header) through the full
+    Arrow path. Skips cleanly where PIL is absent."""
+    pytest.importorskip("PIL")
+    import io
+
+    from PIL import Image
+
+    buf = io.BytesIO()
+    Image.new("RGB", (12, 7)).save(buf, "PNG")
+    docs = spark.createDataFrame([(1, buf.getvalue())], "doc_id long, payload binary")
+    got = multimodal.decode_media(
+        docs, decoder=multimodal.pil_decoder, payload_col="payload"
+    ).collect()[0]
+    assert (got.media_type, got.width, got.height, got.channels) == ("image/png", 12, 7, 3)
+    assert got.ok
+
+
 def test_decode_media_pluggable_decoder_and_error_capture(spark):
     """A custom decoder plugs in; its exceptions become (ok=False, error)
     rows instead of failing the job."""
