@@ -250,6 +250,7 @@ _TDP_ORACLE = QUERIES["training_data_pipeline"].oracle
     FROM tdp GROUP BY bin_id % 8
     """,
     tags=("export", "curation", "pipeline"),
+    bench=True,
 )
 def training_shards_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The export step's manifest, oracle-checked end-to-end THROUGH the
@@ -669,4 +670,182 @@ def packing_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("fill").cast("long").alias("min_fill"),
         F.max("fill").cast("long").alias("max_fill"),
         F.round(F.sum("fill") / (F.count(F.lit(1)) * 128), 6).alias("utilization"),
+    )
+
+
+@register(
+    "gopher_quality_flags",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+    m AS (
+      SELECT doc_id,
+             CAST(len(t) AS BIGINT) AS n_words,
+             round(CAST(length(array_to_string(t, '')) AS DOUBLE) / len(t), 6)
+               AS mean_word_len,
+             round(CASE WHEN len(t) >= 3 THEN
+               1.0 - CAST(len(list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+                                             FOR i IN generate_series(1, len(t) - 2)])) AS DOUBLE)
+                     / (len(t) - 2)
+             ELSE 0.0 END, 6) AS dup_trigram_ratio,
+             round(CAST(list_max(list_transform(list_distinct(t),
+                   x -> len(list_filter(t, y -> y = x)))) AS DOUBLE) / len(t), 6)
+               AS top_token_ratio
+      FROM toks
+    )
+    SELECT doc_id, n_words, mean_word_len, dup_trigram_ratio, top_token_ratio,
+           n_words BETWEEN 20 AND 10000 AS ok_word_count,
+           mean_word_len BETWEEN 2.0 AND 10.0 AS ok_mean_word_len,
+           dup_trigram_ratio <= 0.05 AS ok_dup_trigrams,
+           top_token_ratio <= 0.15 AS ok_top_token,
+           (n_words BETWEEN 20 AND 10000) AND (mean_word_len BETWEEN 2.0 AND 10.0)
+             AND dup_trigram_ratio <= 0.05 AND top_token_ratio <= 0.15 AS keep
+    FROM m
+    """,
+    tags=("text", "quality", "curation", "gopher"),
+)
+def gopher_quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Published repetition/quality heuristics for pretraining corpora
+    (the Gopher rules, Rae et al. 2021, adapted to this corpus's word
+    range): per-document word count bounds, mean word length bounds,
+    duplicate-trigram fraction, and single-token dominance, each as a
+    measured value plus a pass flag and a composite ``keep``. Every
+    signal is a per-row JVM HOF over the token array - one narrow map,
+    zero shuffle, linear at corpus scale (the filter you run over 100 TB
+    BEFORE any pairwise dedup machinery)."""
+    from ..functions.text import tokens
+
+    d = _docs(spark, sf_dir)
+    t = tokens("text")
+    n = F.size(t)
+    tri = F.transform(
+        F.sequence(F.lit(1), n - 2),
+        lambda i: F.concat_ws(
+            " ", F.element_at(t, i), F.element_at(t, i + 1), F.element_at(t, i + 2)
+        ),
+    )
+    dup3 = F.when(
+        n >= 3,
+        F.round(1.0 - F.size(F.array_distinct(tri)).cast("double") / (n - 2), 6),
+    ).otherwise(F.lit(0.0))
+    toptok = F.round(
+        F.array_max(
+            F.transform(
+                F.array_distinct(t),
+                lambda x: F.size(F.filter(t, lambda y: y == x)),
+            )
+        ).cast("double")
+        / n,
+        6,
+    )
+    mwl = F.round(F.length(F.array_join(t, "")).cast("double") / n, 6)
+    m = d.select(
+        "doc_id",
+        n.cast("long").alias("n_words"),
+        mwl.alias("mean_word_len"),
+        dup3.alias("dup_trigram_ratio"),
+        toptok.alias("top_token_ratio"),
+    )
+    ok_wc = F.col("n_words").between(20, 10000)
+    ok_mwl = F.col("mean_word_len").between(2.0, 10.0)
+    ok_dup = F.col("dup_trigram_ratio") <= 0.05
+    ok_top = F.col("top_token_ratio") <= 0.15
+    return m.select(
+        "*",
+        ok_wc.alias("ok_word_count"),
+        ok_mwl.alias("ok_mean_word_len"),
+        ok_dup.alias("ok_dup_trigrams"),
+        ok_top.alias("ok_top_token"),
+        (ok_wc & ok_mwl & ok_dup & ok_top).alias("keep"),
+    )
+
+
+@register(
+    "doc_length_histogram",
+    oracle=f"""
+    SELECT bin,
+           CAST(bin * 10 AS BIGINT) AS bin_lo,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n) AS BIGINT) AS total_tokens
+    FROM (SELECT CAST(len({_TOKS}) // 10 AS BIGINT) AS bin,
+                 len({_TOKS}) AS n
+          FROM documents)
+    GROUP BY bin
+    """,
+    tags=("text", "histogram", "curation"),
+)
+def doc_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-length planning histogram: width-10 token-count bins with
+    doc and token mass per bin - what you consult before choosing
+    chunk/pack sizes (partial agg on a tiny key space: map-side combine
+    collapses it before the one exchange)."""
+    from ..functions.text import tokens
+
+    d = _docs(spark, sf_dir)
+    n = F.size(tokens("text"))
+    return (
+        d.select(F.floor(n / 10).cast("long").alias("bin"), n.alias("__n"))
+        .groupBy("bin")
+        .agg(
+            (F.first("bin") * 10).cast("long").alias("bin_lo"),
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("__n").cast("long").alias("total_tokens"),
+        )
+        .select("bin", "bin_lo", "n_docs", "total_tokens")
+    )
+
+
+@register(
+    "oov_rate_topk",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+    counts AS (
+      SELECT tok, COUNT(*) AS cnt
+      FROM (SELECT unnest(t) AS tok FROM toks)
+      GROUP BY tok
+    ),
+    vocab AS (
+      SELECT COALESCE(list(tok), []) AS v FROM (
+        SELECT tok FROM counts
+        ORDER BY cnt DESC, tok
+        LIMIT 100
+      )
+    )
+    SELECT doc_id,
+           CAST(len(t) AS BIGINT) AS n_tokens,
+           CAST(len(list_filter(t, x -> NOT list_contains(v, x))) AS BIGINT)
+             AS n_oov,
+           round(CAST(len(list_filter(t, x -> NOT list_contains(v, x))) AS DOUBLE)
+                 / len(t), 6) AS oov_rate
+    FROM toks, vocab
+    """,
+    tags=("text", "quality", "vocabulary", "curation"),
+)
+def oov_rate_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary-coverage quality signal (the CCNet-style LM filter's
+    integer-deterministic cousin): build the corpus top-100 token
+    vocabulary (count desc, token asc - total order, no ties), then
+    score each document by its out-of-vocabulary token fraction. High
+    OOV = noise/garble on a real crawl. One explode -> tiny agg for the
+    vocabulary (broadcast; bounded by K, not corpus), then a per-row
+    JVM array filter - the corpus never shuffles."""
+    from ..functions.text import tokens
+
+    d = _docs(spark, sf_dir)
+    toks = d.select("doc_id", tokens("text").alias("t"))
+    counts = (
+        toks.select(F.explode("t").alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    vocab = (
+        counts.orderBy(F.desc("cnt"), F.asc("tok"))
+        .limit(100)
+        .agg(F.sort_array(F.collect_set("tok")).alias("__v"))
+    )
+    oov = F.filter(F.col("t"), lambda x: ~F.array_contains(F.col("__v"), x))
+    return toks.crossJoin(F.broadcast(vocab)).select(
+        "doc_id",
+        F.size("t").cast("long").alias("n_tokens"),
+        F.size(oov).cast("long").alias("n_oov"),
+        F.round(F.size(oov).cast("double") / F.size("t"), 6).alias("oov_rate"),
     )

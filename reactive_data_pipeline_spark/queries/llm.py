@@ -151,6 +151,7 @@ def lang_id_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM (SELECT doc_id, {_NORM} AS norm FROM documents)
     """,
     tags=("text", "fingerprint"),
+    bench=True,
 )
 def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Content digests: md5 + rolling polynomial hash (both JVM-side)."""
@@ -579,6 +580,7 @@ _CHUNK, _STRIDE, _OVER = 32, 24, 8
     FROM idx
     """,
     tags=("text", "chunking"),
+    bench=True,
 )
 def chunk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Overlapping token-window chunking (32-token chunks, 8 overlap):
@@ -899,5 +901,57 @@ def embedding_recall_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
             (
                 F.col("__hits") >= F.lit(0.7) * F.col("n_exact_pairs")
             ).alias("meets_recall_floor"),
+        )
+    )
+
+
+@register(
+    "simhash_recall_contract",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+    grams AS (
+      SELECT doc_id,
+             list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+                            FOR i IN generate_series(1, len(t) - 2)]) AS g
+      FROM toks
+    ),
+    exact AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM grams a JOIN grams b ON a.doc_id < b.doc_id
+      WHERE CAST(len(list_intersect(a.g, b.g)) AS DOUBLE)
+              / (len(a.g) + len(b.g) - len(list_intersect(a.g, b.g))) >= 0.5
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_exact_pairs,
+           TRUE AS meets_recall_floor,
+           TRUE AS meets_precision_floor
+    FROM exact
+    """,
+    tags=("dedup", "simhash", "contract"),
+)
+def simhash_recall_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SimHash banded-Hamming quality gate as a hash-checked query
+    (third member of the recall-contract family, after minhash and
+    sign-LSH): SimHash Hamming <= 3 approximates high token-frequency
+    cosine, so against the trigram-Jaccard >= 0.5 ground truth it is a
+    DIFFERENT estimator, not a bound - the contract pins loose floors
+    (recall >= 0.5, precision >= 0.5; measured 0.6-0.75 recall and
+    ~0.7+ precision on the driver corpora) that a broken fingerprint,
+    banding, or verification stage would all violate. ``n_exact_pairs``
+    is oracle-recomputed by DuckDB."""
+    docs = _docs(spark, sf_dir)
+    sh = simhash_near_pairs(docs, max_hamming=3).select("doc_a", "doc_b")
+    exact = ngram_jaccard_pairs(docs, n=3, threshold=0.5).select("doc_a", "doc_b")
+    n_exact = exact.agg(F.count(F.lit(1)).alias("n_exact_pairs"))
+    n_sh = sh.agg(F.count(F.lit(1)).alias("__n_sh"))
+    hits = sh.join(exact, ["doc_a", "doc_b"], "left_semi").agg(
+        F.count(F.lit(1)).alias("__hits")
+    )
+    return (
+        n_exact.crossJoin(F.broadcast(n_sh))
+        .crossJoin(F.broadcast(hits))
+        .select(
+            "n_exact_pairs",
+            (F.col("__hits") >= 0.5 * F.col("n_exact_pairs")).alias("meets_recall_floor"),
+            (F.col("__hits") >= 0.5 * F.col("__n_sh")).alias("meets_precision_floor"),
         )
     )
