@@ -849,3 +849,79 @@ def oov_rate_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(oov).cast("long").alias("n_oov"),
         F.round(F.size(oov).cast("double") / F.size("t"), 6).alias("oov_rate"),
     )
+
+
+@register(
+    "unigram_logprob_docs",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+    counts AS (
+      SELECT tok, COUNT(*) AS cnt
+      FROM (SELECT unnest(t) AS tok FROM toks)
+      GROUP BY tok
+    ),
+    tot AS (SELECT SUM(cnt) AS total FROM counts),
+    vocab AS (
+      SELECT map_from_entries(list(struct_pack(
+               k := tok,
+               v := round(ln(CAST(cnt AS DOUBLE) / total), 6)))) AS m
+      FROM counts, tot
+    )
+    SELECT doc_id,
+           CAST(len(t) AS BIGINT) AS n_tokens,
+           round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                   list_transform(t, x -> m[x][1])),
+                 (acc, y) -> acc + y) / len(t), 6) AS avg_logprob
+    FROM toks, vocab
+    """,
+    tags=("text", "quality", "lm", "curation"),
+)
+def unigram_logprob_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram language-model scoring (the CCNet/KenLM perplexity
+    filter's self-contained form): train the unigram LM on the corpus
+    itself (token counts -> log p), broadcast the vocabulary map, and
+    score each document by mean token log-probability - low scorers are
+    the unnatural outliers you drop or down-weight before training.
+
+    Determinism across engines: each log-prob is rounded to 6dp BEFORE
+    the per-document fold, and the fold is a sequential left fold over
+    the document's token order (Spark ``aggregate`` == DuckDB
+    ``list_reduce``, identical IEEE op sequence -> bit-identical sums -
+    the doc_fingerprints/_DOT pattern for doubles).
+
+    Scale shape: token counts collapse map-side to |vocab| per task;
+    the vocab map broadcasts (bounded by vocabulary, not corpus - cap
+    with a top-K + OOV floor on an open-vocabulary crawl); the corpus
+    scan itself never shuffles."""
+    from ..functions.text import tokens
+
+    d = _docs(spark, sf_dir)
+    toks = d.select("doc_id", tokens("text").alias("t"))
+    counts = (
+        toks.select(F.explode("t").alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    total = counts.agg(F.sum("cnt").alias("total"))
+    vocab = (
+        counts.crossJoin(F.broadcast(total))
+        .select(
+            F.struct(
+                F.col("tok").alias("k"),
+                F.round(F.log(F.col("cnt").cast("double") / F.col("total")), 6).alias(
+                    "v"
+                ),
+            ).alias("e")
+        )
+        .agg(F.map_from_entries(F.collect_list("e")).alias("__m"))
+    )
+    fold = F.aggregate(
+        F.transform(F.col("t"), lambda x: F.element_at(F.col("__m"), x)),
+        F.lit(0.0),
+        lambda acc, y: acc + y,
+    )
+    return toks.crossJoin(F.broadcast(vocab)).select(
+        "doc_id",
+        F.size("t").cast("long").alias("n_tokens"),
+        F.round(fold / F.size("t"), 6).alias("avg_logprob"),
+    )
