@@ -245,3 +245,27 @@ def test_token_drift_broadcasts_totals(spark):
     the two count relations."""
     df = QUERIES["token_drift_by_source"].build(spark, SF_DIR)
     assert_plan(df, contains=("BroadcastHashJoin",), absent=("CartesianProduct",))
+
+
+def test_gopher_flags_zero_shuffle(spark):
+    """The Gopher quality battery is per-row HOFs only: no exchange at
+    all beyond the optional parallelism floor's round-robin."""
+    df = QUERIES["gopher_quality_flags"].build(spark, SF_DIR)
+    plan = physical_plan(df)
+    assert "hashpartitioning" not in plan  # no agg/join shuffle
+    assert "SortExec" not in plan and "Sort " not in plan.replace("Sort\n", "Sort ")
+
+
+def test_oov_rate_broadcasts_vocabulary(spark):
+    """The top-K vocabulary joins back by broadcast: the corpus-side
+    scan must not shuffle for the join (only the tiny vocab agg side
+    exchanges)."""
+    df = QUERIES["oov_rate_topk"].build(spark, SF_DIR)
+    assert_plan(df, contains=("BroadcastNestedLoopJoin",), absent=("SortMergeJoin",))
+
+
+def test_unigram_logprob_broadcasts_vocab_map(spark):
+    """The unigram-LM vocabulary map is a 1-row broadcast; the document
+    scan side stays shuffle-free (fold is a per-row expression)."""
+    df = QUERIES["unigram_logprob_docs"].build(spark, SF_DIR)
+    assert_plan(df, contains=("BroadcastNestedLoopJoin",), absent=("SortMergeJoin", "CartesianProduct"))
