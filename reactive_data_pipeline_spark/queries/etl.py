@@ -403,3 +403,94 @@ def stream_join_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = stream_join_run(spark, src, out, ckpt, window_s=3600, available_now=True)
     q.awaitTermination(300)
     return spark.read.parquet(out)
+
+
+def _pagerank_oracle(iters: int) -> str:
+    """Unrolled chained-CTE twin of the Spark PageRank loop: DuckDB
+    prohibits aggregation in a recursive CTE term, so the fixed
+    iteration count unrolls to r1..rN (generated, not hand-written).
+    All arithmetic is int64 fixed-point (scale 1e6) with floor division
+    - bit-identical across engines, no floats anywhere."""
+    ctes = [
+        "pairs AS (SELECT DISTINCT a.l_partkey AS pa, b.l_partkey AS pb"
+        " FROM (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) a"
+        " JOIN (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) b"
+        " ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey)",
+        "edges AS (SELECT pa AS src, pb AS dst FROM pairs"
+        " UNION SELECT pb, pa FROM pairs)",
+        "deg AS (SELECT src, COUNT(*) AS d FROM edges GROUP BY src)",
+        "r0 AS (SELECT src AS part, CAST(1000000 AS BIGINT) AS r FROM deg)",
+    ]
+    for i in range(1, iters + 1):
+        ctes.append(
+            f"r{i} AS (SELECT e.dst AS part,"
+            f" CAST(150000 + (85 * CAST(SUM(r.r // d.d) AS BIGINT)) // 100"
+            f" AS BIGINT) AS r"
+            f" FROM edges e JOIN r{i - 1} r ON e.src = r.part"
+            f" JOIN deg d ON d.src = e.src GROUP BY e.dst)"
+        )
+    return (
+        "WITH " + ",\n".join(ctes) + f"\nSELECT part, r AS rank_fp FROM r{iters}"
+    )
+
+
+_PR_ITERS = 6
+
+
+@register(
+    "pagerank_copurchase",
+    oracle=_pagerank_oracle(_PR_ITERS),
+    tags=("analytics", "graph", "iterative"),
+)
+def pagerank_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iterative PageRank over the part co-purchase graph, FULLY
+    value-hash checked - the 'iterative algorithms' family with a real
+    cross-engine oracle instead of the usual rows-only waiver.
+
+    Determinism is by construction: ranks live in int64 fixed-point
+    (1.0 == 1_000_000), each step is ``150000 + (85 * sum(rank div
+    deg)) div 100`` in pure integer arithmetic (floor division, no
+    floats), so Spark and the oracle's unrolled chained-CTE twin agree
+    bit-for-bit regardless of partitioning or summation order.
+
+    Scale shape: the undirected edge list hash-partitions on ``src``;
+    each of the fixed 6 iterations is one join (rank table joined to
+    edges, both sides shuffled once on the same key - at cluster scale
+    you pre-partition edges ONCE and only the small rank table moves)
+    + one map-side-combined aggregation on ``dst``. ``localCheckpoint``
+    every other iteration truncates the growing lineage - the
+    neardup_groups_connected pattern for iterative graph algorithms."""
+    li = read_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    a, b = li.alias("a"), li.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(F.col("a.l_partkey").alias("pa"), F.col("b.l_partkey").alias("pb"))
+        .distinct()
+    )
+    edges = (
+        pairs.select(F.col("pa").alias("src"), F.col("pb").alias("dst"))
+        .union(pairs.select(F.col("pb").alias("src"), F.col("pa").alias("dst")))
+        .distinct()
+        .persist()
+    )
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
+    ed = edges.join(deg, "src").persist()
+    ranks = deg.select(F.col("src").alias("part"), F.lit(1000000).cast("long").alias("r"))
+    for i in range(_PR_ITERS):
+        contrib = (
+            ed.join(ranks, ed["src"] == ranks["part"])
+            .select("dst", F.expr("r div d").alias("share"))
+            .groupBy("dst")
+            .agg(F.sum("share").alias("c"))
+        )
+        ranks = contrib.select(
+            F.col("dst").alias("part"),
+            (F.lit(150000) + F.expr("(85 * c) div 100")).cast("long").alias("r"),
+        )
+        if i % 2 == 1:
+            ranks = ranks.localCheckpoint(eager=True)
+    return ranks.select("part", F.col("r").alias("rank_fp"))

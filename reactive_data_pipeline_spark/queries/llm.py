@@ -540,6 +540,38 @@ def mm_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.resize_media(_docs(spark, sf_dir), width=16, height=16)
 
 
+@register(
+    "mm_resize_digest",
+    oracle="""
+    SELECT doc_id,
+           md5(rpad(substring(hex(encode(text)), 1, 512), 512, '0'))
+             AS payload_md5_hex,
+           CAST(256 AS INTEGER) AS n_bytes,
+           CAST(16 AS INTEGER) AS width,
+           CAST(16 AS INTEGER) AS height
+    FROM documents
+    """,
+    tags=("multimodal", "pandas_udf", "digest"),
+)
+def mm_resize_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The resize plumbing under the VALUE-HASH gate: run the real
+    Arrow ``mapInPandas`` resize path (truncate/zero-pad to 16x16
+    bytes), then digest each output payload as md5-of-hex - a string
+    both engines compute identically (hex uppercase, md5 lowercase in
+    Spark and DuckDB), so the oracle independently reconstructs the
+    exact padded bytes from the source text and the binary payload
+    contents are hash-checked, not just row counts. Upgrades the
+    mm_resize family from the rows-only check."""
+    resized = multimodal.resize_media(_docs(spark, sf_dir), width=16, height=16)
+    return resized.select(
+        "doc_id",
+        F.md5(F.hex("payload")).alias("payload_md5_hex"),
+        F.length("payload").cast("int").alias("n_bytes"),
+        F.col("width").cast("int").alias("width"),
+        F.col("height").cast("int").alias("height"),
+    )
+
+
 @register("mm_frame_sample", oracle=None, tags=("multimodal", "pandas_udf"))
 def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Keyframe-sampling plumbing (1->N flatMap batch shape; every 4th
@@ -547,11 +579,68 @@ def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.sample_frames(_docs(spark, sf_dir), frame_bytes=64, every_n=4)
 
 
-@register("mm_features", oracle=None, tags=("multimodal", "pandas_udf"))
+@register(
+    "mm_frame_digest",
+    oracle="""
+    WITH h AS (
+      SELECT doc_id, hex(encode(text)) AS hx,
+             octet_length(encode(text)) AS n
+      FROM documents
+    ),
+    idx AS (
+      SELECT doc_id, hx,
+             unnest(generate_series(0, CAST(ceil(n / 64.0) AS INT) - 1, 4))
+               AS frame_idx
+      FROM h
+    )
+    SELECT doc_id,
+           CAST(frame_idx AS INTEGER) AS frame_idx,
+           md5(substring(hx, frame_idx * 128 + 1, 128)) AS frame_md5_hex,
+           CAST(len(substring(hx, frame_idx * 128 + 1, 128)) / 2 AS BIGINT)
+             AS n_bytes
+    FROM idx
+    """,
+    tags=("multimodal", "pandas_udf", "digest"),
+)
+def mm_frame_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The keyframe-sampling plumbing under the VALUE-HASH gate (the
+    mm_resize_digest pattern for the 1->N flatMap shape): run the real
+    Arrow ``mapInPandas`` sampler (every 4th 64-byte frame), digest
+    each emitted frame as md5-of-hex; the oracle reconstructs the exact
+    frame bytes by hex-slicing the source text, so frame boundaries,
+    the short tail frame, and the 1->N row explosion are all
+    hash-checked."""
+    frames = multimodal.sample_frames(_docs(spark, sf_dir), frame_bytes=64, every_n=4)
+    return frames.select(
+        "doc_id",
+        "frame_idx",
+        F.md5(F.hex("frame_payload")).alias("frame_md5_hex"),
+        "n_bytes",
+    )
+
+
+@register(
+    "mm_features",
+    oracle="""
+    SELECT doc_id,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+                  list_transform(list_filter(string_split(text, ''), c -> c != ''),
+                                 c -> CAST(ascii(c) AS BIGINT))),
+                (a, x) -> a + x) % 997 AS BIGINT) AS byte_sum_mod,
+           lower(substring(hex(encode(text)), 1, 8)) AS head_hex
+    FROM documents
+    """,
+    tags=("multimodal", "pandas_udf"),
+)
 def mm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Arrow-batched mapInPandas feature extraction over payloads
-    (deterministic stub features; decode itself is stubbed - no codecs in
-    the container)."""
+    (deterministic byte-level stand-in features; a real embedding model
+    plugs in via ``feature_fn``). UPGRADED from rows-only: the features
+    (byte length, byte-sum mod 997, head bytes hex) are reconstructible
+    from the source text in SQL (the corpus is ASCII, so per-char ascii
+    == per-byte value - the doc_fingerprints precedent), putting the
+    whole Arrow batch path under the driver's value hash."""
     return multimodal.extract_features(_docs(spark, sf_dir))
 
 
