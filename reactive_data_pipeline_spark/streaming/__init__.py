@@ -27,6 +27,7 @@ from .dedup import (
     streaming_dedup_update_run,
 )
 from .sessions import sessionize_stream, latest_sessions
+from .totals import user_totals_stream, user_totals_run, latest_totals
 from .join import click_purchase_pairs, stream_join_run
 
 __all__ = [
@@ -34,6 +35,9 @@ __all__ = [
     "stream_join_run",
     "sessionize_stream",
     "latest_sessions",
+    "user_totals_stream",
+    "user_totals_run",
+    "latest_totals",
     "dedup_registry_stream",
     "corpus_ingest_run",
     "ingest_batch",
