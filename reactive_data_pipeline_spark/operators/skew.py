@@ -45,6 +45,42 @@ def salted_agg(
     )
 
 
+def salted_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    fact_key: str,
+    dim_key: str,
+    salt_on: str,
+    n_salts: int = 16,
+) -> DataFrame:
+    """Skew-resistant fact-dim equi join by dim replication.
+
+    When the dim side is too big to broadcast and the fact side's join
+    key is skewed, a plain shuffle join funnels every hot key through
+    one reducer. Salting splits it: each dim row replicates ``n_salts``
+    times (explode over salt ids - dim cost ×n_salts, the price of the
+    technique), each fact row gets a deterministic salt from a unique
+    column (``salt_on``; determinism makes replays identical), and the
+    join runs on (key, salt) - a hot key's rows now spread over
+    ``n_salts`` reducers. Result-identical to the unsalted join, so the
+    catalog oracle is the plain JOIN. AQE's skew-join split handles the
+    sort-merge case adaptively at runtime; explicit salting is the
+    plan-stable form you reach for when AQE can't see the skew (e.g.
+    the first shuffle of a stage) or when you need deterministic task
+    shapes.
+    """
+    salts = F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1))).alias("__salt")
+    dim_rep = dim.select("*", salts)
+    fact_s = fact.withColumn(
+        "__salt", F.pmod(F.xxhash64(F.col(salt_on)), F.lit(n_salts)).cast("int")
+    )
+    joined = fact_s.join(
+        dim_rep,
+        (fact_s[fact_key] == dim_rep[dim_key]) & (fact_s["__salt"] == dim_rep["__salt"]),
+    )
+    return joined.drop("__salt")
+
+
 def salted_sum_count(
     df: DataFrame, keys: Sequence[str], value_col: Column | str, n_salts: int = 16,
     salt_on: str | None = None,

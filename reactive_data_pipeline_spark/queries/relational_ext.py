@@ -662,6 +662,41 @@ def salted_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     return salted_sum_count(ev, ["user_id"], "value", n_salts=16, salt_on="event_id")
 
 
+@register(
+    "salted_join_segment_revenue",
+    oracle="""
+    SELECT c_mktsegment,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
+           COUNT(*) AS n_orders
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_mktsegment
+    """,
+    tags=("join", "agg", "skew"),
+)
+def salted_join_segment_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-resistant JOIN (operators.skew.salted_join - the join-side
+    counterpart of salted_user_totals): the customer dim replicates over
+    16 salts, each order row picks a deterministic salt from its unique
+    key, and the join runs on (custkey, salt) so a hot customer's
+    orders spread across 16 reducers instead of one. Result-identical
+    to the plain join - the oracle IS the plain join - while the plan
+    carries the salted key pair (pinned in test_plans.py)."""
+    from ..operators.skew import salted_join
+
+    orders = read_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    cust = read_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    joined = salted_join(
+        orders, cust, fact_key="o_custkey", dim_key="c_custkey",
+        salt_on="o_orderkey", n_salts=16,
+    )
+    return joined.groupBy("c_mktsegment").agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,6)")).cast("double").alias("revenue"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Classic star-schema shapes (TPC-H q6/q10 analogues)
 # ---------------------------------------------------------------------------

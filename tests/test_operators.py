@@ -110,3 +110,23 @@ def test_salted_agg_has_two_aggregation_exchanges(spark):
     ev = read_table(spark, SF_DIR, "events")
     plan = salted_sum_count(ev, ["user_id"], "value", salt_on="event_id")._jdf.queryExecution().executedPlan().toString()
     assert plan.count("HashAggregate") >= 4  # partial+final per stage
+
+
+def test_salted_join_equals_plain_join(spark):
+    """salted_join's result set is exactly the plain inner join: each
+    fact row matches only the dim replica carrying its salt (one match,
+    no duplicates), and unmatched dim rows drop as in any inner join."""
+    from reactive_data_pipeline_spark.operators.skew import salted_join
+
+    f = spark.createDataFrame(
+        [(1, 10, 100.0), (2, 10, 50.0), (3, 20, 7.0), (4, 99, 1.0)],
+        "id long, k long, v double",
+    )
+    d = spark.createDataFrame(
+        [(10, "a"), (20, "b"), (30, "c")], "dk long, name string"
+    )
+    out = salted_join(f, d, "k", "dk", salt_on="id", n_salts=4)
+    assert "__salt" not in out.columns
+    plain = f.join(d, f["k"] == d["dk"])
+    assert out.exceptAll(plain).count() == 0
+    assert plain.exceptAll(out).count() == 0

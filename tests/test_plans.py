@@ -269,3 +269,13 @@ def test_unigram_logprob_broadcasts_vocab_map(spark):
     scan side stays shuffle-free (fold is a per-row expression)."""
     df = QUERIES["unigram_logprob_docs"].build(spark, SF_DIR)
     assert_plan(df, contains=("BroadcastNestedLoopJoin",), absent=("SortMergeJoin", "CartesianProduct"))
+
+
+def test_salted_join_carries_salt_key_pair(spark):
+    """The salted join's equi condition must include BOTH the natural
+    key and the salt (that is the whole technique); the replicated dim
+    side explodes over the salt range."""
+    df = QUERIES["salted_join_segment_revenue"].build(spark, SF_DIR)
+    plan = physical_plan(df)
+    assert "__salt" in plan
+    assert "Generate explode" in plan or "Expand" in plan or "explode" in plan
