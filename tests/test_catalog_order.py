@@ -82,3 +82,22 @@ def test_priority_head_fully_oracle_checked():
     head = list(QUERIES)[:CHECKED_WINDOW]
     rows_only = [n for n in head if QUERIES[n].oracle is None]
     assert not rows_only, rows_only
+
+
+def test_doc_counts_match_registry():
+    """README/COVERAGE/CATALOG counts must track the live registry -
+    the round-2 advice item (stale '145 oracle-checked') as a test."""
+    import re
+    from pathlib import Path
+
+    total = len(QUERIES)
+    oracled = sum(1 for q in QUERIES.values() if q.oracle)
+    root = Path(__file__).resolve().parent.parent
+    for fname in ("README.md", "COVERAGE.md", "CATALOG.md"):
+        text = (root / fname).read_text()
+        m = re.search(r"(\d+) queries[,;] (\d+) (?:oracle-checked|DuckDB-oracle)", text)
+        assert m, f"{fname}: no count line found"
+        assert (int(m.group(1)), int(m.group(2))) == (total, oracled), (
+            f"{fname} says {m.group(0)!r}, registry has {total}/{oracled} - "
+            f"regenerate CATALOG.md and update the docs"
+        )
