@@ -72,9 +72,11 @@ def main():
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
 
     failures = []
+    n_checked = 0
     for name, q in QUERIES.items():
         if only and name not in only:
             continue
+        n_checked += 1
         t0 = time.time()
         try:
             sdf = q.build(spark, sf_dir)
@@ -115,7 +117,8 @@ def main():
                 print(f"   oracle: {co.loc[idx].to_dict()}")
         else:
             print(f"ok   {name}: {len(spdf)} rows match ({time.time()-t0:.1f}s)")
-    print(f"\n{len(QUERIES) - len(failures)}/{len(QUERIES)} pass")
+    scope = "" if not only else f" (of {len(QUERIES)} registered)"
+    print(f"\n{n_checked - len(failures)}/{n_checked} pass{scope}")
     if failures:
         print("failing:", " ".join(failures))
         sys.exit(1)
