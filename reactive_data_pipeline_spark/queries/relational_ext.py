@@ -1115,3 +1115,51 @@ def approx_percentile_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
             <= F.lit(0.01) * F.abs(F.col("exact_q50"))
         ).alias("within_tol"),
     )
+
+
+@register(
+    "weighted_median_price_by_flag",
+    oracle="""
+    WITH s AS (
+      SELECT l_returnflag,
+             l_extendedprice AS p,
+             SUM(CAST(l_quantity AS BIGINT)) OVER (
+               PARTITION BY l_returnflag ORDER BY l_extendedprice
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumq,
+             SUM(CAST(l_quantity AS BIGINT)) OVER (
+               PARTITION BY l_returnflag) AS totq
+      FROM lineitem
+    )
+    SELECT l_returnflag, MIN(p) AS wmedian_price
+    FROM s WHERE 2 * cumq >= totq
+    GROUP BY l_returnflag
+    """,
+    tags=("agg", "pandas_udf", "udaf"),
+)
+def weighted_median_price_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantity-weighted median price per return flag via a GROUPED_AGG
+    pandas UDF - the one UDF surface shape (a true UDAF: whole group in,
+    scalar out over Arrow) the catalog didn't yet demonstrate; weighted
+    quantiles are the canonical case no built-in covers.
+
+    Determinism: weights are integral quantities accumulated as int64
+    and the qualifying condition is the integer ``2*cum >= total`` (no
+    float division), so the smallest qualifying price is well-defined
+    even under within-tie reorderings - which is what lets a window-SQL
+    oracle reproduce a Python UDAF bit-for-bit. Scale shape: Spark
+    computes grouped-agg pandas UDFs per group post-shuffle; groups are
+    the 3 return flags, each group's rows stream through Arrow once."""
+    import pandas as pd
+    from pyspark.sql.functions import PandasUDFType, pandas_udf
+
+    @pandas_udf("double", PandasUDFType.GROUPED_AGG)
+    def wmedian(price, qty):
+        df = pd.DataFrame({"p": price, "q": qty.astype("int64")}).sort_values("p")
+        cum = df["q"].cumsum()
+        tot = int(df["q"].sum())
+        return float(df.loc[2 * cum >= tot, "p"].iloc[0])
+
+    li = read_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        wmedian(F.col("l_extendedprice"), F.col("l_quantity")).alias("wmedian_price")
+    )
