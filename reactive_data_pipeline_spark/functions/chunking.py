@@ -13,6 +13,13 @@ section 7.5 family).
   is inherently sequential, while the running-sum rule is a window
   function (one sort per partition key) with a bounded overflow per bin
   (< max chunk size), which is the standard large-scale compromise.
+  The DEFAULT packs within ``num_buckets`` deterministic hash-residue
+  buckets (every bucket sorts and packs independently, one keyed
+  exchange) and composes a globally-unique
+  ``bin_id = local_bin * num_buckets + bucket`` - so the plan scales
+  out instead of serializing the whole corpus through a single
+  unpartitioned ``WindowExec`` (the ``num_buckets=None`` opt-in keeps
+  that global form for tiny correctness fixtures only).
 """
 
 from __future__ import annotations
@@ -56,27 +63,59 @@ def chunk_documents(
 def pack_bins(
     chunks: DataFrame,
     bin_tokens: int = 128,
-    part_col: Column | None = None,
+    num_buckets: int | None = 32,
+    bucket_col: Column | None = None,
     id_col: str = "doc_id",
     idx_col: str = "chunk_idx",
     tok_col: str = "n_tokens",
 ) -> DataFrame:
     """Add ``bin_id``: floor(running token count before this chunk /
-    bin_tokens) over a deterministic (doc_id, chunk_idx) order.
+    bin_tokens) over a deterministic (doc_id, chunk_idx) order WITHIN a
+    deterministic hash-residue bucket.
 
-    ``part_col`` optionally partitions the packing (e.g. by a hash bucket
-    so each executor packs independently at scale; default packs the
-    whole frame as one ordered sequence - fine for correctness tests,
-    partition it in production)."""
+    Default semantics (``num_buckets=B``): each chunk lands in bucket
+    ``pmod(doc_id, B)``; each bucket independently sorts its chunks by
+    (doc_id, chunk_idx) and runs the running-sum rule to get a
+    ``local_bin``; the emitted ``bin_id = local_bin * B + bucket`` is
+    globally unique (bucket < B) without needing any bound on bins per
+    bucket. The physical plan is ONE keyed exchange on the bucket plus a
+    per-partition sort - every executor packs its residue class in
+    parallel, which is the shape that survives a 100 TB corpus. The
+    trade is per-bucket instead of corpus-global chunk adjacency and up
+    to B partially-filled tail bins - noise at scale, and the rule stays
+    exactly reproducible in any engine (the DuckDB oracles compute the
+    same residue + window).
+
+    ``bucket_col`` overrides the bucket expression - in production with
+    string or skewed ids pass e.g. ``F.pmod(F.xxhash64(id_col), B)``
+    (engine-specific hash, so the modulo default is what the
+    cross-engine oracles pin).
+
+    ``num_buckets=None`` opts into the legacy corpus-global ordered
+    window (single-partition ``WindowExec`` - correctness fixtures
+    only, never production)."""
     order = [F.col(id_col), F.col(idx_col)]
-    w = (
-        Window.partitionBy(part_col).orderBy(*order)
-        if part_col is not None
-        else Window.orderBy(*order)
+    if num_buckets is None:
+        w = Window.orderBy(*order)
+        before = F.coalesce(
+            F.sum(tok_col).over(w.rowsBetween(Window.unboundedPreceding, -1)),
+            F.lit(0),
+        )
+        return chunks.withColumn(
+            "bin_id", F.floor(before / F.lit(bin_tokens)).cast("long")
+        )
+    bucket = (
+        bucket_col
+        if bucket_col is not None
+        else F.pmod(F.col(id_col).cast("long"), F.lit(num_buckets))
     )
+    bucketed = chunks.withColumn("__bucket", bucket.cast("long"))
+    w = Window.partitionBy("__bucket").orderBy(*order)
     before = F.coalesce(
         F.sum(tok_col).over(w.rowsBetween(Window.unboundedPreceding, -1)), F.lit(0)
     )
-    return chunks.withColumn(
-        "bin_id", F.floor(before / F.lit(bin_tokens)).cast("long")
-    )
+    local_bin = F.floor(before / F.lit(bin_tokens))
+    return bucketed.withColumn(
+        "bin_id",
+        (local_bin * F.lit(num_buckets) + F.col("__bucket")).cast("long"),
+    ).drop("__bucket")

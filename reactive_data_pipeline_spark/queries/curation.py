@@ -127,7 +127,7 @@ def streaming_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
 
     from ..sources.registry import table_path
-    from ..streaming import streaming_dedup_run
+    from ..streaming import await_finished, streaming_dedup_run
 
     work = tempfile.mkdtemp(prefix="streaming_dedup_")
     out, ckpt = f"{work}/registry", f"{work}/ckpt"
@@ -135,7 +135,7 @@ def streaming_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     os.mkdir(src)
     os.symlink(table_path(sf_dir, "documents"), f"{src}/documents.parquet")
     q = streaming_dedup_run(spark, src, out, ckpt, available_now=True)
-    q.awaitTermination(300)
+    await_finished(q)
     return spark.read.parquet(out)
 
 
@@ -161,7 +161,7 @@ def streaming_dedup_update(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
 
     from ..sources.registry import table_path
-    from ..streaming import streaming_dedup_update_run
+    from ..streaming import await_finished, streaming_dedup_update_run
 
     work = tempfile.mkdtemp(prefix="streaming_dedup_upd_")
     out, ckpt = f"{work}/registry", f"{work}/ckpt"
@@ -169,7 +169,7 @@ def streaming_dedup_update(spark: SparkSession, sf_dir: str) -> DataFrame:
     os.mkdir(src)
     os.symlink(table_path(sf_dir, "documents"), f"{src}/documents.parquet")
     q = streaming_dedup_update_run(spark, src, out, ckpt, available_now=True)
-    q.awaitTermination(300)
+    await_finished(q)
     return spark.read.parquet(out).select("keeper_doc_id", "n_copies", "fingerprint")
 
 
@@ -639,9 +639,10 @@ def sft_pair_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     packed AS (
       SELECT n_tokens,
              CAST(floor(COALESCE(SUM(n_tokens) OVER (
+               PARTITION BY doc_id % 32
                ORDER BY doc_id, chunk_idx
                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 128.0)
-               AS BIGINT) AS bin_id
+               AS BIGINT) * 32 + (doc_id % 32) AS bin_id
       FROM chunks
     ),
     bins AS (SELECT bin_id, SUM(n_tokens) AS fill FROM packed GROUP BY bin_id)

@@ -697,9 +697,10 @@ def chunk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT doc_id, chunk_idx, n_tokens,
            CAST(floor(COALESCE(SUM(n_tokens) OVER (
+             PARTITION BY doc_id % 32
              ORDER BY doc_id, chunk_idx
              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 128.0) AS BIGINT)
-             AS bin_id
+             * 32 + (doc_id % 32) AS bin_id
     FROM chunks
     """,
     tags=("text", "chunking", "packing"),
@@ -776,9 +777,10 @@ def train_val_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT doc_id, chunk_idx, n_tokens,
            CAST(floor(COALESCE(SUM(n_tokens) OVER (
+             PARTITION BY doc_id % 32
              ORDER BY doc_id, chunk_idx
              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 128.0) AS BIGINT)
-             AS bin_id
+             * 32 + (doc_id % 32) AS bin_id
     FROM chunks
     """,
     tags=("text", "pipeline", "dedup", "chunking"),

@@ -91,6 +91,10 @@ def test_training_pipeline_shuffle_budget(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange hashpartitioning") <= 3, plan
     assert "CartesianProduct" not in plan
+    # the packing window must be KEYED (bucket-partitioned exchange),
+    # never the corpus-global single-partition WindowExec
+    assert "__bucket" in plan, plan
+    assert "Exchange SinglePartition" not in plan, plan
 
 
 def test_q8_star_broadcasts_every_dimension(spark):

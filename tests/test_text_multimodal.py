@@ -201,6 +201,35 @@ def test_pack_bins_running_sum_rule(spark):
         [(1, 0, 60), (1, 1, 60), (2, 0, 60), (2, 1, 60)],
         "doc_id long, chunk_idx long, n_tokens long",
     )
-    got = {(r.doc_id, r.chunk_idx): r.bin_id for r in pack_bins(chunks, 128).collect()}
+    # global opt-in (num_buckets=None): one corpus-wide running sum -
     # running sums before: 0,60,120,180 -> bins 0,0,0,1
+    got = {
+        (r.doc_id, r.chunk_idx): r.bin_id
+        for r in pack_bins(chunks, 128, num_buckets=None).collect()
+    }
     assert got == {(1, 0): 0, (1, 1): 0, (2, 0): 0, (2, 1): 1}
+    # default bucketed form: doc 1 -> bucket 1, doc 2 -> bucket 2 (mod 32);
+    # each bucket packs independently (before-sums 0,60 -> local bin 0),
+    # composite bin_id = local_bin * 32 + bucket
+    got = {(r.doc_id, r.chunk_idx): r.bin_id for r in pack_bins(chunks, 128).collect()}
+    assert got == {(1, 0): 1, (1, 1): 1, (2, 0): 2, (2, 1): 2}
+
+
+def test_pack_bins_bucketed_matches_global_rule_per_bucket(spark):
+    """The bucketed default's local running-sum rule is exactly the
+    global rule applied to each residue class; bin ids never collide
+    across buckets."""
+    from reactive_data_pipeline_spark.functions.chunking import pack_bins
+
+    rows = [(d, i, 30 + 7 * ((d + i) % 5)) for d in range(70) for i in range(3)]
+    chunks = spark.createDataFrame(rows, "doc_id long, chunk_idx long, n_tokens long")
+    packed = pack_bins(chunks, bin_tokens=100, num_buckets=8).collect()
+    # reconstruct per-bucket expectation from the opt-in global rule
+    for b in range(8):
+        sub = [r for r in sorted(rows) if r[0] % 8 == b]
+        run, expect = 0, {}
+        for d, i, n in sub:
+            expect[(d, i)] = (run // 100) * 8 + b
+            run += n
+        got = {(r.doc_id, r.chunk_idx): r.bin_id for r in packed if r.doc_id % 8 == b}
+        assert got == expect
