@@ -393,7 +393,7 @@ def stream_join_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
 
     from ..sources.registry import table_path
-    from ..streaming import stream_join_run
+    from ..streaming import await_finished, stream_join_run
 
     work = tempfile.mkdtemp(prefix="stream_join_")
     out, ckpt = f"{work}/pairs", f"{work}/ckpt"
@@ -401,7 +401,7 @@ def stream_join_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     os.mkdir(src)
     os.symlink(table_path(sf_dir, "events"), f"{src}/events.parquet")
     q = stream_join_run(spark, src, out, ckpt, window_s=3600, available_now=True)
-    q.awaitTermination(300)
+    await_finished(q)
     return spark.read.parquet(out)
 
 

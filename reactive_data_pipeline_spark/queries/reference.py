@@ -192,7 +192,7 @@ def reactive_ticker_meta_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
 
     from ..sources.registry import table_path
-    from ..streaming import reactive_ticker_meta_run, read_ticker_meta
+    from ..streaming import await_finished, reactive_ticker_meta_run, read_ticker_meta
 
     work = tempfile.mkdtemp(prefix="reactive_ticker_meta_")
     out, ckpt = f"{work}/ticker_meta", f"{work}/ckpt"
@@ -209,5 +209,5 @@ def reactive_ticker_meta_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         available_now=True,
         dedup_watermark=None,  # driver events are replayed in one batch
     )
-    q.awaitTermination(300)
+    await_finished(q)
     return read_ticker_meta(spark, out)

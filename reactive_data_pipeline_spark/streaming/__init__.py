@@ -29,8 +29,11 @@ from .dedup import (
 from .sessions import sessionize_stream, latest_sessions
 from .totals import user_totals_stream, user_totals_run, latest_totals
 from .join import click_purchase_pairs, stream_join_run
+from .merge_util import await_finished, existing_or_empty
 
 __all__ = [
+    "await_finished",
+    "existing_or_empty",
     "click_purchase_pairs",
     "stream_join_run",
     "sessionize_stream",

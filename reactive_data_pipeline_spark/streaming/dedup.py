@@ -30,6 +30,7 @@ from pyspark.sql.streaming import StreamingQuery
 
 from ..functions.text import fingerprint_md5
 from ..sources.registry import read_stream
+from .merge_util import existing_or_empty
 
 #: Bucket count for the materialized registry. At harness scale this is
 #: plumbing; at corpus scale set it so one bucket's registry shard fits
@@ -102,10 +103,9 @@ def merge_dedup_registry_batch(updates: DataFrame, out_path: str) -> None:
     if not buckets:
         partial.unpersist()
         return
-    try:
-        existing = spark.read.parquet(out_path).filter(F.col("bucket").isin(buckets))
-    except Exception:  # first batch: table does not exist yet
-        existing = spark.createDataFrame([], partial.schema)
+    existing = existing_or_empty(
+        spark, out_path, partial, prune=F.col("bucket").isin(buckets)
+    )
     merged = (
         existing.unionByName(partial)
         .groupBy("fingerprint")
@@ -115,6 +115,11 @@ def merge_dedup_registry_batch(updates: DataFrame, out_path: str) -> None:
             F.min("bucket").alias("bucket"),  # constant per fingerprint
         )
     )
+    # Materialize before writing: the overwrite targets the very files
+    # the plan reads, and only dynamic-overwrite's deferred deletion
+    # makes that safe today - a checkpointed result removes the
+    # read-what-you-delete dependency entirely.
+    merged = merged.localCheckpoint(eager=True)
     (
         merged.write.mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")

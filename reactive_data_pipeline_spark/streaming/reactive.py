@@ -32,6 +32,7 @@ from pyspark.sql.streaming import StreamingQueryListener
 
 from ..operators.ticker import build_ticker_meta, derive_ticker
 from ..sources.registry import read_stream
+from .merge_util import existing_or_empty
 from .. import schemas
 
 
@@ -89,10 +90,9 @@ def merge_ticker_meta_batch(batch: DataFrame, out_path: str) -> None:
     if not days:
         partial.unpersist()
         return
-    try:
-        existing = spark.read.parquet(out_path).filter(F.col("partition").isin(days))
-    except Exception:  # first batch: table does not exist yet
-        existing = spark.createDataFrame([], partial.schema)
+    existing = existing_or_empty(
+        spark, out_path, partial, prune=F.col("partition").isin(days)
+    )
     merged = (
         existing.unionByName(partial)
         .groupBy("symbol", "partition")
@@ -102,6 +102,10 @@ def merge_ticker_meta_batch(batch: DataFrame, out_path: str) -> None:
         )
         .select("symbol", "monthly_max_market_price", "monthly_min_market_price", "partition")
     )
+    # Materialize before writing: the overwrite targets the very files
+    # the plan reads; a checkpointed result removes that dependency
+    # instead of leaning on dynamic-overwrite's deferred deletion.
+    merged = merged.localCheckpoint(eager=True)
     (
         merged.write.mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")

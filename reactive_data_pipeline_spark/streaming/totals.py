@@ -114,11 +114,13 @@ def user_totals_run(
 
     # transformWithStateInPandas requires the RocksDB state store (the
     # default HDFS-backed provider does not implement the new state v2
-    # API) - which is also the provider a real deployment runs.
-    spark.conf.set(
-        "spark.sql.streaming.stateStore.providerClass",
-        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
-    )
+    # API) - which is also the provider a real deployment runs. The
+    # override is scoped to query START (the provider is captured when
+    # the query launches) and restored afterwards so other streaming
+    # queries in the same session keep resuming their checkpoints under
+    # the provider they were created with - state-store formats are not
+    # interchangeable across providers mid-checkpoint.
+    _PROVIDER_KEY = "spark.sql.streaming.stateStore.providerClass"
     ev = read_stream(
         spark, src_dir, "events", max_files_per_trigger=max_files_per_trigger
     )
@@ -135,5 +137,21 @@ def user_totals_run(
         .option("checkpointLocation", checkpoint)
     )
     if available_now:
-        return writer.trigger(availableNow=True).start()
-    return writer.trigger(processingTime="1 second").start()
+        writer = writer.trigger(availableNow=True)
+    else:
+        writer = writer.trigger(processingTime="1 second")
+    try:
+        prior = spark.conf.get(_PROVIDER_KEY)
+    except Exception:
+        prior = None
+    spark.conf.set(
+        _PROVIDER_KEY,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        return writer.start()
+    finally:
+        if prior is None:
+            spark.conf.unset(_PROVIDER_KEY)
+        else:
+            spark.conf.set(_PROVIDER_KEY, prior)
