@@ -14,9 +14,10 @@ from ..functions.curation import (
     scrub_digit_runs,
     stratified_keep,
 )
+from ..functions import text as TX
 from ..sources import read_table
 from . import QUERIES, register
-from .llm import _NORM, _TOKS, _docs
+from .llm import _NORM, _TOKS, _docs, _stop_sql
 
 #: DuckDB twin of token_ngrams(text, 3) (matches llm.ngram3 oracle).
 _GRAMS3 = (
@@ -171,6 +172,103 @@ def streaming_dedup_update(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = streaming_dedup_update_run(spark, src, out, ckpt, available_now=True)
     await_finished(q)
     return spark.read.parquet(out).select("keeper_doc_id", "n_copies", "fingerprint")
+
+
+@register(
+    "corpus_ingest_manifest",
+    oracle=f"""
+    WITH dedup AS (
+      SELECT doc_id, text, norm FROM (
+        SELECT doc_id, text, norm,
+               MIN(doc_id) OVER (PARTITION BY norm) AS keeper
+        FROM (SELECT doc_id, text, {_NORM} AS norm FROM documents)
+      ) WHERE doc_id = keeper
+    ),
+    scored AS (
+      SELECT doc_id, norm,
+             round(least(1.0, CAST(len(string_split(norm, ' ')) AS DOUBLE) / 50.0) * 0.5
+                   + least(1.0, (CAST({_stop_sql('en')} AS DOUBLE)
+                                 / len(string_split(norm, ' '))) * 5.0) * 0.3
+                   + (1.0 - least(1.0, (CAST(len(regexp_extract_all(text, '{TX.PUNCT_CLASS}')) AS DOUBLE)
+                                        / length(text)) * 10.0)) * 0.2, 6) AS quality,
+             {_stop_sql('en')} AS s_en, {_stop_sql('es')} AS s_es,
+             {_stop_sql('fr')} AS s_fr, {_stop_sql('de')} AS s_de
+      FROM dedup
+    ),
+    kept AS (
+      SELECT doc_id, norm FROM scored
+      WHERE quality >= 0.5 AND s_en > 0
+        AND s_en = greatest(s_en, s_es, s_fr, s_de)
+    ),
+    toks AS (SELECT doc_id, string_split(norm, ' ') AS t FROM kept),
+    chunks AS (
+      SELECT doc_id, chunk_idx,
+             len(t[chunk_idx * 24 + 1 : chunk_idx * 24 + 32]) AS n_tokens
+      FROM (
+        SELECT doc_id, t,
+               unnest(generate_series(
+                 0, CAST(greatest(ceil((len(t) - 8) / 24.0), 1) AS INT) - 1)) AS chunk_idx
+        FROM toks
+      )
+    ),
+    packed AS (
+      SELECT doc_id, n_tokens,
+             CAST(floor(COALESCE(SUM(n_tokens) OVER (
+               PARTITION BY doc_id % 32
+               ORDER BY doc_id, chunk_idx
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 128.0) AS BIGINT)
+               * 32 + (doc_id % 32) AS bin_id
+      FROM chunks
+    )
+    SELECT CAST(0 AS BIGINT) AS ingest_batch,
+           CAST(COUNT(*) AS BIGINT) AS n_chunks,
+           CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+           CAST(COUNT(DISTINCT bin_id) AS BIGINT) AS n_bins,
+           (SELECT CAST(COUNT(DISTINCT {_NORM}) AS BIGINT) FROM documents)
+             AS n_registered
+    FROM packed
+    """,
+    tags=("dedup", "streaming", "curation", "export"),
+)
+def corpus_ingest_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reactive corpus-ingest job (streaming/corpus.py) under the
+    full value-hash oracle: run the availableNow file-stream ingest -
+    in-batch exact dedup, registry anti-join, quality+language filter,
+    chunk, bucket-pack, per-batch shard export - then read back the
+    written shards and registry and emit one manifest row per ingest
+    batch. The oracle recomputes the whole flow batch-side in DuckDB
+    (dedup-first order, unlike training_data_pipeline's filter-first),
+    so the streaming path's row counts, token totals, bin count and
+    registry size are all hash-proven, not just pytest-proven."""
+    import os
+    import tempfile
+
+    from ..sources.registry import table_path
+    from ..streaming import await_finished, corpus_ingest_run
+
+    work = tempfile.mkdtemp(prefix="corpus_ingest_")
+    reg, shards, ckpt = f"{work}/registry", f"{work}/shards", f"{work}/ckpt"
+    src = f"{work}/docs_in"
+    os.mkdir(src)
+    os.symlink(table_path(sf_dir, "documents"), f"{src}/documents.parquet")
+    q = corpus_ingest_run(spark, src, reg, shards, ckpt, available_now=True)
+    await_finished(q)
+    packed = spark.read.parquet(shards)  # partition-discovers ingest_batch
+    n_reg = spark.read.parquet(reg).agg(
+        F.count(F.lit(1)).cast("long").alias("n_registered")
+    )
+    manifest = packed.groupBy(
+        F.col("ingest_batch").cast("long").alias("ingest_batch")
+    ).agg(
+        F.count(F.lit(1)).alias("n_chunks"),
+        F.countDistinct("doc_id").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("n_tokens"),
+        F.countDistinct("bin_id").alias("n_bins"),
+    )
+    # 1-row x 1-row: broadcast nested-loop of two aggregates, not a
+    # data-sized cartesian.
+    return manifest.crossJoin(F.broadcast(n_reg))
 
 
 @register(

@@ -34,6 +34,7 @@ from pyspark.sql.streaming import StreamingQuery
 from ..functions.text import fingerprint_md5, lang_id, quality_score
 from ..functions.chunking import chunk_documents, pack_bins
 from ..sources.registry import read_stream
+from .merge_util import existing_or_empty
 
 REGISTRY_SCHEMA = "fingerprint string, doc_id long"
 
@@ -55,14 +56,14 @@ def ingest_batch(
     fresh = dedup_documents(fp.drop("fingerprint")).withColumn(
         "fingerprint", fingerprint_md5("text")
     )
-    try:
-        # No forced broadcast: the registry grows without bound, so the
-        # join strategy is AQE's call (broadcast while small, shuffled
-        # against a fingerprint-bucketed layout at scale).
-        seen = spark.read.schema(REGISTRY_SCHEMA).parquet(registry_path)
-        fresh = fresh.join(seen.select("fingerprint"), "fingerprint", "left_anti")
-    except Exception:  # first batch: no registry yet
-        pass
+    # No forced broadcast: the registry grows without bound, so the
+    # join strategy is AQE's call (broadcast while small, shuffled
+    # against a fingerprint-bucketed layout at scale). Only a genuinely
+    # missing registry (first batch) yields the empty frame - any other
+    # read error fails the batch so the checkpoint retries, instead of
+    # skipping the anti-join and re-exporting already-seen content.
+    seen = existing_or_empty(spark, registry_path, schema=REGISTRY_SCHEMA)
+    fresh = fresh.join(seen.select("fingerprint"), "fingerprint", "left_anti")
     fresh = fresh.persist()
     try:
         if fresh.isEmpty():

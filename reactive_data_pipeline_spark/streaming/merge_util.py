@@ -39,18 +39,22 @@ def await_finished(q: StreamingQuery, timeout: int = 300) -> None:
 def existing_or_empty(
     spark: SparkSession,
     path: str,
-    like: DataFrame,
+    like: DataFrame | None = None,
     prune: Column | None = None,
+    schema: str | None = None,
 ) -> DataFrame:
     """The existing derived table at ``path`` (partition-pruned by
-    ``prune``), or an empty frame with ``like``'s schema IFF the table
-    genuinely does not exist yet (``PATH_NOT_FOUND``). Any other read
-    error propagates so the micro-batch fails and retries."""
+    ``prune``), or an empty frame with ``like``'s schema (or the
+    explicit ``schema`` DDL) IFF the table genuinely does not exist yet
+    (``PATH_NOT_FOUND``). Any other read error propagates so the
+    micro-batch fails and retries."""
+    reader = spark.read.schema(schema) if schema is not None else spark.read
     try:
-        existing = spark.read.parquet(path)
+        existing = reader.parquet(path)
     except AnalysisException as e:
         cond = e.getCondition() if hasattr(e, "getCondition") else e.getErrorClass()
         if cond != "PATH_NOT_FOUND":
             raise
-        return spark.createDataFrame([], like.schema)
+        empty_schema = schema if schema is not None else like.schema
+        return spark.createDataFrame([], empty_schema)
     return existing.filter(prune) if prune is not None else existing
