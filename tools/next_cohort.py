@@ -13,12 +13,12 @@ import sys
 sys.path.insert(0, "/root/repo")
 
 from reactive_data_pipeline_spark.queries import CHECK_PRIORITY, QUERIES  # noqa: E402
-from tests.test_catalog_order import CHECKED_WINDOW, ROUND2_CHECKED  # noqa: E402
+from tests.test_catalog_order import CHECKED_WINDOW, PRIOR_ROUNDS_CHECKED  # noqa: E402
 
 
 def main() -> None:
     head = set(list(QUERIES)[:CHECKED_WINDOW])
-    checked = ROUND2_CHECKED | head
+    checked = PRIOR_ROUNDS_CHECKED | head
     pool = [n for n in QUERIES if n not in checked]
     oracle_pool = [n for n in pool if QUERIES[n].oracle]
     print(f"catalog: {len(QUERIES)}  driver-checked so far: {len(checked & set(QUERIES))}")
