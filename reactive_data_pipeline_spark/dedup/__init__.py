@@ -10,8 +10,10 @@ from .minhash import minhash_signatures, minhash_lsh_pairs
 from .simhash import simhash_docs, simhash_near_pairs
 from .embedding import embedding_neardup_lsh, embedding_neardup_pairs
 from .components import connected_components, neardup_groups
+from .substring import duplicated_ngram_spans
 
 __all__ = [
+    "duplicated_ngram_spans",
     "connected_components",
     "neardup_groups",
     "exact_dedup_groups",

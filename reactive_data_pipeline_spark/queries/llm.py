@@ -205,6 +205,52 @@ def dedup_keep_one(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dup_ngram_coverage",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+    starts AS (
+      SELECT doc_id, len(t) AS n_tokens, i AS pos,
+             md5(array_to_string(t[i:i+7], ' ')) AS gk
+      FROM toks, unnest(generate_series(1, len(t) - 7)) AS u(i)
+      WHERE len(t) >= 8
+    ),
+    marked AS (
+      SELECT doc_id, pos,
+             least(8, pos - COALESCE(LAG(pos) OVER (PARTITION BY doc_id ORDER BY pos),
+                                     pos - 8)) AS contrib
+      FROM (SELECT *, COUNT(*) OVER (PARTITION BY gk) AS c FROM starts)
+      WHERE c >= 2
+    ),
+    covered AS (
+      SELECT doc_id,
+             CAST(COUNT(*) AS BIGINT) AS n_dup_starts,
+             CAST(SUM(contrib) AS BIGINT) AS dup_covered_tokens
+      FROM marked GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           CAST(len(d.t) AS BIGINT) AS n_tokens,
+           COALESCE(c.n_dup_starts, 0) AS n_dup_starts,
+           COALESCE(c.dup_covered_tokens, 0) AS dup_covered_tokens,
+           round(CAST(COALESCE(c.dup_covered_tokens, 0) AS DOUBLE)
+                 / greatest(len(d.t), 1), 6) AS dup_ratio
+    FROM toks d LEFT JOIN covered c ON d.doc_id = c.doc_id
+    """,
+    tags=("dedup", "ngram", "substring"),
+)
+def dup_ngram_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring-level duplication report (the fixed-n distributable
+    form of Lee et al. 2022 suffix-array dedup): per document, how many
+    8-gram starts are duplicated corpus-wide and how many token
+    positions those duplicated spans cover (interval union via the
+    sorted-starts lag rule). Two token-scale keyed exchanges - gram
+    fingerprint, then doc_id - plus a doc-count-sized join-back; no
+    self-join (dedup/substring.py)."""
+    from ..dedup import duplicated_ngram_spans
+
+    return duplicated_ngram_spans(_docs(spark, sf_dir), n=8, min_count=2)
+
+
+@register(
     "ngram_jaccard_pairs",
     oracle=f"""
     WITH toks AS (SELECT doc_id, list_distinct({_TOKS}) AS t FROM documents)

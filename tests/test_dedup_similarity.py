@@ -200,3 +200,47 @@ def test_quantization_error_bounded_by_half_step(spark):
     assert rows[2].e <= rows[2].s / 2 + 1e-12
     assert abs(rows[1].s - 1.0 / 127) < 1e-12
     assert rows[3].s is None  # zero vector: nothing to quantize
+
+
+def test_duplicated_ngram_spans_hand_computed(spark):
+    """Shared 8-gram across docs marks exactly its span; unique docs
+    report zero; interval union caps within-doc overlapping repeats at
+    n_tokens (the Lee-et-al substring-dedup approximation)."""
+    from reactive_data_pipeline_spark.dedup import duplicated_ngram_spans
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e f g h x y"),   # shares grams with doc 2
+            (2, "z a b c d e f g h w"),
+            (3, "q r s t u v w0 w1"),     # 8 tokens, unique gram
+            (4, "m m m m m m m m m m m m"),  # 12 tokens, self-repeating
+            (5, "too short"),             # < n tokens: no starts at all
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r.doc_id: (r.n_tokens, r.n_dup_starts, r.dup_covered_tokens, r.dup_ratio)
+        for r in duplicated_ngram_spans(docs, n=8, min_count=2).collect()
+    }
+    # docs 1/2: one shared gram -> 8 covered of 10 tokens
+    assert got[1] == (10, 1, 8, 0.8)
+    assert got[2] == (10, 1, 8, 0.8)
+    assert got[3] == (8, 0, 0, 0.0)
+    # all 5 starts of doc 4 are the same gram; union = whole doc, not 5*8
+    assert got[4] == (12, 5, 12, 1.0)
+    assert got[5] == (2, 0, 0, 0.0)
+
+
+def test_duplicated_ngram_spans_plan_shape(spark):
+    """Token-scale work stays in two keyed window exchanges; no
+    self-join / cartesian anywhere."""
+    from reactive_data_pipeline_spark.dedup import duplicated_ngram_spans
+    from reactive_data_pipeline_spark.sources import read_table
+
+    from .conftest import SF_DIR
+
+    df = duplicated_ngram_spans(read_table(spark, SF_DIR, "documents"))
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "Exchange SinglePartition" not in plan, plan
+    assert plan.count("Exchange hashpartitioning") <= 4, plan
