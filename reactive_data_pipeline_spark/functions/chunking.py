@@ -68,6 +68,7 @@ def pack_bins(
     id_col: str = "doc_id",
     idx_col: str = "chunk_idx",
     tok_col: str = "n_tokens",
+    keep_bucket: bool = False,
 ) -> DataFrame:
     """Add ``bin_id``: floor(running token count before this chunk /
     bin_tokens) over a deterministic (doc_id, chunk_idx) order WITHIN a
@@ -93,7 +94,13 @@ def pack_bins(
 
     ``num_buckets=None`` opts into the legacy corpus-global ordered
     window (single-partition ``WindowExec`` - correctness fixtures
-    only, never production)."""
+    only, never production).
+
+    ``keep_bucket=True`` exposes the bucket as a ``bucket`` column so
+    downstream aggregations that decompose by bucket (e.g. the shard
+    manifest, when the shard count divides ``num_buckets``) can run
+    inside the window's existing hash partitioning instead of
+    re-shuffling the chunk set."""
     order = [F.col(id_col), F.col(idx_col)]
     if num_buckets is None:
         w = Window.orderBy(*order)
@@ -115,7 +122,10 @@ def pack_bins(
         F.sum(tok_col).over(w.rowsBetween(Window.unboundedPreceding, -1)), F.lit(0)
     )
     local_bin = F.floor(before / F.lit(bin_tokens))
-    return bucketed.withColumn(
+    packed = bucketed.withColumn(
         "bin_id",
         (local_bin * F.lit(num_buckets) + F.col("__bucket")).cast("long"),
-    ).drop("__bucket")
+    )
+    if keep_bucket:
+        return packed.withColumnRenamed("__bucket", "bucket")
+    return packed.drop("__bucket")

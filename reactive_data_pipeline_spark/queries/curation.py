@@ -352,22 +352,34 @@ _TDP_ORACLE = QUERIES["training_data_pipeline"].oracle
 )
 def training_shards_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The export step's manifest, oracle-checked end-to-end THROUGH the
-    whole pipeline: run training_data_pipeline, assign deterministic
-    bin-residue shards (export.assign_shards), aggregate per-shard
-    chunk/doc/token counts. The filesystem write itself (one sorted
-    writer task per shard + xxhash64 content fingerprint) is exercised
-    in tests/test_export.py - engine-specific hashes stay out of the
-    cross-engine oracle."""
-    from ..export import assign_shards
+    whole pipeline: run the composed pipeline, assign deterministic
+    bin-residue shards (export.assign_shards semantics: shard =
+    bin_id mod 8), aggregate per-shard chunk/doc/token counts.
 
-    chunks = QUERIES["training_data_pipeline"].build(spark, sf_dir)
+    Aggregation is bucket-decomposed: shard = bin_id % 8 =
+    pack_bucket % 8 (8 divides the 32 pack buckets, and every doc's
+    chunks share its bucket), so per-bucket partials - computed INSIDE
+    the pack window's existing hash partitioning, including the
+    distinct-doc count - merge exactly into shard rows. Zero
+    chunk-scale exchanges after packing; the old groupBy(shard) +
+    countDistinct re-shuffled every chunk row on (shard, doc_id). The
+    filesystem write itself (one sorted writer task per shard +
+    xxhash64 content fingerprint) is exercised in tests/test_export.py
+    - engine-specific hashes stay out of the cross-engine oracle."""
+    from .llm import _training_pipeline_packed
+
+    packed = _training_pipeline_packed(spark, sf_dir, keep_bucket=True)
+    per_bucket = packed.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("__nc"),
+        F.countDistinct("doc_id").alias("__nd"),
+        F.sum("n_tokens").alias("__nt"),
+    )
     return (
-        assign_shards(chunks, 8)
-        .groupBy("shard")
+        per_bucket.groupBy(F.pmod("bucket", F.lit(8)).cast("long").alias("shard"))
         .agg(
-            F.count(F.lit(1)).alias("n_chunks"),
-            F.countDistinct("doc_id").alias("n_docs"),
-            F.sum("n_tokens").cast("long").alias("n_tokens"),
+            F.sum("__nc").cast("long").alias("n_chunks"),
+            F.sum("__nd").cast("long").alias("n_docs"),
+            F.sum("__nt").cast("long").alias("n_tokens"),
         )
     )
 

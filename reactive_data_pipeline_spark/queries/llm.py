@@ -841,6 +841,15 @@ def training_data_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     (The near-dup LSH stage would slot between dedup and chunking; its
     hash buckets have no SQL twin, so this composed query keeps the
     exact-dedup form.)"""
+    return _training_pipeline_packed(spark, sf_dir)
+
+
+def _training_pipeline_packed(
+    spark: SparkSession, sf_dir: str, keep_bucket: bool = False
+) -> DataFrame:
+    """The shared quality->lang->dedup->chunk->pack build;
+    ``keep_bucket=True`` exposes the pack bucket for downstream
+    bucket-decomposable aggregation (training_shards_manifest)."""
     from ..functions.chunking import chunk_documents, pack_bins
 
     d = _docs(spark, sf_dir)
@@ -854,7 +863,7 @@ def training_data_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the text in both branches - A/B at sf0.1: 2.3s -> 1.5s.
     deduped = dedup_documents(kept)
     chunks = chunk_documents(deduped, chunk_tokens=32, overlap=8).drop("chunk_text")
-    return pack_bins(chunks, bin_tokens=128)
+    return pack_bins(chunks, bin_tokens=128, keep_bucket=keep_bucket)
 
 
 @register("minhash_dedup_groups", oracle=None, tags=("dedup", "minhash", "components"))

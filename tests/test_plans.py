@@ -97,6 +97,22 @@ def test_training_pipeline_shuffle_budget(spark):
     assert "Exchange SinglePartition" not in plan, plan
 
 
+def test_shards_manifest_avoids_chunk_scale_shuffle(spark):
+    """The manifest decomposes by pack bucket (8 shards divide 32
+    buckets), so Catalyst prunes the pack window entirely - only the
+    dedup keeper window survives - and the distinct-doc count shuffles
+    doc-scale (bucket, doc_id) partials, never chunk rows, with no
+    Expand-based distinct rewrite."""
+    plan = physical_plan(QUERIES["training_shards_manifest"].build(spark, SF_DIR))
+    assert plan.count("Window (") == 1, plan
+    assert "bin_id" not in plan, plan  # pack window pruned entirely
+    assert "Expand" not in plan, plan
+    # dedup keeper + (bucket, doc_id) partials + bucket + 32-row shard
+    # merge; the last three are doc-scale or smaller
+    assert plan.count("hashpartitioning") <= 4, plan
+    assert "SinglePartition" not in plan, plan
+
+
 def test_q8_star_broadcasts_every_dimension(spark):
     """The 8-way market-share star must broadcast all dimension sides -
     the only hash-partitioned exchange allowed is the final year
