@@ -68,3 +68,53 @@ def test_aqe_coalesces_overprovisioned_shuffle(spark):
     plan = physical_plan(agg)
     assert "AQEShuffleRead" in plan, plan
     assert "coalesced" in plan, plan
+
+
+def test_runtime_bloom_filter_prunes_fact_side(spark):
+    """A selective dimension filter on a shuffled join must inject a
+    runtime bloom filter on the fact side (Spark's runtime row-level
+    semi-filter), so fact rows that cannot match die before the
+    exchange - at 100 TB that is the difference between shuffling the
+    whole fact table and shuffling the matching slice. Broadcast joins
+    don't need it (the hash table IS the filter), so the test forces a
+    shuffle join above the broadcast threshold."""
+    li = read_table(spark, SF_DIR, "lineitem")
+    o = read_table(spark, SF_DIR, "orders").filter("o_orderpriority = '1-URGENT'")
+    prior = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": spark.conf.get(
+            "spark.sql.optimizer.runtime.bloomFilter.enabled", "true"
+        ),
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": spark.conf.get(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            "10GB",
+        ),
+        "spark.sql.autoBroadcastJoinThreshold": spark.conf.get(
+            "spark.sql.autoBroadcastJoinThreshold"
+        ),
+    }
+    try:
+        spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+        # sf0.001's fact scan is KB, far under the 10GB application-side
+        # floor that guards against filtering scans too small to matter;
+        # drop it (and the broadcast threshold) so the at-scale plan
+        # shape appears. The creation-side threshold is a MAXIMUM (the
+        # bloom build must stay driver-affordable) and the tiny filtered
+        # dimension is well under the default.
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            "0",
+        )
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        joined = li.join(o, li.l_orderkey == o.o_orderkey).select(
+            "l_orderkey", "l_quantity"
+        )
+        plan = physical_plan(joined)
+        assert "bloomfilter" in plan.lower().replace("_", ""), plan
+        # correctness unaffected by the runtime filter
+        n_filtered = joined.count()
+        spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "false")
+        n_plain = li.join(o, li.l_orderkey == o.o_orderkey).count()
+        assert n_filtered == n_plain
+    finally:
+        for k, v in prior.items():
+            spark.conf.set(k, v)
