@@ -119,3 +119,41 @@ def test_merge_replay_is_noop(spark, tmp_path):
     final = _registry(spark, out).toPandas()
     pd_sort = lambda d: d.sort_values(list(d.columns)).reset_index(drop=True)  # noqa: E731
     assert pd_sort(after_full).equals(pd_sort(final))
+
+
+def test_merge_fails_on_corrupt_registry_instead_of_data_loss(spark, tmp_path):
+    """A transient/corrupt read of a NON-EMPTY registry must fail the
+    micro-batch (checkpoint retries it) - never be treated as 'first
+    batch', which would dynamic-overwrite the touched buckets from the
+    batch alone and silently delete co-bucketed entries."""
+    import pytest
+
+    out = str(tmp_path / "registry")
+    docs = read_table(spark, SF_DIR, "documents").limit(20)
+    updates = exact_dedup_groups(docs)
+    merge_dedup_registry_batch(updates, out)
+    n_before = spark.read.parquet(out).count()
+    assert n_before > 0
+
+    # corrupt every parquet footer under the registry root
+    import glob as _glob
+    import os
+
+    for f in _glob.glob(f"{out}/**/*.parquet", recursive=True):
+        with open(f, "r+b") as fh:
+            fh.seek(0, os.SEEK_END)
+            size = fh.tell()
+            fh.truncate(max(4, size // 2))
+    with pytest.raises(Exception) as exc:
+        merge_dedup_registry_batch(updates, out)
+    # the failure is a read error, not a silent success
+    assert "PATH_NOT_FOUND" not in str(exc.value)
+
+
+def test_merge_bootstraps_only_on_missing_path(spark, tmp_path):
+    """PATH_NOT_FOUND (table genuinely absent) is the one benign case:
+    the merge bootstraps an empty registry and writes the batch."""
+    out = str(tmp_path / "fresh_registry")
+    docs = read_table(spark, SF_DIR, "documents").limit(10)
+    merge_dedup_registry_batch(exact_dedup_groups(docs), out)
+    assert spark.read.parquet(out).count() > 0
