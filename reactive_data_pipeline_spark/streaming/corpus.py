@@ -49,11 +49,10 @@ def ingest_batch(
 ) -> None:
     """Process one arriving micro-batch (the foreachBatch body)."""
     spark = batch.sparkSession
-    fp = batch.withColumn("fingerprint", fingerprint_md5("text"))
     # in-batch dedup first (min-id keeper), then against history
     from ..dedup.exact import dedup_documents
 
-    fresh = dedup_documents(fp.drop("fingerprint")).withColumn(
+    fresh = dedup_documents(batch).withColumn(
         "fingerprint", fingerprint_md5("text")
     )
     # No forced broadcast: the registry grows without bound, so the

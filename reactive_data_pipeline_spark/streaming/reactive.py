@@ -232,19 +232,27 @@ def stream_to_jdbc(
 
     def _sink(batch: DataFrame, batch_id: int) -> None:
         spark = batch.sparkSession
+        # Delete any rows a previous (failed) attempt of this batch
+        # wrote. The only benign skip is the table not existing yet
+        # (first batch) - probed via JDBC metadata, NOT a swallowed
+        # exception: a transient DELETE failure against an existing
+        # table must fail the batch (checkpoint retries), or the replay
+        # appends on top of the earlier partial write and duplicates it.
+        conn = spark._jvm.java.sql.DriverManager.getConnection(url)
         try:
-            # Delete any rows a previous (failed) attempt of this batch
-            # wrote. Raw JDBC through the JVM gateway; ignore the error
-            # the very first batch hits before the table exists.
-            conn = spark._jvm.java.sql.DriverManager.getConnection(url)
-            try:
+            tables = conn.getMetaData().getTables(None, None, "%", None)
+            exists = False
+            while tables.next():
+                if tables.getString("TABLE_NAME").upper() == table.upper():
+                    exists = True
+                    break
+            tables.close()
+            if exists:
                 stmt = conn.createStatement()
                 stmt.executeUpdate(f'DELETE FROM {table} WHERE "_batch_id" = {int(batch_id)}')
                 stmt.close()
-            finally:
-                conn.close()
-        except Exception:
-            pass
+        finally:
+            conn.close()
         write_jdbc(batch.withColumn("_batch_id", F.lit(int(batch_id))), url, table, mode="append")
 
     writer = (
