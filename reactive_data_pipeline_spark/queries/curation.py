@@ -255,6 +255,11 @@ def corpus_ingest_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = corpus_ingest_run(spark, src, reg, shards, ckpt, available_now=True)
     await_finished(q)
     packed = spark.read.parquet(shards)  # partition-discovers ingest_batch
+    return _ingest_manifest_frame(spark, reg, packed)
+
+
+def _ingest_manifest_frame(spark, reg: str, packed: DataFrame) -> DataFrame:
+    """Per-ingest-batch shard manifest + the global registry size."""
     n_reg = spark.read.parquet(reg).agg(
         F.count(F.lit(1)).cast("long").alias("n_registered")
     )
@@ -266,9 +271,146 @@ def corpus_ingest_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_tokens").cast("long").alias("n_tokens"),
         F.countDistinct("bin_id").alias("n_bins"),
     )
-    # 1-row x 1-row: broadcast nested-loop of two aggregates, not a
+    # 1-row x N-row: broadcast nested-loop of a 1-row aggregate, not a
     # data-sized cartesian.
     return manifest.crossJoin(F.broadcast(n_reg))
+
+
+def _ingest_kept_sql(src: str) -> str:
+    """DuckDB fragment: the ingest quality+language gate over a CTE with
+    (doc_id, text, norm) columns -> (doc_id, norm) survivors."""
+    return f"""
+      SELECT doc_id, norm FROM (
+        SELECT doc_id, norm,
+               round(least(1.0, CAST(len(string_split(norm, ' ')) AS DOUBLE) / 50.0) * 0.5
+                     + least(1.0, (CAST({_stop_sql('en')} AS DOUBLE)
+                                   / len(string_split(norm, ' '))) * 5.0) * 0.3
+                     + (1.0 - least(1.0, (CAST(len(regexp_extract_all(text, '{TX.PUNCT_CLASS}')) AS DOUBLE)
+                                          / length(text)) * 10.0)) * 0.2, 6) AS quality,
+               {_stop_sql('en')} AS s_en, {_stop_sql('es')} AS s_es,
+               {_stop_sql('fr')} AS s_fr, {_stop_sql('de')} AS s_de
+        FROM {src}
+      )
+      WHERE quality >= 0.5 AND s_en > 0
+        AND s_en = greatest(s_en, s_es, s_fr, s_de)
+    """
+
+
+def _ingest_pack_sql(kept: str) -> str:
+    """DuckDB fragment: chunk + bucket-pack the (doc_id, norm)
+    survivors of one ingest batch (32/8 chunking, 128-token bins,
+    bucket = doc_id % 32)."""
+    return f"""
+      SELECT doc_id, n_tokens,
+             CAST(floor(COALESCE(SUM(n_tokens) OVER (
+               PARTITION BY doc_id % 32
+               ORDER BY doc_id, chunk_idx
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 128.0) AS BIGINT)
+               * 32 + (doc_id % 32) AS bin_id
+      FROM (
+        SELECT doc_id, chunk_idx,
+               len(t[chunk_idx * 24 + 1 : chunk_idx * 24 + 32]) AS n_tokens
+        FROM (
+          SELECT doc_id, t,
+                 unnest(generate_series(
+                   0, CAST(greatest(ceil((len(t) - 8) / 24.0), 1) AS INT) - 1)) AS chunk_idx
+          FROM (SELECT doc_id, string_split(norm, ' ') AS t FROM {kept})
+        )
+      )
+    """
+
+
+def _ingest_manifest_row_sql(batch_id: int, packed: str) -> str:
+    return f"""
+      SELECT CAST({batch_id} AS BIGINT) AS ingest_batch,
+             CAST(COUNT(*) AS BIGINT) AS n_chunks,
+             CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+             CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+             CAST(COUNT(DISTINCT bin_id) AS BIGINT) AS n_bins
+      FROM {packed}
+    """
+
+
+@register(
+    "corpus_ingest_incremental",
+    oracle=f"""
+    WITH a_dedup AS (
+      SELECT doc_id, text, norm FROM (
+        SELECT doc_id, text, norm,
+               MIN(doc_id) OVER (PARTITION BY norm) AS keeper
+        FROM (SELECT doc_id, text, {_NORM} AS norm FROM documents
+              WHERE doc_id % 2 = 0)
+      ) WHERE doc_id = keeper
+    ),
+    b_dedup AS (
+      SELECT doc_id, text, norm FROM (
+        SELECT doc_id, text, norm,
+               MIN(doc_id) OVER (PARTITION BY norm) AS keeper
+        FROM (SELECT doc_id, text, {_NORM} AS norm FROM documents
+              WHERE doc_id % 2 = 1)
+      ) WHERE doc_id = keeper
+    ),
+    b_fresh AS (
+      SELECT * FROM b_dedup WHERE norm NOT IN (SELECT norm FROM a_dedup)
+    ),
+    a_kept AS ({{A_KEPT}}),
+    b_kept AS ({{B_KEPT}}),
+    a_packed AS ({{A_PACK}}),
+    b_packed AS ({{B_PACK}}),
+    reg AS (
+      SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM a_dedup)
+             + (SELECT CAST(COUNT(*) AS BIGINT) FROM b_fresh) AS n_registered
+    )
+    SELECT m.*, reg.n_registered FROM (
+      {{ROW0}}
+      UNION ALL
+      {{ROW1}}
+    ) m, reg
+    """.replace("{A_KEPT}", _ingest_kept_sql("a_dedup"))
+    .replace("{B_KEPT}", _ingest_kept_sql("b_fresh"))
+    .replace("{A_PACK}", _ingest_pack_sql("a_kept"))
+    .replace("{B_PACK}", _ingest_pack_sql("b_kept"))
+    .replace("{ROW0}", _ingest_manifest_row_sql(0, "a_packed"))
+    .replace("{ROW1}", _ingest_manifest_row_sql(1, "b_packed")),
+    tags=("dedup", "streaming", "curation", "export"),
+)
+def corpus_ingest_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The INCREMENTAL half of the reactive corpus ingest under the
+    value hash: two deterministic arrival waves (even doc_ids, then
+    odd, forced into separate micro-batches via mtime ordering +
+    maxFilesPerTrigger=1), so batch 1 exercises the registry ANTI-JOIN
+    against a NON-EMPTY registry - the path the single-batch
+    corpus_ingest_manifest cannot reach. The oracle recomputes both
+    waves batch-side: wave-B survivors are wave-B's in-batch keepers
+    whose normalized content wave A did not already register. A
+    replay/anti-join bug (e.g. re-exporting already-seen content)
+    shifts batch 1's chunk/doc/token counts off the oracle's and fails
+    the hash."""
+    import glob
+    import os
+    import shutil
+    import tempfile
+
+    from ..streaming import await_finished, corpus_ingest_run
+
+    work = tempfile.mkdtemp(prefix="corpus_incr_")
+    reg, shards, ckpt = f"{work}/registry", f"{work}/shards", f"{work}/ckpt"
+    src = f"{work}/docs_in"
+    os.mkdir(src)
+    docs = read_table(spark, sf_dir, "documents")
+    for tag, residue, mtime in (("a", 0, 1_000_000_000), ("b", 1, 2_000_000_000)):
+        half_dir = f"{work}/half_{tag}"
+        docs.filter(F.col("doc_id") % 2 == residue).coalesce(1).write.parquet(half_dir)
+        part = glob.glob(f"{half_dir}/part-*.parquet")[0]
+        dst = f"{src}/{tag}.parquet"
+        shutil.move(part, dst)
+        # FileStreamSource orders by (modification time, path): pin it.
+        os.utime(dst, (mtime, mtime))
+    q = corpus_ingest_run(
+        spark, src, reg, shards, ckpt, available_now=True, max_files_per_trigger=1
+    )
+    await_finished(q)
+    return _ingest_manifest_frame(spark, reg, spark.read.parquet(shards))
 
 
 @register(

@@ -95,9 +95,15 @@ def corpus_ingest_run(
     shards_root: str,
     checkpoint: str,
     available_now: bool = True,
+    max_files_per_trigger: int | None = None,
 ) -> StreamingQuery:
-    """File-stream ``src_dir`` documents through ``ingest_batch``."""
-    docs = read_stream(spark, src_dir, "documents")
+    """File-stream ``src_dir`` documents through ``ingest_batch``.
+    ``max_files_per_trigger=1`` makes each arriving file its own
+    micro-batch (deterministic batch boundaries for the incremental
+    contract query; availableNow still drains everything)."""
+    docs = read_stream(
+        spark, src_dir, "documents", max_files_per_trigger=max_files_per_trigger
+    )
     writer = docs.writeStream.foreachBatch(
         lambda b, i: ingest_batch(b, i, registry_path, shards_root)
     ).option("checkpointLocation", checkpoint)
