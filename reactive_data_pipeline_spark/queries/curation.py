@@ -386,31 +386,120 @@ def corpus_ingest_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     replay/anti-join bug (e.g. re-exporting already-seen content)
     shifts batch 1's chunk/doc/token counts off the oracle's and fails
     the hash."""
-    import glob
-    import os
-    import shutil
     import tempfile
 
     from ..streaming import await_finished, corpus_ingest_run
 
     work = tempfile.mkdtemp(prefix="corpus_incr_")
     reg, shards, ckpt = f"{work}/registry", f"{work}/shards", f"{work}/ckpt"
+    src = _write_two_waves(read_table(spark, sf_dir, "documents"), work)
+    q = corpus_ingest_run(
+        spark, src, reg, shards, ckpt, available_now=True, max_files_per_trigger=1
+    )
+    await_finished(q)
+    return _ingest_manifest_frame(spark, reg, spark.read.parquet(shards))
+
+
+def _write_two_waves(docs: DataFrame, work: str) -> str:
+    """Materialize ``docs`` as two single-file arrival waves (even
+    doc_ids then odd) whose modification times pin the FileStreamSource
+    order; with maxFilesPerTrigger=1 each wave is its own micro-batch.
+    Returns the stream source directory."""
+    import glob
+    import os
+    import shutil
+
     src = f"{work}/docs_in"
     os.mkdir(src)
-    docs = read_table(spark, sf_dir, "documents")
     for tag, residue, mtime in (("a", 0, 1_000_000_000), ("b", 1, 2_000_000_000)):
         half_dir = f"{work}/half_{tag}"
         docs.filter(F.col("doc_id") % 2 == residue).coalesce(1).write.parquet(half_dir)
         part = glob.glob(f"{half_dir}/part-*.parquet")[0]
         dst = f"{src}/{tag}.parquet"
         shutil.move(part, dst)
-        # FileStreamSource orders by (modification time, path): pin it.
         os.utime(dst, (mtime, mtime))
-    q = corpus_ingest_run(
-        spark, src, reg, shards, ckpt, available_now=True, max_files_per_trigger=1
+    return src
+
+
+@register(
+    "streaming_neardup_contract",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+    grams AS (
+      SELECT doc_id,
+             list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+                            FOR i IN generate_series(1, len(t) - 2)]) AS g
+      FROM toks
+    ),
+    exact AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM grams a JOIN grams b ON a.doc_id < b.doc_id
+      WHERE CAST(len(list_intersect(a.g, b.g)) AS DOUBLE)
+              / (len(a.g) + len(b.g) - len(list_intersect(a.g, b.g))) >= 0.5
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_exact_pairs,
+           TRUE AS equals_batch_twin,
+           TRUE AS meets_recall_floor,
+           TRUE AS meets_precision_floor
+    FROM exact
+    """,
+    tags=("dedup", "simhash", "streaming", "contract"),
+)
+def streaming_neardup_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The streaming NEAR-dup registry (streaming/neardup.py) under the
+    recall-contract hash: documents arrive in two forced waves
+    (mtime-ordered files + maxFilesPerTrigger=1), so wave B's pairs mix
+    in-batch candidates with registry probes against wave A. The
+    contract emits (1) exact stream==batch pair-set equality against
+    the batch simhash operator - deterministic by construction, both
+    engine-side - and (2) the same recall/precision floors as
+    simhash_recall_contract against the trigram-Jaccard >= 0.5 ground
+    truth, whose ``n_exact_pairs`` the ORACLE recomputes in DuckDB. A
+    broken registry probe, banding, replay guard or verification stage
+    flips a boolean or shifts the anchored count and fails the hash."""
+    import tempfile
+
+    from ..dedup import simhash_near_pairs
+    from ..dedup.ngram import ngram_jaccard_pairs
+    from ..streaming import (
+        await_finished,
+        read_neardup_pairs,
+        streaming_neardup_run,
+    )
+
+    work = tempfile.mkdtemp(prefix="stream_neardup_")
+    reg, pairs_root, ckpt = f"{work}/registry", f"{work}/pairs", f"{work}/ckpt"
+    docs = read_table(spark, sf_dir, "documents")
+    src = _write_two_waves(docs, work)
+    q = streaming_neardup_run(
+        spark, src, reg, pairs_root, ckpt,
+        available_now=True, max_files_per_trigger=1,
     )
     await_finished(q)
-    return _ingest_manifest_frame(spark, reg, spark.read.parquet(shards))
+    streamed = read_neardup_pairs(spark, pairs_root).select("doc_a", "doc_b")
+    batch = simhash_near_pairs(docs, max_hamming=3).select("doc_a", "doc_b")
+    exact = ngram_jaccard_pairs(docs, n=3, threshold=0.5).select("doc_a", "doc_b")
+    n_exact = exact.agg(F.count(F.lit(1)).alias("n_exact_pairs"))
+    n_stream = streamed.agg(F.count(F.lit(1)).alias("__n_s"))
+    only_stream = streamed.exceptAll(batch).agg(F.count(F.lit(1)).alias("__d1"))
+    only_batch = batch.exceptAll(streamed).agg(F.count(F.lit(1)).alias("__d2"))
+    hits = streamed.join(exact, ["doc_a", "doc_b"], "left_semi").agg(
+        F.count(F.lit(1)).alias("__hits")
+    )
+    return (
+        n_exact.crossJoin(F.broadcast(n_stream))
+        .crossJoin(F.broadcast(only_stream))
+        .crossJoin(F.broadcast(only_batch))
+        .crossJoin(F.broadcast(hits))
+        .select(
+            "n_exact_pairs",
+            ((F.col("__d1") == 0) & (F.col("__d2") == 0)).alias("equals_batch_twin"),
+            (F.col("__hits") >= 0.5 * F.col("n_exact_pairs")).alias(
+                "meets_recall_floor"
+            ),
+            (F.col("__hits") >= 0.5 * F.col("__n_s")).alias("meets_precision_floor"),
+        )
+    )
 
 
 @register(

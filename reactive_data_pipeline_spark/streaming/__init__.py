@@ -30,10 +30,18 @@ from .sessions import sessionize_stream, latest_sessions
 from .totals import user_totals_stream, user_totals_run, latest_totals
 from .join import click_purchase_pairs, stream_join_run
 from .merge_util import await_finished, existing_or_empty
+from .neardup import (
+    neardup_registry_batch,
+    read_neardup_pairs,
+    streaming_neardup_run,
+)
 
 __all__ = [
     "await_finished",
     "existing_or_empty",
+    "neardup_registry_batch",
+    "read_neardup_pairs",
+    "streaming_neardup_run",
     "click_purchase_pairs",
     "stream_join_run",
     "sessionize_stream",
