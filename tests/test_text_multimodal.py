@@ -215,6 +215,33 @@ def test_pack_bins_running_sum_rule(spark):
     assert got == {(1, 0): 1, (1, 1): 1, (2, 0): 2, (2, 1): 2}
 
 
+def test_pack_bins_custom_bucket_expr(spark):
+    """The production bucket_col override (e.g. xxhash64 residue for
+    string/skewed ids) must drive both the partitioning and the
+    composite id, with the same within-bucket running-sum rule."""
+    from pyspark.sql import functions as F
+
+    from reactive_data_pipeline_spark.functions.chunking import pack_bins
+
+    rows = [(d, i, 40) for d in range(40) for i in range(2)]
+    chunks = spark.createDataFrame(rows, "doc_id long, chunk_idx long, n_tokens long")
+    bucket = F.pmod(F.xxhash64("doc_id"), F.lit(16))
+    packed = pack_bins(
+        chunks, bin_tokens=100, num_buckets=16, bucket_col=bucket
+    ).collect()
+    # recompute the expected bucket Spark-side and verify the rule
+    bmap = {
+        r.doc_id: r.b
+        for r in chunks.select("doc_id", bucket.alias("b")).distinct().collect()
+    }
+    by_bucket = {}
+    for r in sorted(packed, key=lambda r: (r.doc_id, r.chunk_idx)):
+        b = bmap[r.doc_id]
+        run = by_bucket.get(b, 0)
+        assert r.bin_id == (run // 100) * 16 + b, (r, b, run)
+        by_bucket[b] = run + r.n_tokens
+
+
 def test_pack_bins_bucketed_matches_global_rule_per_bucket(spark):
     """The bucketed default's local running-sum rule is exactly the
     global rule applied to each residue class; bin ids never collide
