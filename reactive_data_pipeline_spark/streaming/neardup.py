@@ -23,13 +23,15 @@ something we already hold". Per micro-batch:
    normalized pairs into the same overwritten directory).
 
 Scale: the registry holds 4 band rows of ~32 bytes per document -
-O(corpus) metadata around 1e-4 of the text size. Each trigger shuffles
-only the batch's band keys against the registry's (AQE picks broadcast
-while the registry is small, shuffled-hash later; at scale the
-registry is written bucketed by band value so the probe co-locates).
-Stream==batch equivalence is BY CONSTRUCTION (same candidate
-generation, same verification), pinned in
-tests/test_streaming_neardup.py and hash-checked by the
+O(corpus) metadata around 1e-4 of the text size - PARTITIONED by a
+band-value hash bucket, and every trigger reads ONLY the buckets the
+batch's own band keys hash into (a trickle batch touches a few
+buckets, not the corpus; the two registry consumers - candidate probe
+and doc_id replay guard - both only need rows co-bucketed with the
+batch, see ``neardup_registry_batch``). AQE picks broadcast while the
+pruned slice is small, shuffled-hash later. Stream==batch equivalence
+is BY CONSTRUCTION (same candidate generation, same verification),
+pinned in tests/test_streaming_neardup.py and hash-checked by the
 ``streaming_neardup_contract`` catalog query.
 """
 
@@ -43,7 +45,10 @@ from ..dedup.simhash import _BAND_BITS, _BANDS, simhash_docs
 from ..sources.registry import read_stream
 from .merge_util import existing_or_empty
 
-NEARDUP_REGISTRY_SCHEMA = "doc_id long, simhash long, band int, bv long"
+NEARDUP_REGISTRY_SCHEMA = (
+    "doc_id long, simhash long, band int, bv long, rbucket long"
+)
+REGISTRY_BUCKETS = 64
 
 
 def _band_rows(sh: DataFrame) -> DataFrame:
@@ -101,15 +106,25 @@ def neardup_registry_batch(
 ) -> None:
     """Process one arriving micro-batch (the foreachBatch body)."""
     spark = batch.sparkSession
-    bands = _band_rows(simhash_docs(batch)).persist()
+    bands = _band_rows(simhash_docs(batch)).withColumn(
+        "rbucket", F.pmod("bv", F.lit(REGISTRY_BUCKETS))
+    ).persist()
     try:
+        # Partition-pruned registry read: the candidate probe only
+        # needs rows whose (band, bv) the batch can match, and the
+        # replay guard only needs to recognize this batch's own docs -
+        # a replayed doc's band rows live in exactly the buckets the
+        # replay recomputes. Both live in the batch's bucket set
+        # (bounded collect: <= REGISTRY_BUCKETS values).
+        touched = [r["rbucket"] for r in bands.select("rbucket").distinct().collect()]
         seen = existing_or_empty(
-            spark, registry_path, schema=NEARDUP_REGISTRY_SCHEMA
+            spark,
+            registry_path,
+            schema=NEARDUP_REGISTRY_SCHEMA,
+            prune=F.col("rbucket").isin(touched),
         )
         fresh = bands.join(seen.select("doc_id").distinct(), "doc_id", "left_anti")
-        internal = _verified_pairs(
-            bands, bands, max_hamming
-        )
+        internal = _verified_pairs(bands, bands, max_hamming)
         cross = _verified_pairs(bands, seen, max_hamming)
         pairs = internal.unionByName(cross).distinct()
         # pairs FIRST (idempotent batch-dir overwrite), registry LAST -
@@ -117,7 +132,7 @@ def neardup_registry_batch(
         pairs.write.mode("overwrite").parquet(
             f"{pairs_root}/ingest_batch={int(batch_id)}"
         )
-        fresh.write.mode("append").parquet(registry_path)
+        fresh.write.partitionBy("rbucket").mode("append").parquet(registry_path)
     finally:
         bands.unpersist()
 
