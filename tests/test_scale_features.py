@@ -118,3 +118,47 @@ def test_runtime_bloom_filter_prunes_fact_side(spark):
     finally:
         for k, v in prior.items():
             spark.conf.set(k, v)
+
+
+def test_schema_evolution_merge(spark, tmp_path):
+    """A corpus dataset evolves: later files carry a new column. The
+    reader must surface the superset schema with nulls for old files -
+    re-writing 100 TB to add a column is not an option."""
+    p = str(tmp_path / "evolving")
+    spark.createDataFrame(
+        [(1, "alpha")], "doc_id long, text string"
+    ).write.parquet(p)
+    spark.createDataFrame(
+        [(2, "beta", "en")], "doc_id long, text string, lang string"
+    ).write.mode("append").parquet(p)
+    merged = spark.read.option("mergeSchema", "true").parquet(p)
+    assert set(merged.columns) == {"doc_id", "text", "lang"}
+    rows = {r.doc_id: r.lang for r in merged.collect()}
+    assert rows == {1: None, 2: "en"}
+
+
+def test_ignore_corrupt_files_skips_bad_parquet(spark, tmp_path):
+    """One corrupt file among thousands must not kill a corpus scan
+    when the pipeline opts into ignoreCorruptFiles; with the option off
+    the same scan must fail loudly (silent skipping is never the
+    default)."""
+    import pytest
+
+    p = tmp_path / "mixed"
+    p.mkdir()
+    spark.createDataFrame([(1, "ok")], "doc_id long, text string").coalesce(
+        1
+    ).write.parquet(str(p / "good"))
+    (p / "bad" ).mkdir()
+    (p / "bad" / "part-corrupt.parquet").write_bytes(b"PAR1 this is not parquet")
+    paths = [str(p / "good"), str(p / "bad")]
+    prior = spark.conf.get("spark.sql.files.ignoreCorruptFiles", "false")
+    try:
+        spark.conf.set("spark.sql.files.ignoreCorruptFiles", "true")
+        got = spark.read.schema("doc_id long, text string").parquet(*paths).collect()
+        assert [(r.doc_id, r.text) for r in got] == [(1, "ok")]
+        spark.conf.set("spark.sql.files.ignoreCorruptFiles", "false")
+        with pytest.raises(Exception):
+            spark.read.schema("doc_id long, text string").parquet(*paths).collect()
+    finally:
+        spark.conf.set("spark.sql.files.ignoreCorruptFiles", prior)
