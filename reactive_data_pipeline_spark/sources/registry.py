@@ -220,6 +220,7 @@ def compact_dataset(
     path: str,
     out_path: str | None = None,
     target_bytes: int = 128 * 1024 * 1024,
+    partition_by: list[str] | None = None,
 ) -> int:
     """Compact a small-files parquet dataset to ~``target_bytes`` files.
 
@@ -230,7 +231,13 @@ def compact_dataset(
     repartition: no shuffle, readers merge input splits. Returns the new
     file count. In-place compaction writes to ``<path>.__compact``
     then swaps; pass ``out_path`` to keep the original.
-    """
+
+    ``partition_by`` preserves a Hive-partitioned layout (e.g. the
+    streaming registries' hash-bucket dirs, whose partition-pruned
+    reads would break under a flat rewrite): rows re-cluster per
+    partition value (one shuffle - unavoidable to merge a partition's
+    files into one) and land back under the same ``col=value``
+    directories, ~one file per partition."""
     import math
     import os
     import shutil
@@ -243,7 +250,16 @@ def compact_dataset(
     )
     n_files = max(1, math.ceil(total / target_bytes))
     dest = out_path or f"{path}.__compact"
-    spark.read.parquet(path).coalesce(n_files).write.mode("overwrite").parquet(dest)
+    df = spark.read.parquet(path)
+    if partition_by:
+        (
+            df.repartition(*[F.col(c) for c in partition_by])
+            .write.partitionBy(*partition_by)
+            .mode("overwrite")
+            .parquet(dest)
+        )
+    else:
+        df.coalesce(n_files).write.mode("overwrite").parquet(dest)
     if out_path is None:
         shutil.rmtree(path)
         os.rename(dest, path)

@@ -1,8 +1,9 @@
 """At-scale execution features the 100 TB design leans on, asserted
 locally: dynamic partition pruning (the star-schema join must skip fact
 partitions the dimension filter rules out), AQE shuffle coalescing (the
-runtime must shrink over-provisioned shuffle partitions), and the ORC
-connector round-trip.
+runtime must shrink over-provisioned shuffle partitions), runtime
+bloom-filter join pruning, schema evolution via mergeSchema,
+corrupt-file tolerance, and the ORC connector round-trip.
 
 The reference has none of these concerns (single SQLite file,
 `/root/reference/dagster_repository/resources.py`); they exist because

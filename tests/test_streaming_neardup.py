@@ -56,3 +56,29 @@ def test_batch_replay_is_noop(spark, tmp_path):
     assert spark.read.parquet(reg).count() == n_reg_before
     # and the two-wave union still equals the batch operator
     assert before == _pairs_set(simhash_near_pairs(docs, max_hamming=3))
+
+
+def test_registry_compaction_preserves_pruned_layout(spark, tmp_path):
+    """Per-trigger appends accumulate small files inside the registry's
+    hash-bucket partitions; layout-preserving compaction must merge
+    them while keeping the bucket directories (and therefore the
+    pruned probe) intact."""
+    import glob
+
+    from reactive_data_pipeline_spark.sources.registry import compact_dataset
+
+    reg = str(tmp_path / "registry")
+    pairs = str(tmp_path / "pairs")
+    docs = read_table(spark, SF_DIR, "documents")
+    for i in range(3):
+        neardup_registry_batch(docs.filter(F.col("doc_id") % 3 == i), i, reg, pairs)
+    before = {
+        tuple(r) for r in spark.read.parquet(reg).collect()
+    }
+    n_before = len(glob.glob(f"{reg}/rbucket=*/*.parquet"))
+    compact_dataset(spark, reg, partition_by=["rbucket"])
+    n_after = len(glob.glob(f"{reg}/rbucket=*/*.parquet"))
+    assert n_after < n_before
+    assert glob.glob(f"{reg}/rbucket=*"), "bucket dirs must survive"
+    after = {tuple(r) for r in spark.read.parquet(reg).collect()}
+    assert after == before
