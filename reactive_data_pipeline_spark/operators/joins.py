@@ -100,3 +100,51 @@ def asof_join(
         )
     )
     return out
+
+
+def interval_bucket_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    on: str,
+    ts: str,
+    start: str,
+    end: str,
+    bucket_seconds: int = 3600,
+) -> DataFrame:
+    """Point-in-interval join as a keyed EQUI join - the shape that
+    replaces a broadcast-nested-loop range join once neither side fits
+    in a broadcast.
+
+    Each interval explodes into the coarse time buckets it covers
+    (``floor(epoch/W)`` for W=``bucket_seconds``); each point computes
+    its single bucket; the join becomes equi on (key, bucket) with the
+    exact ``start <= ts <= end`` predicate left as a residual filter.
+    A point has exactly one bucket, so no dedup is needed. Cost: one
+    hash shuffle per side keyed (key, bucket) - scales like any equi
+    join - plus interval-side row expansion of ceil(len/W)+1, so pick W
+    near the typical interval length (expansion <= ~2-3x). Intervals
+    orders of magnitude longer than W belong in a separate broadcast
+    leg; this operator targets the short-interval bulk (attribution
+    windows, sessions, validity ranges).
+
+    Output: all point columns + all interval payload columns (the
+    interval's key column is dropped; ``start``/``end`` are kept).
+    """
+    bucket_us = int(bucket_seconds) * 1_000_000
+
+    def _bucket(c: str) -> Column:
+        return F.floor(
+            F.unix_micros(F.col(c).cast("timestamp")) / F.lit(bucket_us)
+        ).cast("long")
+
+    ipayload = [c for c in intervals.columns if c != on]
+    iv = intervals.select(
+        F.col(on),
+        *ipayload,
+        F.explode(F.sequence(_bucket(start), _bucket(end))).alias("__bucket"),
+    )
+    pt = points.withColumn("__bucket", _bucket(ts))
+    joined = pt.join(iv, [on, "__bucket"]).filter(
+        (F.col(ts) >= F.col(start)) & (F.col(ts) <= F.col(end))
+    )
+    return joined.drop("__bucket")

@@ -1,0 +1,413 @@
+"""Round-4 LLM-pipeline catalog additions: nearest-centroid routing,
+Bloom-filter decontamination (the fixed-size broadcast scale path),
+temperature-scaled domain mixing, and the cogrouped-pandas as-of twin.
+
+Same determinism rules as queries/llm.py: decimal-exact summation
+wherever float addition order could differ between engines, IEEE-exact
+``sqrt`` instead of ``pow`` (pow is not correctly-rounded and may differ
+in the last ulp between libm and java.lang.Math), rounding before every
+argmax/tie-break, and aliases identical on both sides.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.bloom import bloom_build, bloom_might_contain
+from ..functions.curation import stratified_keep
+from ..operators.cogroup import asof_join_cogroup
+from ..similarity.centroid import label_centroids, nearest_centroid
+from ..sources import read_table
+from . import register
+from .llm import _cos_sql, _emb
+
+# ---------------------------------------------------------------------------
+# Nearest-centroid assignment (classification / cluster routing)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "nearest_centroid_confusion",
+    oracle=f"""
+    WITH comp AS (
+      SELECT label, pos, CAST(embedding[pos] AS DOUBLE) AS v
+      FROM (SELECT label, embedding,
+                   unnest(generate_series(1, len(embedding))) AS pos
+            FROM embeddings)
+    ),
+    cent AS (
+      SELECT label, pos,
+             CAST(SUM(CAST(v AS DECIMAL(38,12))) AS DOUBLE)/COUNT(*) AS c
+      FROM comp GROUP BY label, pos
+    ),
+    cvecs AS (SELECT label AS cand_label, list(c ORDER BY pos) AS cvec
+              FROM cent GROUP BY label),
+    scored AS (
+      SELECT e.vec_id, e.label AS true_label, c.cand_label,
+             round({_cos_sql('e.embedding', 'c.cvec')}, 6) AS cos
+      FROM embeddings e CROSS JOIN cvecs c
+    ),
+    assigned AS (
+      SELECT vec_id, true_label, cand_label, cos,
+             ROW_NUMBER() OVER (PARTITION BY vec_id
+                                ORDER BY cos DESC, cand_label) AS rn
+      FROM scored
+    )
+    SELECT true_label, cand_label AS assigned_label,
+           CAST(COUNT(*) AS BIGINT) AS n_vecs,
+           round(CAST(SUM(CAST(cos AS DECIMAL(18,6))) AS DOUBLE)/COUNT(*), 6)
+             AS avg_cos
+    FROM assigned WHERE rn = 1 GROUP BY true_label, cand_label
+    """,
+    tags=("similarity", "classification"),
+)
+def nearest_centroid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Route every vector to its nearest label centroid and emit the
+    confusion matrix (true_label x assigned_label counts + mean cosine).
+    Centroids are decimal-exact component means (one combined shuffle,
+    size labels x dim); assignment is a broadcast scan + map-combined
+    ``min_by`` argmax - the corpus never shuffles (similarity.centroid).
+    """
+    emb = _emb(spark, sf_dir)
+    assigned = nearest_centroid(emb, label_centroids(emb))
+    return assigned.groupBy("true_label", "assigned_label").agg(
+        F.count(F.lit(1)).cast("long").alias("n_vecs"),
+        F.round(
+            F.sum(F.col("cos_sim").cast("decimal(18,6)")).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("avg_cos"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Bloom-filter decontamination (fixed-size broadcast scale path)
+# ---------------------------------------------------------------------------
+
+_BLOOM_BITS = 1 << 20
+_BLOOM_K = 5
+
+#: DuckDB twin of dedup.ngram.token_ngrams(text, 3) over normalized text
+#: (mirrors queries/curation.py's _GRAMS3 but inlined with its toks CTE).
+_TOKS_SQL = r"string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')"
+_GRAMS3_SQL = (
+    "list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2] "
+    "FOR i IN generate_series(1, len(t) - 2)])"
+)
+
+
+@register(
+    "bloom_decontam_contract",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, {_TOKS_SQL} AS t FROM documents),
+    grams AS (SELECT doc_id, {_GRAMS3_SQL} AS g FROM toks),
+    bench AS (SELECT DISTINCT unnest(g) AS gram FROM grams WHERE doc_id % 50 = 0),
+    corpus AS (SELECT doc_id, unnest(g) AS gram FROM grams WHERE doc_id % 50 <> 0),
+    truth AS (
+      SELECT DISTINCT corpus.doc_id
+      FROM corpus JOIN bench ON corpus.gram = bench.gram
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_true_contaminated,
+           CAST(COALESCE(SUM(doc_id), 0) AS BIGINT) AS true_doc_id_sum,
+           CAST(0 AS BIGINT) AS n_missed,
+           TRUE AS fp_rate_ok
+    FROM truth
+    """,
+    tags=("curation", "contamination", "bloom", "contract"),
+)
+def bloom_decontam_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Bloom-filter decontamination gate as a hash-checked contract
+    (minhash_recall_contract's pattern): build a 2^20-bit / k=5 filter
+    over the eval suite's distinct trigrams (docs with doc_id%50==0
+    stand in for the benchmark), flag every corpus doc with any
+    might-contain gram, and compare against the EXACT broadcast-join
+    ground truth. A Bloom filter admits no false negatives, so
+    ``n_missed`` (truly-contaminated docs the filter failed to flag)
+    must be 0 by construction, and ``fp_rate_ok`` pins the
+    false-positive overhead under 1% of clean docs - both recomputed
+    here while the oracle recomputes the exact contaminated set and its
+    id-sum checksum.
+
+    Scale: the filter is CONSTANT-size (128 KB here; size bits ~ 10x
+    eval grams) however large the eval suite's text grows, and the probe
+    is a JVM forall over each doc's grams - no shuffle, no UDF, no
+    per-executor copy of the gram strings (functions/bloom.py).
+    """
+    from ..dedup.ngram import token_ngrams
+    from .llm import _docs
+
+    d = _docs(spark, sf_dir)
+    bench = d.filter(F.col("doc_id") % 50 == 0)
+    corpus = d.filter(F.col("doc_id") % 50 != 0)
+
+    bench_grams = bench.select(
+        F.explode(token_ngrams("text", 3)).alias("gram")
+    ).distinct()
+    bf = bloom_build(bench_grams, "gram", num_bits=_BLOOM_BITS, k=_BLOOM_K)
+
+    corpus_grams = corpus.select(
+        "doc_id", F.explode(token_ngrams("text", 3)).alias("gram")
+    )
+    flagged = (
+        corpus_grams.crossJoin(F.broadcast(bf))
+        .filter(
+            bloom_might_contain(
+                "bloom_words", "gram", num_bits=_BLOOM_BITS, k=_BLOOM_K
+            )
+        )
+        .select("doc_id")
+        .distinct()
+    )
+    truth = (
+        corpus_grams.join(F.broadcast(bench_grams), "gram", "left_semi")
+        .select("doc_id")
+        .distinct()
+    )
+
+    t = truth.agg(
+        F.count(F.lit(1)).cast("long").alias("n_true_contaminated"),
+        F.coalesce(F.sum("doc_id"), F.lit(0)).cast("long").alias("true_doc_id_sum"),
+    )
+    missed = truth.join(flagged, "doc_id", "left_anti").agg(
+        F.count(F.lit(1)).cast("long").alias("n_missed")
+    )
+    n_corpus = corpus.agg(F.count(F.lit(1)).alias("__n_corpus"))
+    fp_cnt = flagged.join(truth, "doc_id", "left_anti").agg(
+        F.count(F.lit(1)).alias("__n_fp")
+    )
+    # fp docs <= max(1, 1% of clean docs), evaluated lazily in-plan.
+    return (
+        t.crossJoin(F.broadcast(missed))
+        .crossJoin(F.broadcast(fp_cnt))
+        .crossJoin(F.broadcast(n_corpus))
+        .select(
+            "n_true_contaminated",
+            "true_doc_id_sum",
+            "n_missed",
+            (
+                F.col("__n_fp")
+                <= F.greatest(
+                    F.lit(1).cast("long"),
+                    F.floor(
+                        (F.col("__n_corpus") - F.col("n_true_contaminated")) * 0.01
+                    ),
+                )
+            ).alias("fp_rate_ok"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Temperature-scaled domain mixing
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "temperature_mix_rates",
+    oracle="""
+    WITH stats AS (SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY source),
+    tot AS (SELECT SUM(n_docs) AS n FROM stats),
+    w AS (
+      SELECT source, n_docs,
+             round(sqrt(CAST(n_docs AS DOUBLE) / n), 12) AS wgt, n
+      FROM stats, tot
+    ),
+    wtot AS (SELECT CAST(SUM(CAST(wgt AS DECIMAL(38,12))) AS DOUBLE) AS wsum FROM w),
+    rates AS (
+      SELECT source, n_docs,
+             round(wgt / wsum, 6) AS mix_share,
+             round(least(1.0, (wgt / wsum) * n * 0.5 / n_docs), 6) AS target_rate,
+             least(1.0, (wgt / wsum) * n * 0.5 / n_docs) AS rate_raw
+      FROM w, wtot
+    )
+    SELECT r.source, r.n_docs, r.mix_share, r.target_rate,
+           CAST(COUNT(CASE WHEN (d.doc_id * 1000003) % 1000 < r.rate_raw * 1000
+                           THEN 1 END) AS BIGINT) AS n_kept
+    FROM rates r JOIN documents d ON d.source = r.source
+    GROUP BY r.source, r.n_docs, r.mix_share, r.target_rate
+    """,
+    tags=("curation", "sampling"),
+)
+def temperature_mix_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled domain mixing (the multilingual-LM sampling
+    rule: weight_s proportional to p_s^alpha, alpha=0.5, here via
+    IEEE-exact ``sqrt`` so every engine computes bit-identical weights)
+    for a half-corpus token budget, plus the docs actually kept by the
+    deterministic residue sampler.
+
+    Scale: two tiny aggregates (per-source counts, then the weight
+    normalizer) broadcast back over the corpus; the keep-predicate is
+    the multiplicative-hash residue from functions.curation -
+    reproducible across engines/runs/partitionings, so a resumed build
+    selects the identical subset. The corpus itself is scanned once and
+    never shuffled (the final per-source count partial-aggregates).
+    """
+    docs = read_table(spark, sf_dir, "documents")
+    stats = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
+    tot = stats.agg(F.sum("n_docs").alias("__n"))
+    w = stats.crossJoin(F.broadcast(tot)).withColumn(
+        "__w", F.round(F.sqrt(F.col("n_docs") / F.col("__n")), 12)
+    )
+    wtot = w.agg(
+        F.sum(F.col("__w").cast("decimal(38,12)")).cast("double").alias("__wsum")
+    )
+    rates = (
+        w.crossJoin(F.broadcast(wtot))
+        .withColumn("__rate", F.least(F.lit(1.0), F.col("__w") / F.col("__wsum") * F.col("__n") * 0.5 / F.col("n_docs")))
+        .select(
+            "source",
+            "n_docs",
+            F.round(F.col("__w") / F.col("__wsum"), 6).alias("mix_share"),
+            F.round("__rate", 6).alias("target_rate"),
+            "__rate",
+        )
+    )
+    kept = (
+        docs.join(F.broadcast(rates), "source")
+        .withColumn(
+            "__keep", stratified_keep(docs, F.col("__rate"), key="doc_id")
+        )
+        .groupBy("source", "n_docs", "mix_share", "target_rate")
+        .agg(F.count(F.when(F.col("__keep"), 1)).cast("long").alias("n_kept"))
+    )
+    return kept
+
+
+# ---------------------------------------------------------------------------
+# Cogrouped-pandas as-of twin
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "asof_cogroup_pandas",
+    oracle="""
+    SELECT l.event_id, l.user_id,
+           epoch_us(CAST(l.ts AS TIMESTAMP)) AS ts_us,
+           r.value AS last_purchase_value,
+           epoch_us(CAST(r.ts AS TIMESTAMP)) AS last_purchase_ts_us
+    FROM (SELECT * FROM events WHERE event_type = 'click') l
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') r
+      ON l.user_id = r.user_id AND l.ts >= r.ts
+    """,
+    tags=("join", "asof", "pandas", "cogroup"),
+)
+def asof_cogroup_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The as-of join through ``groupBy().cogroup().applyInPandas``
+    (operators/cogroup.py) - same key shuffle count as the JVM
+    union-window path in asof_purchase_before_click and pinned by the
+    IDENTICAL oracle, demonstrating the escape hatch for per-key merge
+    logic Spark's built-ins can't express. pd.merge_asof(backward,
+    exact-match) == nearest prior purchase per click per user.
+    """
+    ev = read_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "value"
+    )
+    joined = asof_join_cogroup(
+        clicks, purchases, on="user_id", left_ts="ts", right_ts="ts"
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+        F.col("value").alias("last_purchase_value"),
+        F.unix_micros(F.col("ts_r").cast("timestamp")).alias("last_purchase_ts_us"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Bucketized point-in-interval join (scale path for range joins)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "interval_attribution_counts",
+    oracle="""
+    SELECT p.event_id AS purchase_id, p.user_id,
+           epoch_us(CAST(p.ts AS TIMESTAMP)) AS purchase_ts_us,
+           CAST(COUNT(*) AS BIGINT) AS n_clicks_2h
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON c.user_id = p.user_id
+     AND c.ts >= p.ts AND c.ts <= p.ts + INTERVAL 2 HOUR
+    GROUP BY p.event_id, p.user_id, p.ts
+    """,
+    tags=("join", "range", "interval"),
+)
+def interval_attribution_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Clicks within 2 hours AFTER each purchase, counted per purchase -
+    a point-in-interval join executed as a keyed EQUI join
+    (operators.joins.interval_bucket_join): intervals explode into the
+    1-3 hour-buckets they cover, points compute one bucket, the join
+    shuffles on (user, bucket) like any equi join, and the exact bound
+    is a residual filter. This is the range-join shape that survives
+    when NEITHER side broadcasts (vs range_join_value_bands' broadcast
+    band dim and the streaming interval join's watermarked form).
+    """
+    from ..operators.joins import interval_bucket_join
+
+    ev = read_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select("user_id", "ts")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id"), "user_id", F.col("ts").alias("p_start"),
+        (F.col("ts") + F.expr("INTERVAL 2 HOURS")).alias("p_end"),
+    )
+    joined = interval_bucket_join(
+        clicks, purchases, on="user_id", ts="ts", start="p_start", end="p_end",
+        bucket_seconds=3600,
+    )
+    return joined.groupBy("event_id", "user_id", "p_start").agg(
+        F.count(F.lit(1)).cast("long").alias("n_clicks_2h")
+    ).select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.unix_micros(F.col("p_start").cast("timestamp")).alias("purchase_ts_us"),
+        "n_clicks_2h",
+    )
+
+
+# ---------------------------------------------------------------------------
+# BPE-style pair statistics (tokenizer induction primitive)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "bpe_pair_merges",
+    oracle=f"""
+    WITH words AS (
+      SELECT unnest({_TOKS_SQL.replace("text", "text")}) AS w FROM documents
+    ),
+    pairs AS (
+      SELECT unnest([substr(w, i, 2) FOR i IN generate_series(1, length(w) - 1)]) AS pair
+      FROM words WHERE length(w) >= 2
+    )
+    SELECT pair, CAST(COUNT(*) AS BIGINT) AS n
+    FROM pairs GROUP BY pair
+    ORDER BY n DESC, pair LIMIT 20
+    """,
+    tags=("text", "tokenizer"),
+)
+def bpe_pair_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The first BPE merge-table step: global frequencies of adjacent
+    character pairs inside words, top-20 with a deterministic (count
+    desc, pair asc) order - the primitive a corpus-level tokenizer
+    induction loop iterates. All-JVM: normalize -> split -> per-word
+    pair explode (substring over an index sequence) -> one count
+    shuffle; the LIMIT plans as TakeOrderedAndProject, never a global
+    sort.
+    """
+    from ..functions.text import tokens
+    from .llm import _docs
+
+    words = _docs(spark, sf_dir).select(F.explode(tokens("text")).alias("w"))
+    pairs = words.filter(F.length("w") >= 2).select(
+        F.explode(
+            F.expr("transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))")
+        ).alias("pair")
+    )
+    counted = pairs.groupBy("pair").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    return counted.orderBy(F.desc("n"), F.asc("pair")).limit(20)

@@ -1,0 +1,236 @@
+"""Round-4 operators: JVM Bloom filter, nearest-centroid assignment,
+temperature mixing, and the cogrouped-pandas as-of join (including
+regression tests for the two silent-corruption modes the oracle gate
+caught: self-cogroup column pruning and mixed Arrow batch schemas)."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from reactive_data_pipeline_spark.functions.bloom import (
+    bloom_build,
+    bloom_might_contain,
+)
+from reactive_data_pipeline_spark.operators.cogroup import asof_join_cogroup
+from reactive_data_pipeline_spark.operators.joins import asof_join
+from reactive_data_pipeline_spark.plans import physical_plan
+from reactive_data_pipeline_spark.queries import QUERIES
+from reactive_data_pipeline_spark.similarity.centroid import (
+    label_centroids,
+    nearest_centroid,
+)
+from reactive_data_pipeline_spark.sources import read_table
+
+from .conftest import SF_DIR
+
+BITS, K = 1 << 14, 5
+
+
+# ---------------------------------------------------------------------------
+# Bloom filter
+# ---------------------------------------------------------------------------
+
+
+def _bloom_flags(spark, n_keys=500, n_probe=1500):
+    keys = spark.range(n_keys).select(F.concat(F.lit("key"), "id").alias("k"))
+    probe = spark.range(n_probe).select(
+        F.concat(F.lit("key"), "id").alias("k"), F.col("id")
+    )
+    bf = bloom_build(keys, "k", num_bits=BITS, k=K)
+    return probe.crossJoin(F.broadcast(bf)).select(
+        "id", bloom_might_contain("bloom_words", "k", num_bits=BITS, k=K).alias("hit")
+    )
+
+
+def test_bloom_no_false_negatives(spark):
+    res = _bloom_flags(spark)
+    misses = res.filter((F.col("id") < 500) & ~F.col("hit")).count()
+    assert misses == 0
+
+
+def test_bloom_fp_rate_bounded(spark):
+    res = _bloom_flags(spark)
+    fps = res.filter((F.col("id") >= 500) & F.col("hit")).count()
+    # 500 keys * 5 hashes in 2^14 bits -> ~0.14 fill; p_fp ~ 0.14^5 ~ 6e-5.
+    # 1000 clean probes: allow generous headroom over the expectation.
+    assert fps <= 10
+
+
+def test_bloom_probe_stays_jvm(spark):
+    """The membership test is a JVM expression - no Python eval node."""
+    plan = physical_plan(_bloom_flags(spark))
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+
+
+def test_bloom_rejects_unaligned_bits(spark):
+    keys = spark.range(3).select(F.col("id").cast("string").alias("k"))
+    with pytest.raises(ValueError):
+        bloom_build(keys, "k", num_bits=100)
+
+
+# ---------------------------------------------------------------------------
+# Nearest centroid
+# ---------------------------------------------------------------------------
+
+
+def test_nearest_centroid_matches_pandas_argmax(spark):
+    emb = read_table(spark, SF_DIR, "embeddings")
+    cents = label_centroids(emb)
+    got = {
+        r["vec_id"]: (r["assigned_label"], r["cos_sim"])
+        for r in nearest_centroid(emb, cents).collect()
+    }
+
+    import numpy as np
+
+    cpdf = {r["label"]: np.array(r["centroid"]) for r in cents.collect()}
+    for row in emb.limit(50).collect():
+        v = np.array(row["embedding"], dtype="float64")
+        best = min(
+            (
+                (
+                    -round(
+                        float(np.dot(v, c) / (np.linalg.norm(v) * np.linalg.norm(c))),
+                        6,
+                    ),
+                    lbl,
+                )
+                for lbl, c in cpdf.items()
+            ),
+        )
+        assert got[row["vec_id"]][0] == best[1]
+        assert got[row["vec_id"]][1] == pytest.approx(-best[0], abs=1e-9)
+
+
+def test_nearest_centroid_broadcasts_codebook(spark):
+    emb = read_table(spark, SF_DIR, "embeddings")
+    plan = physical_plan(nearest_centroid(emb, label_centroids(emb)))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    # the corpus side must not shuffle before scoring: the only
+    # exchanges are the centroid build's and the final argmax agg's.
+    assert plan.count("Exchange hashpartitioning") <= 3
+
+
+# ---------------------------------------------------------------------------
+# Temperature mixing
+# ---------------------------------------------------------------------------
+
+
+def test_temperature_mix_budget_and_determinism(spark):
+    df1 = QUERIES["temperature_mix_rates"].build(spark, SF_DIR)
+    rows = {r["source"]: r for r in df1.collect()}
+    n_total = sum(r["n_docs"] for r in rows.values())
+    n_kept = sum(r["n_kept"] for r in rows.values())
+    # budget is half the corpus; rates are capped at 1.0 and quantized
+    # to the /1000 residue grid, so allow a loose band.
+    assert 0.3 * n_total <= n_kept <= 0.7 * n_total
+    # temperature flattens the mix: rarer sources keep a higher rate.
+    smallest = min(rows.values(), key=lambda r: r["n_docs"])
+    largest = max(rows.values(), key=lambda r: r["n_docs"])
+    assert smallest["target_rate"] >= largest["target_rate"]
+    # deterministic: a second build selects the identical subset.
+    rows2 = {r["source"]: r for r in QUERIES["temperature_mix_rates"].build(spark, SF_DIR).collect()}
+    assert {s: r["n_kept"] for s, r in rows.items()} == {
+        s: r["n_kept"] for s, r in rows2.items()
+    }
+
+
+# ---------------------------------------------------------------------------
+# Cogrouped as-of join
+# ---------------------------------------------------------------------------
+
+
+def _sides(spark):
+    ev = read_table(spark, SF_DIR, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "value"
+    )
+    return clicks, purchases
+
+
+def test_cogroup_asof_matches_jvm_asof(spark):
+    clicks, purchases = _sides(spark)
+    jvm = asof_join(clicks, purchases, on="user_id", left_ts="ts", right_ts="ts")
+    pdas = asof_join_cogroup(
+        clicks, purchases, on="user_id", left_ts="ts", right_ts="ts"
+    )
+    key = lambda r: (r["event_id"],)
+    jvm_rows = sorted(jvm.select(sorted(jvm.columns)).collect(), key=key)
+    pdas_rows = sorted(pdas.select(sorted(pdas.columns)).collect(), key=key)
+    assert jvm_rows == pdas_rows
+
+
+def test_cogroup_asof_survives_downstream_projection(spark):
+    """Regression: a Project/Filter above a SELF-cogroup used to trigger
+    column pruning that stripped the right side's ts column (shared
+    expression IDs), silently nulling every match. The unique re-alias
+    inside asof_join_cogroup prevents it."""
+    clicks, purchases = _sides(spark)
+    j = asof_join_cogroup(
+        clicks, purchases, on="user_id", left_ts="ts", right_ts="ts"
+    )
+    projected_nonnull = j.select(F.col("value").alias("v")).filter(
+        F.col("v").isNotNull()
+    ).count()
+    collected_nonnull = sum(
+        1 for r in j.collect() if r["value"] is not None
+    )
+    assert projected_nonnull == collected_nonnull > 0
+
+
+def test_cogroup_asof_left_only_keys_are_typed_nulls(spark):
+    """Keys with no right rows must emit TYPED null columns (a mixed
+    Arrow batch schema corrupts the whole task nondeterministically)."""
+    clicks, purchases = _sides(spark)
+    lonely = purchases.filter(F.lit(False))  # no purchases at all
+    j = asof_join_cogroup(clicks, lonely, on="user_id", left_ts="ts", right_ts="ts")
+    out = j.filter(F.col("event_id").isNotNull())
+    assert out.count() == clicks.count()
+    assert out.filter(F.col("value").isNotNull()).count() == 0
+    assert dict(j.dtypes)["value"] == "double"
+
+
+# ---------------------------------------------------------------------------
+# Bucketized interval join
+# ---------------------------------------------------------------------------
+
+
+def test_interval_bucket_join_matches_theta_join(spark):
+    ev = read_table(spark, SF_DIR, "events")
+    from reactive_data_pipeline_spark.operators.joins import interval_bucket_join
+
+    clicks = ev.filter(F.col("event_type") == "click").select("user_id", "ts")
+    purch = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", F.col("ts").alias("s"),
+        (F.col("ts") + F.expr("INTERVAL 2 HOURS")).alias("e"),
+    )
+    bucketed = interval_bucket_join(
+        clicks, purch, on="user_id", ts="ts", start="s", end="e"
+    )
+    naive = clicks.join(
+        purch,
+        (clicks.user_id == purch.user_id)
+        & (clicks.ts >= purch.s)
+        & (clicks.ts <= purch.e),
+    )
+    assert bucketed.count() == naive.count() > 0
+
+
+def test_interval_bucket_join_is_equi_not_nested_loop(spark):
+    """The whole point: a keyed equi join with a residual filter, never
+    a nested-loop range scan."""
+    df = QUERIES["interval_attribution_counts"].build(spark, SF_DIR)
+    plan = physical_plan(df)
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_bpe_pair_merges_take_ordered(spark):
+    df = QUERIES["bpe_pair_merges"].build(spark, SF_DIR)
+    plan = physical_plan(df)
+    assert "TakeOrderedAndProject" in plan
