@@ -146,24 +146,33 @@ def bloom_decontam_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).distinct()
     bf = bloom_build(bench_grams, "gram", num_bits=_BLOOM_BITS, k=_BLOOM_K)
 
-    corpus_grams = corpus.select(
-        "doc_id", F.explode(token_ngrams("text", 3)).alias("gram")
-    )
-    flagged = (
-        corpus_grams.crossJoin(F.broadcast(bf))
-        .filter(
+    # One pass over the exploded corpus grams computes BOTH the bloom
+    # probe and the exact membership; the per-doc reduction happens
+    # before the contract's four legs fan out, and the tiny per-doc
+    # verdict table is checkpointed so the legs don't re-run the
+    # explode+hash scan (it dominated: ~6 recomputations without this).
+    verdicts = (
+        corpus.select("doc_id", F.explode(token_ngrams("text", 3)).alias("gram"))
+        .crossJoin(F.broadcast(bf))
+        .join(
+            F.broadcast(bench_grams.withColumn("__true", F.lit(1))), "gram", "left"
+        )
+        .select(
+            "doc_id",
             bloom_might_contain(
                 "bloom_words", "gram", num_bits=_BLOOM_BITS, k=_BLOOM_K
-            )
+            ).alias("__hit"),
+            F.col("__true").isNotNull().alias("__exact"),
         )
-        .select("doc_id")
-        .distinct()
+        .groupBy("doc_id")
+        .agg(
+            F.max(F.col("__hit")).alias("flagged"),
+            F.max(F.col("__exact")).alias("contaminated"),
+        )
+        .localCheckpoint(eager=False)
     )
-    truth = (
-        corpus_grams.join(F.broadcast(bench_grams), "gram", "left_semi")
-        .select("doc_id")
-        .distinct()
-    )
+    flagged = verdicts.filter("flagged").select("doc_id")
+    truth = verdicts.filter("contaminated").select("doc_id")
 
     t = truth.agg(
         F.count(F.lit(1)).cast("long").alias("n_true_contaminated"),
@@ -390,6 +399,7 @@ def interval_attribution_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY n DESC, pair LIMIT 20
     """,
     tags=("text", "tokenizer"),
+    bench=True,
 )
 def bpe_pair_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The first BPE merge-table step: global frequencies of adjacent
