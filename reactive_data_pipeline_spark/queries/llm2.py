@@ -421,3 +421,165 @@ def bpe_pair_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     counted = pairs.groupBy("pair").agg(F.count(F.lit(1)).cast("long").alias("n"))
     return counted.orderBy(F.desc("n"), F.asc("pair")).limit(20)
+
+
+# ---------------------------------------------------------------------------
+# Iterative k-means (Lloyd's algorithm), fully oracle-checked
+# ---------------------------------------------------------------------------
+
+_KM_ITERS = 3
+
+
+def _kmeans_oracle(iters: int) -> str:
+    """Unrolled chained-CTE twin of the Spark Lloyd loop (the
+    pagerank_copurchase pattern for iterative ML). Exactness is by the
+    same two rules every iteration: centroid component means via
+    decimal(38,12) sums (order-independent), assignments via cosines
+    ROUNDED to 6 decimals with a label-ascending tie-break - so both
+    engines walk the identical centroid trajectory."""
+    ctes = [
+        "comp AS (SELECT vec_id, label, pos, CAST(embedding[pos] AS DOUBLE) AS v"
+        " FROM (SELECT vec_id, label, embedding,"
+        " unnest(generate_series(1, len(embedding))) AS pos FROM embeddings))",
+        "c0 AS (SELECT label, pos,"
+        " CAST(SUM(CAST(v AS DECIMAL(38,12))) AS DOUBLE)/COUNT(*) AS c"
+        " FROM comp GROUP BY label, pos)",
+        "v0 AS (SELECT label AS cl, list(c ORDER BY pos) AS cvec FROM c0 GROUP BY label)",
+    ]
+    for i in range(1, iters + 1):
+        ctes.append(
+            f"s{i} AS (SELECT e.vec_id, c.cl,"
+            f" round({_cos_sql('e.embedding', 'c.cvec')}, 6) AS cos"
+            f" FROM embeddings e CROSS JOIN v{i - 1} c)"
+        )
+        ctes.append(
+            f"a{i} AS (SELECT vec_id, cl, cos FROM ("
+            f"SELECT vec_id, cl, cos, ROW_NUMBER() OVER"
+            f" (PARTITION BY vec_id ORDER BY cos DESC, cl) AS rn FROM s{i})"
+            f" WHERE rn = 1)"
+        )
+        if i < iters:
+            ctes.append(
+                f"c{i} AS (SELECT a.cl AS label, comp.pos,"
+                f" CAST(SUM(CAST(comp.v AS DECIMAL(38,12))) AS DOUBLE)/COUNT(*) AS c"
+                f" FROM comp JOIN a{i} AS a USING (vec_id)"
+                f" GROUP BY a.cl, comp.pos)"
+            )
+            ctes.append(
+                f"v{i} AS (SELECT label AS cl, list(c ORDER BY pos) AS cvec"
+                f" FROM c{i} GROUP BY label)"
+            )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"\nSELECT cl AS cluster, CAST(COUNT(*) AS BIGINT) AS n_vecs,"
+        f" round(CAST(SUM(CAST(cos AS DECIMAL(18,6))) AS DOUBLE)/COUNT(*), 6)"
+        f" AS avg_cos FROM a{iters} GROUP BY cl"
+    )
+
+
+@register(
+    "kmeans_embedding_clusters",
+    oracle=_kmeans_oracle(_KM_ITERS),
+    tags=("similarity", "clustering", "iterative"),
+)
+def kmeans_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three Lloyd iterations of cosine k-means over the embeddings
+    (seeded by the per-label means), value-hash checked end-to-end -
+    iterative ML with a REAL cross-engine oracle, like
+    pagerank_copurchase for graphs. Emits per-cluster size and mean
+    cosine-to-centroid after the final assignment.
+
+    Determinism per iteration: (1) update - centroid components are
+    decimal-exact means (order-independent under any partitioning);
+    (2) assignment - cosines round to 6 decimals before the argmax and
+    ties break toward the smaller cluster id. Identical rules in the
+    unrolled DuckDB CTE chain, so both engines walk the same centroid
+    trajectory; empty clusters drop out identically on both sides.
+
+    Scale shape per iteration (similarity/centroid.py): broadcast the
+    codebook, score map-side, min_by partial-agg argmax (one exchange
+    keyed vec_id), then one (cluster, pos) exchange of partial sums
+    bounded by k x dim x partitions. Centroids localCheckpoint each
+    round - the fixed-size state truncates the iterative lineage.
+    """
+    emb = _emb(spark, sf_dir)
+    cents = label_centroids(emb)
+    assigned = None
+    for i in range(1, _KM_ITERS + 1):
+        assigned = nearest_centroid(emb, cents)
+        if i < _KM_ITERS:
+            relabeled = emb.drop("label").join(
+                assigned.select("vec_id", F.col("assigned_label").alias("label")),
+                "vec_id",
+            ).select("label", "embedding")
+            cents = label_centroids(relabeled).localCheckpoint(eager=True)
+    return assigned.groupBy(F.col("assigned_label").alias("cluster")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_vecs"),
+        F.round(
+            F.sum(F.col("cos_sim").cast("decimal(18,6)")).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("avg_cos"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Grouped-map applyInPandas (per-key custom reduction)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "user_gap_stats_pandas",
+    oracle="""
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(MAX(gap) AS BIGINT) AS max_gap_us,
+           CAST(MIN(gap) AS BIGINT) AS min_gap_us
+    FROM (
+      SELECT user_id,
+             epoch_us(CAST(ts AS TIMESTAMP))
+               - lag(epoch_us(CAST(ts AS TIMESTAMP)))
+                 OVER (PARTITION BY user_id ORDER BY ts) AS gap
+      FROM events
+    )
+    GROUP BY user_id
+    """,
+    tags=("window", "pandas", "grouped-map"),
+)
+def user_gap_stats_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user inter-event gap extremes via plain grouped-map
+    ``applyInPandas`` - the remaining section-2.10 UDF shape, done with
+    INTEGER microsecond arithmetic so the pandas path is value-hash
+    comparable to the window-SQL oracle (consecutive gaps of a sorted
+    multiset are tie-order independent). Single-event users emit typed
+    NULL gaps (nullable Int64 - the Arrow batch-schema rule from
+    operators/cogroup.py). Scale: one shuffle on user_id, same exchange
+    a window would need; per-task memory bounds at the largest key.
+    """
+    import pandas as pd
+
+    ev = read_table(spark, sf_dir, "events").select("user_id", "ts")
+
+    def gaps(pdf: pd.DataFrame) -> pd.DataFrame:
+        us = (
+            pd.to_datetime(pdf["ts"]).astype("int64").sort_values() // 1000
+        )
+        d = us.diff().dropna()
+        has = len(d) > 0
+        return pd.DataFrame(
+            {
+                "user_id": pd.Series([pdf["user_id"].iloc[0]], dtype="int64"),
+                "n_events": pd.Series([len(pdf)], dtype="int64"),
+                "max_gap_us": pd.Series(
+                    [int(d.max()) if has else None], dtype="Int64"
+                ),
+                "min_gap_us": pd.Series(
+                    [int(d.min()) if has else None], dtype="Int64"
+                ),
+            }
+        )
+
+    return ev.groupBy("user_id").applyInPandas(
+        gaps, "user_id long, n_events long, max_gap_us long, min_gap_us long"
+    )

@@ -234,3 +234,42 @@ def test_bpe_pair_merges_take_ordered(spark):
     df = QUERIES["bpe_pair_merges"].build(spark, SF_DIR)
     plan = physical_plan(df)
     assert "TakeOrderedAndProject" in plan
+
+
+# ---------------------------------------------------------------------------
+# Iterative k-means + grouped-map gaps
+# ---------------------------------------------------------------------------
+
+
+def test_kmeans_partitions_all_vectors(spark):
+    df = QUERIES["kmeans_embedding_clusters"].build(spark, SF_DIR)
+    rows = df.collect()
+    emb_n = read_table(spark, SF_DIR, "embeddings").count()
+    assert sum(r["n_vecs"] for r in rows) == emb_n
+    assert all(-1.0 <= r["avg_cos"] <= 1.0 for r in rows)
+
+
+def test_kmeans_improves_mean_cosine_over_init(spark):
+    """Lloyd iterations cannot decrease the mean assignment cosine
+    (each step reassigns to a nearer centroid, then recenters)."""
+    from reactive_data_pipeline_spark.queries.llm import _emb
+
+    emb = _emb(spark, SF_DIR)
+    init = nearest_centroid(emb, label_centroids(emb))
+    init_mean = init.agg(F.avg("cos_sim")).collect()[0][0]
+    final = QUERIES["kmeans_embedding_clusters"].build(spark, SF_DIR).collect()
+    n = sum(r["n_vecs"] for r in final)
+    final_mean = sum(r["avg_cos"] * r["n_vecs"] for r in final) / n
+    assert final_mean >= init_mean - 1e-6
+
+
+def test_user_gap_stats_single_event_user_is_typed_null(spark):
+    out = QUERIES["user_gap_stats_pandas"].build(spark, SF_DIR)
+    assert dict(out.dtypes)["max_gap_us"] == "bigint"
+    # every user with n_events == 1 has null gaps; others non-null
+    rows = out.collect()
+    for r in rows:
+        if r["n_events"] == 1:
+            assert r["max_gap_us"] is None
+        else:
+            assert r["max_gap_us"] is not None and r["max_gap_us"] >= r["min_gap_us"]
