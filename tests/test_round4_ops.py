@@ -273,3 +273,69 @@ def test_user_gap_stats_single_event_user_is_typed_null(spark):
             assert r["max_gap_us"] is None
         else:
             assert r["max_gap_us"] is not None and r["max_gap_us"] >= r["min_gap_us"]
+
+
+# ---------------------------------------------------------------------------
+# Z-order clustering layout
+# ---------------------------------------------------------------------------
+
+
+def _per_file_range_fraction(path, col):
+    """Mean fraction of the column's global range each parquet file
+    spans (from footer min/max stats) - the pruning-quality metric."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    spans, mns, mxs = [], [], []
+    for f in sorted(glob.glob(f"{path}/part-*.parquet")):
+        md = pq.ParquetFile(f).metadata
+        fmn, fmx = None, None
+        for rg in range(md.num_row_groups):
+            for ci in range(md.num_columns):
+                c = md.row_group(rg).column(ci)
+                if c.path_in_schema == col and c.statistics is not None:
+                    v0, v1 = c.statistics.min, c.statistics.max
+                    fmn = v0 if fmn is None else min(fmn, v0)
+                    fmx = v1 if fmx is None else max(fmx, v1)
+        spans.append((fmn, fmx))
+        mns.append(fmn)
+        mxs.append(fmx)
+    lo, hi = min(mns), max(mxs)
+    width = (hi - lo) or 1
+    return sum((b - a) / width for a, b in spans) / len(spans)
+
+
+def test_zorder_layout_prunes_both_dimensions(spark, tmp_path):
+    """Z-order files must cover a small slice of EACH clustered column's
+    range, where a lexicographic (user_id, value) sort leaves the
+    second column's per-file range at ~100%."""
+    from reactive_data_pipeline_spark.functions.zorder import write_zordered
+
+    ev = read_table(spark, SF_DIR, "events").select("user_id", "value")
+    zpath, lpath = f"{tmp_path}/z", f"{tmp_path}/lex"
+    write_zordered(ev, zpath, ["user_id", "value"], num_files=8)
+    (
+        ev.repartitionByRange(8, "user_id", "value")
+        .sortWithinPartitions("user_id", "value")
+        .write.mode("overwrite")
+        .parquet(lpath)
+    )
+    z_user = _per_file_range_fraction(zpath, "user_id")
+    z_val = _per_file_range_fraction(zpath, "value")
+    l_val = _per_file_range_fraction(lpath, "value")
+    # both dimensions clustered under z-order...
+    assert z_user < 0.6 and z_val < 0.6
+    # ...and dimension 2 is strictly better clustered than under the
+    # lexicographic layout (which only inherits partial value locality
+    # because user_id has few distinct values at this sf).
+    assert z_val < l_val
+    # and the data survives the round trip.
+    assert spark.read.parquet(zpath).count() == ev.count()
+
+
+def test_zorder_key_bit_budget_guard(spark):
+    from reactive_data_pipeline_spark.functions.zorder import zorder_key
+
+    with pytest.raises(ValueError):
+        zorder_key(["a", "b", "c", "d"], bits=16)  # 64 bits > 63
