@@ -242,3 +242,72 @@ def test_contamination_is_total_against_itself(spark, texts):
     for r in out:
         assert r.n_contaminated == r.n_grams
         assert r.contamination_ratio == 1.0
+
+
+bloom_case = st.lists(st.text(min_size=1, max_size=8), min_size=1, max_size=30)
+
+
+@SLOW
+@given(bloom_case)
+def test_bloom_never_misses_a_built_key(spark, keys):
+    """Structural zero-false-negative property on arbitrary strings
+    (incl. unicode and near-duplicates)."""
+    from reactive_data_pipeline_spark.functions.bloom import (
+        bloom_build,
+        bloom_might_contain,
+    )
+
+    df = spark.createDataFrame([(k,) for k in keys], "k string")
+    bf = bloom_build(df, "k", num_bits=1 << 10, k=3)
+    missed = (
+        df.distinct()
+        .crossJoin(F.broadcast(bf))
+        .filter(~bloom_might_contain("bloom_words", "k", num_bits=1 << 10, k=3))
+        .count()
+    )
+    assert missed == 0
+
+
+interval_case = st.tuples(
+    st.lists(
+        st.tuples(st.integers(0, 1), st.integers(0, 10_000)),  # (key, point-second)
+        min_size=1,
+        max_size=20,
+    ),
+    st.lists(
+        st.tuples(st.integers(0, 1), st.integers(0, 10_000), st.integers(0, 5_000)),
+        min_size=1,
+        max_size=10,  # (key, start-second, length)
+    ),
+)
+
+
+@SLOW
+@given(interval_case)
+def test_interval_bucket_join_equals_theta_join(spark, case):
+    """Bucket decomposition + residual filter == the naive range theta
+    join, for any interval lengths (incl. zero-length and bucket-boundary
+    spanning) and any bucket width."""
+    from reactive_data_pipeline_spark.operators.joins import interval_bucket_join
+
+    points, intervals = case
+    pts = spark.createDataFrame(
+        [(k, f"2024-01-01 00:00:{0:02d}", s) for k, s in points],
+        "k long, pad string, sec long",
+    ).select("k", F.expr("timestamp_micros(CAST(1704067200000000 + sec * 1000000 AS LONG))").alias("ts"))
+    iv = spark.createDataFrame(
+        [(i, k, s, s + ln) for i, (k, s, ln) in enumerate(intervals)],
+        "iid long, k long, s0 long, s1 long",
+    ).select(
+        "iid",
+        "k",
+        F.expr("timestamp_micros(CAST(1704067200000000 + s0 * 1000000 AS LONG))").alias("st"),
+        F.expr("timestamp_micros(CAST(1704067200000000 + s1 * 1000000 AS LONG))").alias("en"),
+    )
+    bucketed = interval_bucket_join(
+        pts, iv, on="k", ts="ts", start="st", end="en", bucket_seconds=1800
+    )
+    naive = pts.join(
+        iv, (pts.k == iv.k) & (pts.ts >= iv.st) & (pts.ts <= iv.en)
+    )
+    assert bucketed.count() == naive.count()
