@@ -299,3 +299,31 @@ def test_salted_join_carries_salt_key_pair(spark):
     plan = physical_plan(df)
     assert "__salt" in plan
     assert "Generate explode" in plan or "Expand" in plan or "explode" in plan
+
+
+def _global_windows(df):
+    """Window nodes with an EMPTY partitionSpec in the optimized logical
+    plan (single-partition serialization at scale - the round-3 verdict's
+    pack_bins defect, generalized into a permanent guard)."""
+    import json
+
+    plan = json.loads(df._jdf.queryExecution().optimizedPlan().toJSON())
+    return [
+        n
+        for n in plan
+        if n.get("class", "").endswith(".Window") and not n.get("partitionSpec")
+    ]
+
+
+def test_no_catalog_query_plans_a_global_window(spark):
+    """Sweep EVERY catalog query's optimized plan: an ordered window
+    without a partition key moves the whole input through one task at
+    100 TB, so none may exist (streaming queries are exercised by their
+    own stream tests; this builds the DataFrame only)."""
+    offenders = {}
+    for name, q in QUERIES.items():
+        df = q.build(spark, SF_DIR)
+        bad = _global_windows(df)
+        if bad:
+            offenders[name] = len(bad)
+    assert offenders == {}
