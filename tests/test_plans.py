@@ -327,3 +327,18 @@ def test_no_catalog_query_plans_a_global_window(spark):
         if bad:
             offenders[name] = len(bad)
     assert offenders == {}
+
+
+def test_no_catalog_query_plans_a_cartesian_product(spark):
+    """Companion sweep: BroadcastNestedLoopJoin is legitimate (every
+    instance in the catalog is a deliberate broadcast of a 1-row
+    aggregate, a literal band dim, or a query-vector set), but a
+    CartesianProduct - both sides shuffled into an all-pairs loop -
+    never is."""
+    offenders = [
+        name
+        for name, q in QUERIES.items()
+        if "CartesianProduct"
+        in q.build(spark, SF_DIR)._jdf.queryExecution().executedPlan().toString()
+    ]
+    assert offenders == []
