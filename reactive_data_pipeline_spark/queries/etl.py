@@ -11,7 +11,7 @@ poison training statistics.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..operators.relational import exact_sum
@@ -494,3 +494,77 @@ def pagerank_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         if i % 2 == 1:
             ranks = ranks.localCheckpoint(eager=True)
     return ranks.select("part", F.col("r").alias("rank_fp"))
+
+
+@register(
+    "scd2_user_tier_dim",
+    oracle="""
+    WITH obs AS (
+      SELECT user_id, event_id,
+             epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us,
+             CAST(json_extract(props, '$.k') AS BIGINT) // 25 AS tier
+      FROM events
+    ),
+    flagged AS (
+      SELECT user_id, event_id, ts_us, tier,
+             CASE WHEN lag(tier) OVER w IS DISTINCT FROM tier THEN 1 ELSE 0 END
+               AS is_change
+      FROM obs
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+    ),
+    changes AS (SELECT * FROM flagged WHERE is_change = 1),
+    dim AS (
+      SELECT user_id, tier, ts_us AS valid_from_us,
+             lead(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us, event_id)
+               AS valid_to_us,
+             ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts_us, event_id)
+               AS version
+      FROM changes
+    )
+    SELECT user_id, CAST(version AS BIGINT) AS version, tier,
+           valid_from_us, valid_to_us,
+           (valid_to_us IS NULL) AS is_current
+    FROM dim
+    """,
+    tags=("etl", "scd", "warehouse"),
+)
+def scd2_user_tier_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension (type 2) build from the event stream:
+    track each user's tier (``props.k div 25``) over time, emitting one
+    validity interval per change with version numbers and an
+    ``is_current`` flag - the standard warehouse dimension-maintenance
+    operator, derived here in one pass.
+
+    Determinism: all comparisons are integer (epoch micros, integer
+    tiers) with (ts, event_id) total order, so lag-change detection and
+    lead-closure agree bit-for-bit with the oracle. Scale: exactly ONE
+    hash exchange on user_id feeds all three windows (same partition
+    key, Catalyst reuses the sort); state per task bounds at the
+    largest single user's history. Incremental maintenance at 100 TB
+    reuses the merge-sink pattern (streaming/reactive.py): only the
+    current-interval rows of touched users rewrite.
+    """
+    ev = read_table(spark, sf_dir, "events")
+    obs = ev.select(
+        "user_id",
+        "event_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+        F.expr("CAST(get_json_object(props, '$.k') AS BIGINT) div 25").alias("tier"),
+    )
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    flagged = obs.withColumn(
+        "is_change",
+        F.when(
+            ~F.lag("tier").over(w).eqNullSafe(F.col("tier")), F.lit(1)
+        ).otherwise(F.lit(0)),
+    )
+    changes = flagged.filter(F.col("is_change") == 1)
+    wc = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    dim = changes.select(
+        "user_id",
+        F.row_number().over(wc).cast("long").alias("version"),
+        "tier",
+        F.col("ts_us").alias("valid_from_us"),
+        F.lead("ts_us").over(wc).alias("valid_to_us"),
+    )
+    return dim.withColumn("is_current", F.col("valid_to_us").isNull())

@@ -342,3 +342,11 @@ def test_no_catalog_query_plans_a_cartesian_product(spark):
         in q.build(spark, SF_DIR)._jdf.queryExecution().executedPlan().toString()
     ]
     assert offenders == []
+
+
+def test_scd2_reuses_one_exchange_for_all_windows(spark):
+    """The change-detect lag, the version row_number, and the closure
+    lead all share the user_id partitioning: one hash exchange total."""
+    df = QUERIES["scd2_user_tier_dim"].build(spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 1
