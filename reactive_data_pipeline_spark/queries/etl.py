@@ -544,27 +544,80 @@ def scd2_user_tier_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
     reuses the merge-sink pattern (streaming/reactive.py): only the
     current-interval rows of touched users rewrite.
     """
+    from ..operators.scd import scd2_intervals
+    from ..streaming.scd2 import event_observations
+
+    return scd2_intervals(event_observations(read_table(spark, sf_dir, "events")))
+
+
+@register(
+    "scd2_stream_dim",
+    oracle="""
+    WITH obs AS (
+      SELECT user_id, event_id,
+             epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us,
+             CAST(json_extract(props, '$.k') AS BIGINT) // 25 AS tier
+      FROM events
+    ),
+    flagged AS (
+      SELECT user_id, event_id, ts_us, tier,
+             CASE WHEN lag(tier) OVER w IS DISTINCT FROM tier THEN 1 ELSE 0 END
+               AS is_change
+      FROM obs
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+    ),
+    changes AS (SELECT * FROM flagged WHERE is_change = 1),
+    dim AS (
+      SELECT user_id, tier, ts_us AS valid_from_us,
+             lead(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us, event_id)
+               AS valid_to_us,
+             ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts_us, event_id)
+               AS version
+      FROM changes
+    )
+    SELECT user_id, CAST(version AS BIGINT) AS version, tier,
+           valid_from_us, valid_to_us,
+           (valid_to_us IS NULL) AS is_current
+    FROM dim
+    """,
+    tags=("etl", "scd", "streaming", "warehouse"),
+)
+def scd2_stream_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SCD2 dimension maintained INCREMENTALLY by the streaming
+    merge sink (streaming/scd2.py), hash-checked against the one-pass
+    batch oracle: events arrive as two time-ordered waves (Jan 1-15,
+    then Jan 16-30) forced into separate micro-batches, so wave 2
+    exercises the real incremental path - rebuilding touched users'
+    intervals from stored change points + new observations inside
+    bucket-pruned partition overwrites. Incremental == batch is the
+    exactly-once contract; a closure bug, version drift, or a replay
+    double-count all shift the hash.
+    """
+    import glob
+    import os
+    import shutil
+    import tempfile
+
+    from ..streaming import await_finished
+    from ..streaming.scd2 import read_scd2_dim, scd2_stream_run
+
+    work = tempfile.mkdtemp(prefix="scd2_stream_")
+    src = f"{work}/events_in"
+    os.mkdir(src)
     ev = read_table(spark, sf_dir, "events")
-    obs = ev.select(
-        "user_id",
-        "event_id",
-        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
-        F.expr("CAST(get_json_object(props, '$.k') AS BIGINT) div 25").alias("tier"),
+    for tag, pred, mtime in (
+        ("a", F.col("ts") < "2024-01-16", 1_000_000_000),
+        ("b", F.col("ts") >= "2024-01-16", 2_000_000_000),
+    ):
+        half = f"{work}/half_{tag}"
+        ev.filter(pred).coalesce(1).write.parquet(half)
+        part = glob.glob(f"{half}/part-*.parquet")[0]
+        dst = f"{src}/{tag}.parquet"
+        shutil.move(part, dst)
+        os.utime(dst, (mtime, mtime))
+    out, ckpt = f"{work}/dim", f"{work}/ckpt"
+    q = scd2_stream_run(
+        spark, src, out, ckpt, available_now=True, max_files_per_trigger=1
     )
-    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
-    flagged = obs.withColumn(
-        "is_change",
-        F.when(
-            ~F.lag("tier").over(w).eqNullSafe(F.col("tier")), F.lit(1)
-        ).otherwise(F.lit(0)),
-    )
-    changes = flagged.filter(F.col("is_change") == 1)
-    wc = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
-    dim = changes.select(
-        "user_id",
-        F.row_number().over(wc).cast("long").alias("version"),
-        "tier",
-        F.col("ts_us").alias("valid_from_us"),
-        F.lead("ts_us").over(wc).alias("valid_to_us"),
-    )
-    return dim.withColumn("is_current", F.col("valid_to_us").isNull())
+    await_finished(q)
+    return read_scd2_dim(spark, out)

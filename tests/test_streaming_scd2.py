@@ -1,0 +1,90 @@
+"""Streaming SCD2 merge sink: incremental == batch, replay == no-op."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from reactive_data_pipeline_spark.operators.scd import scd2_intervals
+from reactive_data_pipeline_spark.sources import read_table
+from reactive_data_pipeline_spark.streaming.scd2 import (
+    event_observations,
+    merge_scd2_batch,
+    read_scd2_dim,
+)
+
+from .conftest import SF_DIR
+
+
+def _dim_rows(spark, path):
+    return sorted(
+        tuple(r) for r in read_scd2_dim(spark, path).collect()
+    )
+
+
+def test_two_batch_merge_equals_one_pass_batch(spark, tmp_path):
+    ev = read_table(spark, SF_DIR, "events")
+    out = f"{tmp_path}/dim"
+    merge_scd2_batch(ev.filter(F.col("ts") < "2024-01-16"), out)
+    merge_scd2_batch(ev.filter(F.col("ts") >= "2024-01-16"), out)
+    batch = sorted(
+        tuple(r)
+        for r in scd2_intervals(event_observations(ev))
+        .select("user_id", "version", "tier", "valid_from_us", "valid_to_us", "is_current")
+        .collect()
+    )
+    assert _dim_rows(spark, out) == batch
+
+
+def test_replayed_batch_is_noop(spark, tmp_path):
+    ev = read_table(spark, SF_DIR, "events")
+    out = f"{tmp_path}/dim"
+    first = ev.filter(F.col("ts") < "2024-01-16")
+    merge_scd2_batch(first, out)
+    before = _dim_rows(spark, out)
+    merge_scd2_batch(first, out)  # at-least-once redelivery
+    assert _dim_rows(spark, out) == before
+    merge_scd2_batch(ev.filter(F.col("ts") >= "2024-01-16"), out)
+    merge_scd2_batch(ev.filter(F.col("ts") >= "2024-01-16"), out)
+    full = _dim_rows(spark, out)
+    batch = sorted(
+        tuple(r)
+        for r in scd2_intervals(event_observations(ev))
+        .select("user_id", "version", "tier", "valid_from_us", "valid_to_us", "is_current")
+        .collect()
+    )
+    assert full == batch
+
+
+def test_empty_batch_is_noop(spark, tmp_path):
+    ev = read_table(spark, SF_DIR, "events")
+    out = f"{tmp_path}/dim"
+    merge_scd2_batch(ev, out)
+    before = _dim_rows(spark, out)
+    merge_scd2_batch(ev.filter(F.lit(False)), out)
+    assert _dim_rows(spark, out) == before
+
+
+def test_merge_touches_only_batch_buckets(spark, tmp_path):
+    """Bucket-pruned maintenance: merging a single user's events must
+    leave every other bucket's files byte-identical."""
+    import glob
+    import os
+
+    ev = read_table(spark, SF_DIR, "events")
+    out = f"{tmp_path}/dim"
+    merge_scd2_batch(ev, out)
+    one_user = ev.limit(0).unionByName(
+        ev.filter(F.col("user_id") == 0).limit(5)
+    )
+    stamps_before = {
+        f: os.path.getmtime(f) for f in glob.glob(f"{out}/bucket=*/part-*")
+    }
+    merge_scd2_batch(one_user, out)
+    changed_buckets = {
+        f.split("bucket=")[1].split("/")[0]
+        for f, m in stamps_before.items()
+        if os.path.exists(f) and os.path.getmtime(f) != m
+    }
+    new_files = set(glob.glob(f"{out}/bucket=*/part-*")) - set(stamps_before)
+    touched = {f.split("bucket=")[1].split("/")[0] for f in new_files}
+    assert len(touched | changed_buckets) <= 1  # only user 0's bucket
