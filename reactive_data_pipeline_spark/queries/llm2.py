@@ -583,3 +583,52 @@ def user_gap_stats_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.groupBy("user_id").applyInPandas(
         gaps, "user_id long, n_events long, max_gap_us long, min_gap_us long"
     )
+
+
+# ---------------------------------------------------------------------------
+# Python UDTF + LATERAL join (table-function surface)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "udtf_trigram_top",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, {_TOKS_SQL} AS t FROM documents),
+    grams AS (SELECT unnest({_GRAMS3_SQL}) AS gram FROM toks)
+    SELECT gram, CAST(COUNT(*) AS BIGINT) AS n
+    FROM grams GROUP BY gram ORDER BY n DESC, gram LIMIT 20
+    """,
+    tags=("text", "udtf", "lateral"),
+)
+def udtf_trigram_top(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide top-20 word trigrams through a PYTHON UDTF consumed
+    by a LATERAL join - the table-function surface of section 2.10
+    (1 row -> N rows from arbitrary Python, Arrow-batched via
+    ``useArrow``), pinned by the exact oracle the JVM
+    ``token_ngrams``-explode path answers. Policy note: the JVM HOF
+    explode (chunk/ngram/contamination queries) IS the production path;
+    this query exists so the escape hatch itself is hash-proven. The
+    LIMIT still plans as TakeOrderedAndProject above one count shuffle.
+    """
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="gram string", useArrow=True)
+    class Trigrams:
+        def eval(self, text: str):
+            import re
+
+            toks = re.sub(r"\s+", " ", (text or "").strip().lower()).split(" ")
+            seen = set()
+            for i in range(len(toks) - 2):
+                g = " ".join(toks[i : i + 3])
+                if g not in seen:
+                    seen.add(g)
+                    yield (g,)
+
+    spark.udtf.register("rdps_trigrams", Trigrams)
+    read_table(spark, sf_dir, "documents").createOrReplaceTempView("__udtf_docs")
+    grams = spark.sql(
+        "SELECT g.gram FROM __udtf_docs, LATERAL rdps_trigrams(text) AS g"
+    )
+    counted = grams.groupBy("gram").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    return counted.orderBy(F.desc("n"), F.asc("gram")).limit(20)
