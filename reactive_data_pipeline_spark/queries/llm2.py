@@ -632,3 +632,88 @@ def udtf_trigram_top(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     counted = grams.groupBy("gram").agg(F.count(F.lit(1)).cast("long").alias("n"))
     return counted.orderBy(F.desc("n"), F.asc("gram")).limit(20)
+
+
+# ---------------------------------------------------------------------------
+# Robust statistics: winsorized mean via bounded-domain order statistics
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "winsorized_quantity_stats",
+    oracle="""
+    WITH counts AS (
+      SELECT l_quantity AS q, COUNT(*) AS c FROM lineitem GROUP BY l_quantity
+    ),
+    cum AS (
+      SELECT a.q, SUM(b.c) AS cum_c
+      FROM counts a JOIN counts b ON b.q <= a.q
+      GROUP BY a.q
+    ),
+    tot AS (SELECT SUM(c) AS n FROM counts),
+    lo AS (SELECT MIN(q) AS p05 FROM cum, tot WHERE cum_c >= CAST(ceil(0.05 * n) AS BIGINT)),
+    hi AS (SELECT MIN(q) AS p95 FROM cum, tot WHERE cum_c >= CAST(ceil(0.95 * n) AS BIGINT))
+    SELECT CAST(lo.p05 AS BIGINT) AS p05,
+           CAST(hi.p95 AS BIGINT) AS p95,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(CASE WHEN l.l_quantity < lo.p05 OR l.l_quantity > hi.p95
+                           THEN 1 END) AS BIGINT) AS n_clipped,
+           round(CAST(SUM(CAST(least(greatest(l.l_quantity, lo.p05), hi.p95)
+                               AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*), 6)
+             AS winsorized_mean
+    FROM lineitem l, lo, hi
+    GROUP BY lo.p05, hi.p95
+    """,
+    tags=("aggregate", "robust-stats"),
+)
+def winsorized_quantity_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized (5%/95%-clipped) mean of order quantities - robust
+    statistics with EXACT order-statistic thresholds and NO global
+    window/sort: quantities live on a bounded integer domain, so the
+    p05/p95 cut points come from cumulative counts over the ~50-value
+    aggregated domain (a broadcast self-join of the tiny counts dim),
+    then one clipped decimal-exact mean over the fact scan. This is the
+    scale pattern for exact percentiles of low-cardinality measures -
+    two tiny aggregates + one linear pass; contrast
+    `approx_percentile_quantity` (sketch path for unbounded domains)
+    and `percentiles_quantity` (per-group exact percentiles).
+    """
+    li = read_table(spark, sf_dir, "lineitem").select("l_quantity")
+    counts = li.groupBy(F.col("l_quantity").alias("q")).agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    a, b = counts.alias("a"), counts.alias("b")
+    cum = (
+        a.join(F.broadcast(b), F.col("b.q") <= F.col("a.q"))
+        .groupBy(F.col("a.q").alias("q"))
+        .agg(F.sum("b.c").alias("cum_c"))
+    )
+    tot = counts.agg(F.sum("c").alias("n"))
+    cumn = cum.crossJoin(F.broadcast(tot))
+    lo = cumn.filter(
+        F.col("cum_c") >= F.ceil(F.lit(0.05) * F.col("n")).cast("long")
+    ).agg(F.min("q").cast("long").alias("p05"))
+    hi = cumn.filter(
+        F.col("cum_c") >= F.ceil(F.lit(0.95) * F.col("n")).cast("long")
+    ).agg(F.min("q").cast("long").alias("p95"))
+    clipped = li.crossJoin(F.broadcast(lo)).crossJoin(F.broadcast(hi))
+    return clipped.groupBy("p05", "p95").agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.count(
+            F.when(
+                (F.col("l_quantity") < F.col("p05"))
+                | (F.col("l_quantity") > F.col("p95")),
+                1,
+            )
+        )
+        .cast("long")
+        .alias("n_clipped"),
+        F.round(
+            F.sum(
+                F.least(F.greatest(F.col("l_quantity"), F.col("p05")), F.col("p95"))
+                .cast("decimal(18,2)")
+            ).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("winsorized_mean"),
+    ).select("p05", "p95", "n_rows", "n_clipped", "winsorized_mean")
