@@ -38,7 +38,8 @@ from .llm import _cos_sql, _emb
     ),
     cent AS (
       SELECT label, pos,
-             CAST(SUM(CAST(v AS DECIMAL(38,12))) AS DOUBLE)/COUNT(*) AS c
+             CAST(SUM(CAST(CAST(v AS DECIMAL(20,12)) * 1000000000000 AS BIGINT))
+                  AS DOUBLE) / (COUNT(*) * 1e12) AS c
       FROM comp GROUP BY label, pos
     ),
     cvecs AS (SELECT label AS cand_label, list(c ORDER BY pos) AS cvec
@@ -56,15 +57,17 @@ from .llm import _cos_sql, _emb
     )
     SELECT true_label, cand_label AS assigned_label,
            CAST(COUNT(*) AS BIGINT) AS n_vecs,
-           round(CAST(SUM(CAST(cos AS DECIMAL(18,6))) AS DOUBLE)/COUNT(*), 6)
-             AS avg_cos
+           CAST(SUM(CAST(CAST(cos AS DECIMAL(10,6)) * 1000000 AS BIGINT))
+                AS BIGINT) AS sum_cos_e6
     FROM assigned WHERE rn = 1 GROUP BY true_label, cand_label
     """,
     tags=("similarity", "classification"),
 )
 def nearest_centroid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Route every vector to its nearest label centroid and emit the
-    confusion matrix (true_label x assigned_label counts + mean cosine).
+    confusion matrix (true_label x assigned_label counts + the
+    e6-scaled integer cosine sum - integer-exact cross-engine; divide by
+    1e6*n_vecs for the mean).
     Centroids are decimal-exact component means (one combined shuffle,
     size labels x dim); assignment is a broadcast scan + map-combined
     ``min_by`` argmax - the corpus never shuffles (similarity.centroid).
@@ -73,11 +76,9 @@ def nearest_centroid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     assigned = nearest_centroid(emb, label_centroids(emb))
     return assigned.groupBy("true_label", "assigned_label").agg(
         F.count(F.lit(1)).cast("long").alias("n_vecs"),
-        F.round(
-            F.sum(F.col("cos_sim").cast("decimal(18,6)")).cast("double")
-            / F.count(F.lit(1)),
-            6,
-        ).alias("avg_cos"),
+        F.sum(
+            (F.col("cos_sim").cast("decimal(10,6)") * F.lit(10**6)).cast("long")
+        ).cast("long").alias("sum_cos_e6"),
     )
 
 
@@ -442,7 +443,8 @@ def _kmeans_oracle(iters: int) -> str:
         " FROM (SELECT vec_id, label, embedding,"
         " unnest(generate_series(1, len(embedding))) AS pos FROM embeddings))",
         "c0 AS (SELECT label, pos,"
-        " CAST(SUM(CAST(v AS DECIMAL(38,12))) AS DOUBLE)/COUNT(*) AS c"
+        " CAST(SUM(CAST(CAST(v AS DECIMAL(20,12)) * 1000000000000 AS BIGINT))"
+        " AS DOUBLE) / (COUNT(*) * 1e12) AS c"
         " FROM comp GROUP BY label, pos)",
         "v0 AS (SELECT label AS cl, list(c ORDER BY pos) AS cvec FROM c0 GROUP BY label)",
     ]
@@ -461,7 +463,8 @@ def _kmeans_oracle(iters: int) -> str:
         if i < iters:
             ctes.append(
                 f"c{i} AS (SELECT a.cl AS label, comp.pos,"
-                f" CAST(SUM(CAST(comp.v AS DECIMAL(38,12))) AS DOUBLE)/COUNT(*) AS c"
+                f" CAST(SUM(CAST(CAST(comp.v AS DECIMAL(20,12)) * 1000000000000"
+                f" AS BIGINT)) AS DOUBLE) / (COUNT(*) * 1e12) AS c"
                 f" FROM comp JOIN a{i} AS a USING (vec_id)"
                 f" GROUP BY a.cl, comp.pos)"
             )
@@ -473,8 +476,8 @@ def _kmeans_oracle(iters: int) -> str:
         "WITH "
         + ",\n".join(ctes)
         + f"\nSELECT cl AS cluster, CAST(COUNT(*) AS BIGINT) AS n_vecs,"
-        f" round(CAST(SUM(CAST(cos AS DECIMAL(18,6))) AS DOUBLE)/COUNT(*), 6)"
-        f" AS avg_cos FROM a{iters} GROUP BY cl"
+        f" CAST(SUM(CAST(CAST(cos AS DECIMAL(10,6)) * 1000000 AS BIGINT)) AS BIGINT)"
+        f" AS sum_cos_e6 FROM a{iters} GROUP BY cl"
     )
 
 
@@ -487,8 +490,8 @@ def kmeans_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Three Lloyd iterations of cosine k-means over the embeddings
     (seeded by the per-label means), value-hash checked end-to-end -
     iterative ML with a REAL cross-engine oracle, like
-    pagerank_copurchase for graphs. Emits per-cluster size and mean
-    cosine-to-centroid after the final assignment.
+    pagerank_copurchase for graphs. Emits per-cluster size and the
+    e6-scaled integer cosine sum after the final assignment.
 
     Determinism per iteration: (1) update - centroid components are
     decimal-exact means (order-independent under any partitioning);
@@ -516,11 +519,9 @@ def kmeans_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             cents = label_centroids(relabeled).localCheckpoint(eager=True)
     return assigned.groupBy(F.col("assigned_label").alias("cluster")).agg(
         F.count(F.lit(1)).cast("long").alias("n_vecs"),
-        F.round(
-            F.sum(F.col("cos_sim").cast("decimal(18,6)")).cast("double")
-            / F.count(F.lit(1)),
-            6,
-        ).alias("avg_cos"),
+        F.sum(
+            (F.col("cos_sim").cast("decimal(10,6)") * F.lit(10**6)).cast("long")
+        ).cast("long").alias("sum_cos_e6"),
     )
 
 

@@ -45,10 +45,17 @@ def label_centroids(
         F.col(label_col).alias("label"),
         F.posexplode(F.col(vec_col).cast("array<double>")).alias("pos", "v"),
     )
+    # Exactness detail: components are summed as e12-scaled INTEGERS,
+    # not as decimals cast to double - a decimal->double cast is only
+    # correctly rounded on some engines (DuckDB's can differ from the
+    # JVM's by 1 ulp on non-representable values, which flips a later
+    # round(cos, 6) at a tie). Integer sums below 2^53 convert to
+    # double EXACTLY on every engine, so the division is bit-identical.
+    v_e12 = (F.col("v").cast("decimal(20,12)") * F.lit(10**12)).cast("long")
     per_comp = comp.groupBy("label", "pos").agg(
         (
-            F.sum(F.col("v").cast("decimal(38,12)")).cast("double")
-            / F.count(F.lit(1))
+            F.sum(v_e12).cast("double")
+            / (F.count(F.lit(1)) * F.lit(1e12))
         ).alias("c")
     )
     return per_comp.groupBy("label").agg(

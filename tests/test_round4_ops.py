@@ -246,7 +246,7 @@ def test_kmeans_partitions_all_vectors(spark):
     rows = df.collect()
     emb_n = read_table(spark, SF_DIR, "embeddings").count()
     assert sum(r["n_vecs"] for r in rows) == emb_n
-    assert all(-1.0 <= r["avg_cos"] <= 1.0 for r in rows)
+    assert all(-1e6 * r["n_vecs"] <= r["sum_cos_e6"] <= 1e6 * r["n_vecs"] for r in rows)
 
 
 def test_kmeans_improves_mean_cosine_over_init(spark):
@@ -259,7 +259,7 @@ def test_kmeans_improves_mean_cosine_over_init(spark):
     init_mean = init.agg(F.avg("cos_sim")).collect()[0][0]
     final = QUERIES["kmeans_embedding_clusters"].build(spark, SF_DIR).collect()
     n = sum(r["n_vecs"] for r in final)
-    final_mean = sum(r["avg_cos"] * r["n_vecs"] for r in final) / n
+    final_mean = sum(r["sum_cos_e6"] for r in final) / 1e6 / n
     assert final_mean >= init_mean - 1e-6
 
 
