@@ -88,3 +88,45 @@ def test_merge_touches_only_batch_buckets(spark, tmp_path):
     new_files = set(glob.glob(f"{out}/bucket=*/part-*")) - set(stamps_before)
     touched = {f.split("bucket=")[1].split("/")[0] for f in new_files}
     assert len(touched | changed_buckets) <= 1  # only user 0's bucket
+
+
+def test_restart_from_checkpoint_processes_only_new_files(spark, tmp_path):
+    """Exactly-once across RUNS: a second availableNow run with the
+    same checkpoint must process only files added since the first run,
+    and the final dimension must equal the one-pass batch build."""
+    import glob
+    import os
+    import shutil
+
+    from reactive_data_pipeline_spark.streaming import await_finished
+    from reactive_data_pipeline_spark.streaming.scd2 import scd2_stream_run
+
+    ev = read_table(spark, SF_DIR, "events")
+    src = f"{tmp_path}/events_in"
+    os.mkdir(src)
+
+    def _drop(tag, pred, mtime):
+        half = f"{tmp_path}/half_{tag}"
+        ev.filter(pred).coalesce(1).write.parquet(half)
+        part = glob.glob(f"{half}/part-*.parquet")[0]
+        dst = f"{src}/{tag}.parquet"
+        shutil.move(part, dst)
+        os.utime(dst, (mtime, mtime))
+
+    out, ckpt = f"{tmp_path}/dim", f"{tmp_path}/ckpt"
+    _drop("a", F.col("ts") < "2024-01-16", 1_000_000_000)
+    await_finished(scd2_stream_run(spark, src, out, ckpt, available_now=True))
+    mid = _dim_rows(spark, out)
+    assert mid  # wave A materialized
+
+    _drop("b", F.col("ts") >= "2024-01-16", 2_000_000_000)
+    await_finished(scd2_stream_run(spark, src, out, ckpt, available_now=True))
+    full = _dim_rows(spark, out)
+    batch = sorted(
+        tuple(r)
+        for r in scd2_intervals(event_observations(ev))
+        .select("user_id", "version", "tier", "valid_from_us", "valid_to_us", "is_current")
+        .collect()
+    )
+    assert full == batch
+    assert full != mid  # the restart actually advanced the table
