@@ -494,7 +494,9 @@ def kmeans_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     e6-scaled integer cosine sum after the final assignment.
 
     Determinism per iteration: (1) update - centroid components are
-    decimal-exact means (order-independent under any partitioning);
+    integer-exact e12-scaled means (order-independent under any
+    partitioning AND ulp-identical across engines - see
+    similarity/centroid.py);
     (2) assignment - cosines round to 6 decimals before the argmax and
     ties break toward the smaller cluster id. Identical rules in the
     unrolled DuckDB CTE chain, so both engines walk the same centroid
