@@ -133,9 +133,13 @@ def interval_bucket_join(
     bucket_us = int(bucket_seconds) * 1_000_000
 
     def _bucket(c: str) -> Column:
-        return F.floor(
-            F.unix_micros(F.col(c).cast("timestamp")) / F.lit(bucket_us)
-        ).cast("long")
+        # Integer `div`, NOT floor(a/b): the double quotient is only
+        # correctly rounded, so a timestamp within ~1 ulp below a bucket
+        # boundary would floor into the WRONG (next) bucket and silently
+        # miss its interval matches.
+        return F.expr(
+            f"unix_micros(CAST(`{c}` AS TIMESTAMP)) div {bucket_us}"
+        )
 
     ipayload = [c for c in intervals.columns if c != on]
     iv = intervals.select(

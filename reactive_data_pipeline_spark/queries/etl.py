@@ -621,3 +621,80 @@ def scd2_stream_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     await_finished(q)
     return read_scd2_dim(spark, out)
+
+
+@register(
+    "ohlc_hourly_user_value",
+    oracle="""
+    WITH obs AS (
+      SELECT user_id,
+             epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000 AS hr,
+             epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us,
+             event_id, value
+      FROM events WHERE event_type = 'purchase'
+    ),
+    marked AS (
+      SELECT user_id, hr, value,
+             first_value(value) OVER
+               (PARTITION BY user_id, hr ORDER BY ts_us, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+               AS open_v,
+             first_value(value) OVER
+               (PARTITION BY user_id, hr ORDER BY ts_us DESC, event_id DESC
+                ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+               AS close_v
+      FROM obs
+    )
+    SELECT user_id, CAST(hr AS BIGINT) AS hr,
+           CAST(COUNT(*) AS BIGINT) AS n_trades,
+           MAX(open_v) AS open, MAX(close_v) AS close,
+           MAX(value) AS high, MIN(value) AS low
+    FROM marked GROUP BY user_id, hr
+    """,
+    tags=("window", "timeseries", "resample"),
+)
+def ohlc_hourly_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classic time-series resampling: per-user hourly OHLC bars over
+    purchase values (open/close via deterministic (ts, event_id)-ordered
+    first/last, high/low/count via plain aggregates). The ticker
+    family's min/max derivation generalized to the standard bar
+    operator. One hash exchange on (user, hour) feeds both windows and
+    the final aggregate; downsampling any higher-frequency stream is
+    the same shape with a different bucket width.
+    """
+    ev = read_table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    )
+    obs = ev.select(
+        "user_id",
+        # integer div: floor(double_quotient) mis-buckets timestamps
+        # within ~1 ulp below an hour boundary (see interval_bucket_join)
+        F.expr("unix_micros(CAST(ts AS TIMESTAMP)) div 3600000000").alias("hr"),
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+        "event_id",
+        "value",
+    )
+    asc = (
+        Window.partitionBy("user_id", "hr")
+        .orderBy(F.asc("ts_us"), F.asc("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    desc = (
+        Window.partitionBy("user_id", "hr")
+        .orderBy(F.desc("ts_us"), F.desc("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    marked = obs.select(
+        "user_id",
+        "hr",
+        "value",
+        F.first("value").over(asc).alias("open_v"),
+        F.first("value").over(desc).alias("close_v"),
+    )
+    return marked.groupBy("user_id", "hr").agg(
+        F.count(F.lit(1)).cast("long").alias("n_trades"),
+        F.max("open_v").alias("open"),
+        F.max("close_v").alias("close"),
+        F.max("value").alias("high"),
+        F.min("value").alias("low"),
+    )
