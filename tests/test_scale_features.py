@@ -163,3 +163,48 @@ def test_ignore_corrupt_files_skips_bad_parquet(spark, tmp_path):
             spark.read.schema("doc_id long, text string").parquet(*paths).collect()
     finally:
         spark.conf.set("spark.sql.files.ignoreCorruptFiles", prior)
+
+
+def test_aqe_splits_skewed_join_partition(spark):
+    """Runtime skew handling: with one key carrying ~90% of rows and a
+    dim side that cannot broadcast, AQE must re-plan the sort-merge
+    join with the hot partition SPLIT (`skew=true` / `AQEShuffleRead
+    skewed` in the final adaptive plan) - the runtime complement of the
+    deterministic salting operators in operators/skew.py."""
+    import pyspark.sql.functions as F
+
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.enabled": "true",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "1",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "16384",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "8192",
+        "spark.sql.adaptive.coalescePartitions.enabled": "false",
+    }
+    saved = {}
+    for k, v in confs.items():
+        try:
+            saved[k] = spark.conf.get(k)
+        except Exception:
+            saved[k] = None
+        spark.conf.set(k, v)
+    try:
+        left = spark.range(200_000).select(
+            F.when(F.col("id") % 10 < 9, 0).otherwise(F.col("id") % 97).alias("k"),
+            F.col("id").alias("payload"),
+        )
+        right = spark.range(97).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("dim")
+        )
+        j = left.join(right, "k")
+        assert len(j.collect()) == 200_000  # every row keeps its match
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in plan
+        assert "skew=true" in plan
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
