@@ -698,3 +698,110 @@ def ohlc_hourly_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("value").alias("high"),
         F.min("value").alias("low"),
     )
+
+
+@register(
+    "ewma_user_purchase_value",
+    oracle="""
+    WITH obs AS (
+      SELECT user_id,
+             CAST(round(value * 100) AS BIGINT) AS cents,
+             epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us, event_id
+      FROM events WHERE event_type = 'purchase'
+    ),
+    seqs AS (
+      SELECT user_id,
+             list(cents ORDER BY ts_us, event_id) AS xs
+      FROM obs GROUP BY user_id
+    )
+    SELECT user_id,
+           CAST(len(xs) AS BIGINT) AS n_purchases,
+           CAST(list_reduce(list_prepend(xs[1], xs[2:]),
+                            (acc, x) -> (acc + x) // 2) AS BIGINT)
+             AS ewma_cents
+    FROM seqs
+    """,
+    tags=("window", "timeseries", "stateful-fold"),
+)
+def ewma_user_purchase_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user exponentially-weighted moving average (alpha = 1/2) of
+    purchase values - the recursive per-key fold no window function can
+    express, run JVM-side as ``aggregate`` over each key's time-ordered
+    value array in INTEGER cents with floor division each step, so the
+    recursion is bit-identical in any engine (no float accumulation).
+
+    Scale: one shuffle keys the groupBy; per-key state is the user's
+    purchase array (bounded by per-user history; for unbounded keys,
+    window the fold by month and chain - same shape as the streaming
+    totals operator). The fold itself is whole-stage-codegen JVM, not
+    Python.
+    """
+    ev = read_table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    )
+    obs = ev.select(
+        "user_id",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+        "event_id",
+    )
+    seqs = obs.groupBy("user_id").agg(
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("ts_us", "event_id", "cents"))),
+            lambda s: s["cents"],
+        ).alias("xs")
+    )
+    return seqs.select(
+        "user_id",
+        F.size("xs").cast("long").alias("n_purchases"),
+        F.aggregate(
+            F.slice("xs", 2, F.greatest(F.size("xs") - 1, F.lit(0))),
+            F.element_at("xs", 1),
+            lambda acc, x: ((acc + x) / 2).cast("long"),
+        ).cast("long").alias("ewma_cents"),
+    )
+
+
+@register(
+    "retention_weekly_cohorts",
+    oracle="""
+    WITH firsts AS (
+      SELECT user_id,
+             MIN(epoch_us(CAST(ts AS TIMESTAMP)) // 604800000000) AS w0
+      FROM events GROUP BY user_id
+    ),
+    activity AS (
+      SELECT DISTINCT e.user_id,
+             epoch_us(CAST(e.ts AS TIMESTAMP)) // 604800000000 AS w
+      FROM events e
+    )
+    SELECT CAST(f.w0 AS BIGINT) AS cohort_week,
+           CAST(a.w - f.w0 AS BIGINT) AS week_offset,
+           CAST(COUNT(*) AS BIGINT) AS n_active_users
+    FROM firsts f JOIN activity a ON a.user_id = f.user_id
+    GROUP BY f.w0, a.w - f.w0
+    """,
+    tags=("analytics", "retention", "cohort"),
+)
+def retention_weekly_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly retention triangle: users grouped by first-activity week
+    (cohort), counted per subsequent active week offset - the classic
+    growth-analytics operator. Two aggregations over the event scan
+    (first-week per user; distinct user-weeks) and one broadcast-sized
+    join on user_id. Integer epoch-week arithmetic throughout."""
+    ev = read_table(spark, sf_dir, "events").select(
+        "user_id",
+        F.expr(
+            "unix_micros(CAST(ts AS TIMESTAMP)) div 604800000000"
+        ).alias("w"),
+    )
+    firsts = ev.groupBy("user_id").agg(F.min("w").alias("w0"))
+    activity = ev.distinct()
+    return (
+        activity.join(firsts, "user_id")
+        .groupBy(
+            F.col("w0").cast("long").alias("cohort_week"),
+            (F.col("w") - F.col("w0")).cast("long").alias("week_offset"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_active_users"))
+    )
