@@ -805,3 +805,37 @@ def retention_weekly_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).cast("long").alias("n_active_users"))
     )
+
+
+@register(
+    "event_type_transitions",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             lag(event_type) OVER
+               (PARTITION BY user_id
+                ORDER BY epoch_us(CAST(ts AS TIMESTAMP)), event_id) AS prev_type
+      FROM events
+    )
+    SELECT prev_type, event_type AS next_type, CAST(COUNT(*) AS BIGINT) AS n
+    FROM seq WHERE prev_type IS NOT NULL
+    GROUP BY prev_type, event_type
+    """,
+    tags=("analytics", "sequence"),
+)
+def event_type_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition counts over each user's event
+    sequence (the behavioral-modeling statistic): one lag window keyed
+    by user with deterministic (ts, event_id) order, then a 25-cell
+    count aggregate. One user-keyed exchange; the transition matrix is
+    constant-size however large the event stream."""
+    ev = read_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.unix_micros(F.col("ts").cast("timestamp")), F.col("event_id")
+    )
+    seq = ev.select(
+        "event_type", F.lag("event_type").over(w).alias("prev_type")
+    ).filter(F.col("prev_type").isNotNull())
+    return seq.groupBy("prev_type", F.col("event_type").alias("next_type")).agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )

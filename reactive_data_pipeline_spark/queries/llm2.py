@@ -720,3 +720,64 @@ def winsorized_quantity_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("winsorized_mean"),
     ).select("p05", "p95", "n_rows", "n_clipped", "winsorized_mean")
+
+
+# ---------------------------------------------------------------------------
+# Token co-occurrence statistics
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "token_cooccurrence_top",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, unnest(list_distinct({_TOKS_SQL})) AS tok FROM documents
+    ),
+    top AS (
+      SELECT tok FROM toks GROUP BY tok
+      ORDER BY COUNT(*) DESC, tok LIMIT 30
+    ),
+    ft AS (SELECT DISTINCT doc_id, toks.tok FROM toks JOIN top ON toks.tok = top.tok),
+    pairs AS (
+      SELECT a.tok AS tok_a, b.tok AS tok_b, CAST(COUNT(*) AS BIGINT) AS n_docs
+      FROM ft a JOIN ft b ON a.doc_id = b.doc_id AND a.tok < b.tok
+      GROUP BY a.tok, b.tok
+    )
+    SELECT tok_a, tok_b, n_docs FROM pairs
+    ORDER BY n_docs DESC, tok_a, tok_b LIMIT 20
+    """,
+    tags=("text", "cooccurrence"),
+)
+def token_cooccurrence_top(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document-level co-occurrence counts for the 30 most frequent
+    tokens (the statistic behind PMI features and embedding
+    co-occurrence matrices), top-20 pairs with a deterministic total
+    order. The vocabulary dim is chosen by a bounded top-k
+    (TakeOrderedAndProject) and BROADCASTS, so the per-doc pair
+    explosion is capped at 30x29/2 regardless of document length and
+    the corpus scan joins map-side; only (pair, count) partials
+    shuffle.
+    """
+    from ..functions.text import tokens
+    from .llm import _docs
+
+    toks = _docs(spark, sf_dir).select(
+        "doc_id", F.explode(F.array_distinct(tokens("text"))).alias("tok")
+    )
+    top = (
+        toks.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .orderBy(F.desc("__n"), F.asc("tok"))
+        .limit(30)
+        .select("tok")
+    )
+    ft = toks.join(F.broadcast(top), "tok").select("doc_id", "tok").distinct()
+    a = ft.select("doc_id", F.col("tok").alias("tok_a"))
+    b = ft.select("doc_id", F.col("tok").alias("tok_b"))
+    pairs = (
+        a.join(b, "doc_id")
+        .filter(F.col("tok_a") < F.col("tok_b"))
+        .groupBy("tok_a", "tok_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    )
+    return pairs.orderBy(F.desc("n_docs"), F.asc("tok_a"), F.asc("tok_b")).limit(20)
