@@ -350,3 +350,27 @@ def test_scd2_reuses_one_exchange_for_all_windows(spark):
     df = QUERIES["scd2_user_tier_dim"].build(spark, SF_DIR)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_join_strategy_hints_control_physical_plan(spark):
+    """Strategy hints are the manual override when Catalyst's size
+    estimates mislead at scale: each hint must actually select its
+    physical join."""
+    from reactive_data_pipeline_spark.sources import read_table
+
+    prior = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        li = read_table(spark, SF_DIR, "lineitem")
+        o = read_table(spark, SF_DIR, "orders")
+        cases = {
+            "merge": "SortMergeJoin",
+            "shuffle_hash": "ShuffledHashJoin",
+            "broadcast": "BroadcastHashJoin",
+        }
+        for hint, node in cases.items():
+            j = li.join(o.hint(hint), li.l_orderkey == o.o_orderkey)
+            plan = j._jdf.queryExecution().executedPlan().toString()
+            assert node in plan, f"hint {hint!r} did not produce {node}:\n{plan[:500]}"
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prior)
