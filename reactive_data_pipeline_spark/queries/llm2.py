@@ -781,3 +781,59 @@ def token_cooccurrence_top(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
     )
     return pairs.orderBy(F.desc("n_docs"), F.asc("tok_a"), F.asc("tok_b")).limit(20)
+
+
+# ---------------------------------------------------------------------------
+# Deterministic epoch reshuffling (training-serving order)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "epoch_shuffle_order",
+    oracle="""
+    WITH chunks AS (
+      SELECT doc_id,
+             CAST(floor(
+               CAST(len(regexp_extract_all(text,
+                 '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS DOUBLE) / 24
+             ) AS BIGINT) % 64 AS bin_bucket
+      FROM documents
+    ),
+    bins AS (SELECT DISTINCT bin_bucket AS bin_id FROM chunks),
+    epochs AS (SELECT unnest([0, 1]) AS epoch)
+    SELECT e.epoch, b.bin_id,
+           CAST((b.bin_id * 1000003 + e.epoch * 7919) % 1000000007 AS BIGINT)
+             AS shuffle_key
+    FROM bins b CROSS JOIN epochs e
+    """,
+    tags=("export", "training", "sampling"),
+)
+def epoch_shuffle_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-epoch training-order permutation WITHOUT data movement:
+    each epoch assigns every bin/shard a deterministic multiplicative
+    shuffle key ((bin*1000003 + epoch*7919) mod p); the trainer sorts
+    its manifest by the key per epoch and streams shards in that order.
+    Reproducible across engines, runs, and partitionings (resumable
+    training), zero bytes of corpus rewritten per epoch, and the
+    manifest-scale output never needs a global window. The bin domain
+    here is a cheap token-count residue stand-in for the packed bin
+    ids (the real manifest plugs `training_shards_manifest`'s shard
+    column into the same key).
+    """
+    from ..functions.text import token_count
+
+    docs = read_table(spark, sf_dir, "documents")
+    # token_count passes TOKEN_PATTERN as a plain literal; embedding it
+    # in an F.expr SQL string would let the SQL parser eat the \s escape.
+    chunks = docs.select(
+        (F.floor(token_count("text") / F.lit(24)).cast("long") % 64).alias("bin_id")
+    )
+    bins = chunks.distinct()
+    epochs = spark.range(2).select(F.col("id").alias("epoch"))
+    return bins.crossJoin(F.broadcast(epochs)).select(
+        "epoch",
+        "bin_id",
+        ((F.col("bin_id") * 1000003 + F.col("epoch") * 7919) % 1000000007)
+        .cast("long")
+        .alias("shuffle_key"),
+    )
