@@ -1,0 +1,79 @@
+"""General last-writer-wins upsert into a bucket-partitioned parquet
+table - the engine's MERGE INTO.
+
+The streaming sinks already ship two SPECIALIZED merges (monotone
+min/max for the ticker/dedup registries, change-point rebuild for
+SCD2); this is the general form for mutable reference data: each
+upsert batch touches only the hash-buckets of the keys it carries, and
+conflicts resolve by a version column (ties favor the incoming batch).
+
+Scale shape (same arithmetic as the other merge sinks): per batch,
+read ONLY touched buckets (partition pruning), one key-partitioned
+``max_by`` to resolve winners (partial-aggregates map-side), one
+dynamic partition overwrite. Bucket count sizes a bucket's rewrite to
+executor memory. Re-applying a batch is a no-op (max_by of identical
+versions picks the same row), so at-least-once delivery is safe.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..streaming.merge_util import existing_or_empty
+
+UPSERT_BUCKETS = 64
+
+
+def upsert_partitioned(
+    spark: SparkSession,
+    path: str,
+    updates: DataFrame,
+    key_cols: list[str],
+    version_col: str,
+    n_buckets: int = UPSERT_BUCKETS,
+) -> None:
+    """Fold ``updates`` into the table at ``path``: per key, the row
+    with the highest ``version_col`` wins; on equal versions the
+    incoming row wins (idempotent replay). ``updates`` must carry the
+    full table schema (minus the managed ``bucket``/``__src`` columns).
+    """
+    data_cols = updates.columns
+    bucket = F.pmod(F.xxhash64(*key_cols), F.lit(n_buckets))
+    tagged = updates.withColumn("bucket", bucket).persist()
+    buckets = [r["bucket"] for r in tagged.select("bucket").distinct().collect()]
+    if not buckets:
+        tagged.unpersist()
+        return
+    schema = ", ".join(
+        [f"`{f.name}` {f.dataType.simpleString()}" for f in updates.schema.fields]
+        + ["`bucket` bigint"]
+    )
+    existing = existing_or_empty(
+        spark, path, schema=schema, prune=F.col("bucket").isin(buckets)
+    )
+    merged = (
+        existing.withColumn("__src", F.lit(0))
+        .unionByName(tagged.withColumn("__src", F.lit(1)))
+        .groupBy(*key_cols)
+        .agg(
+            F.max_by(
+                F.struct(*[c for c in data_cols if c not in key_cols], "bucket"),
+                F.struct(F.col(version_col).alias("v"), F.col("__src").alias("s")),
+            ).alias("__win")
+        )
+        .select(*key_cols, "__win.*")
+    )
+    merged = merged.localCheckpoint(eager=True)
+    (
+        merged.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("bucket")
+        .parquet(path)
+    )
+    tagged.unpersist()
+
+
+def read_upserted(spark: SparkSession, path: str) -> DataFrame:
+    """The table without its managed bucket column."""
+    return spark.read.parquet(path).drop("bucket")

@@ -839,3 +839,58 @@ def event_type_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return seq.groupBy("prev_type", F.col("event_type").alias("next_type")).agg(
         F.count(F.lit(1)).cast("long").alias("n")
     )
+
+
+@register(
+    "upsert_orders_snapshot",
+    oracle="""
+    WITH base AS (
+      SELECT o_orderkey, CAST(o_totalprice AS DECIMAL(15,2)) AS price,
+             CAST(1 AS BIGINT) AS ver
+      FROM orders WHERE o_orderkey % 3 <> 0
+    ),
+    upd AS (
+      SELECT o_orderkey, CAST(o_totalprice * 2 AS DECIMAL(15,2)) AS price,
+             CAST(2 AS BIGINT) AS ver
+      FROM orders WHERE o_orderkey % 2 = 0
+    )
+    SELECT COALESCE(u.o_orderkey, b.o_orderkey) AS o_orderkey,
+           CAST(COALESCE(u.price, b.price) * 100 AS BIGINT) AS price_cents,
+           COALESCE(u.ver, b.ver) AS ver
+    FROM base b FULL OUTER JOIN upd u ON b.o_orderkey = u.o_orderkey
+    """,
+    tags=("etl", "upsert", "warehouse"),
+)
+def upsert_orders_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The general last-writer-wins upsert sink (operators/upsert.py -
+    the engine's MERGE INTO) under the value hash: seed a versioned
+    snapshot of orders, apply an overlapping higher-version update
+    batch through the REAL bucket-pruned merge machinery, and return
+    the materialized table; the oracle recomputes the same result as a
+    full-outer coalesce. Inserts, updates, and untouched rows all ride
+    the hash."""
+    import tempfile
+
+    from ..operators.upsert import read_upserted, upsert_partitioned
+
+    o = read_table(spark, sf_dir, "orders")
+    base = o.filter(F.col("o_orderkey") % 3 != 0).select(
+        "o_orderkey",
+        F.col("o_totalprice").cast("decimal(15,2)").alias("price"),
+        F.lit(1).cast("long").alias("ver"),
+    )
+    upd = o.filter(F.col("o_orderkey") % 2 == 0).select(
+        "o_orderkey",
+        (F.col("o_totalprice") * 2).cast("decimal(15,2)").alias("price"),
+        F.lit(2).cast("long").alias("ver"),
+    )
+    path = tempfile.mkdtemp(prefix="upsert_orders_") + "/t"
+    upsert_partitioned(spark, path, base, ["o_orderkey"], "ver")
+    upsert_partitioned(spark, path, upd, ["o_orderkey"], "ver")
+    # integer cents: a decimal column would hash differently purely on
+    # string scale ('411883.20' vs '411883.2' through pandas).
+    return read_upserted(spark, path).select(
+        "o_orderkey",
+        (F.col("price") * 100).cast("long").alias("price_cents"),
+        "ver",
+    )
