@@ -77,3 +77,37 @@ def upsert_partitioned(
 def read_upserted(spark: SparkSession, path: str) -> DataFrame:
     """The table without its managed bucket column."""
     return spark.read.parquet(path).drop("bucket")
+
+
+def upsert_stream_run(
+    spark: SparkSession,
+    src_dir: str,
+    path: str,
+    checkpoint: str,
+    key_cols: list[str],
+    version_col: str,
+    table: str = "events",
+    available_now: bool = True,
+    max_files_per_trigger: int | None = None,
+):
+    """Maintain the upserted table from a file stream: each micro-batch
+    folds through :func:`upsert_partitioned` (same exactly-once story
+    as the other merge sinks - replay is a no-op by version rule)."""
+    from ..sources.registry import read_stream
+
+    st = read_stream(
+        spark, src_dir, table, max_files_per_trigger=max_files_per_trigger
+    )
+    writer = (
+        st.writeStream.outputMode("update")
+        .foreachBatch(
+            lambda b, _i: upsert_partitioned(
+                spark, path, b, key_cols, version_col
+            )
+        )
+        .option("checkpointLocation", checkpoint)
+        .queryName("upsert_sink")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

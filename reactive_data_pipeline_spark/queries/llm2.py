@@ -837,3 +837,48 @@ def epoch_shuffle_order(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("shuffle_key"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Group-aware K-fold split (leakage-safe evaluation)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "group_kfold_sources",
+    oracle="""
+    WITH folded AS (
+      SELECT doc_id, source,
+             (CAST(substr(source, 4) AS BIGINT) * 1000003) % 5 AS fold
+      FROM documents
+    )
+    SELECT fold, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
+           CAST(SUM(doc_id) AS BIGINT) AS doc_id_sum
+    FROM folded GROUP BY fold
+    """,
+    tags=("sampling", "splits", "curation"),
+)
+def group_kfold_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group-aware 5-fold split: every document of a source lands in
+    the same fold (fold = multiplicative hash of the source id), so
+    near-duplicate documents within a source can never leak across the
+    train/eval boundary - the GroupKFold discipline for corpus
+    evaluation, complementing the row-level `train_val_split`. Emits
+    per-fold doc counts, source counts (group atomicity: folds
+    partition the source set), and an id-sum checksum. Pure per-row
+    arithmetic + one constant-size aggregate; reproducible across
+    engines and re-runs like every sampler here."""
+    docs = read_table(spark, sf_dir, "documents")
+    folded = docs.select(
+        "doc_id",
+        "source",
+        (
+            (F.substring("source", 4, 10).cast("long") * F.lit(1000003)) % 5
+        ).alias("fold"),
+    )
+    return folded.groupBy("fold").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.countDistinct("source").cast("long").alias("n_sources"),
+        F.sum("doc_id").cast("long").alias("doc_id_sum"),
+    )

@@ -91,3 +91,47 @@ def test_file_index_prunes_file_list(spark, tmp_path):
         for r in spark.read.parquet(p).filter(F.col("ts").between(lo, hi)).collect()
     )
     assert got == want and len(got) > 0
+
+
+def test_streaming_upsert_two_waves_equals_batch(spark, tmp_path):
+    """The foreachBatch upsert runner over two event-file waves must
+    converge to the same table as batch upserts of the same waves
+    (latest event per user wins, versioned by epoch micros)."""
+    import glob
+    import os
+    import shutil
+
+    from reactive_data_pipeline_spark.operators.upsert import upsert_stream_run
+    from reactive_data_pipeline_spark.streaming import await_finished
+
+    raw = read_table(spark, SF_DIR, "events")
+    src = f"{tmp_path}/in"
+    os.mkdir(src)
+    for tag, pred, mtime in (
+        ("a", F.col("ts") < "2024-01-16", 1_000_000_000),
+        ("b", F.col("ts") >= "2024-01-16", 2_000_000_000),
+    ):
+        half = f"{tmp_path}/h{tag}"
+        raw.filter(pred).coalesce(1).write.parquet(half)
+        part = glob.glob(f"{half}/part-*.parquet")[0]
+        shutil.move(part, f"{src}/{tag}.parquet")
+        os.utime(f"{src}/{tag}.parquet", (mtime, mtime))
+
+    out, ckpt = f"{tmp_path}/t", f"{tmp_path}/ck"
+    q = upsert_stream_run(
+        spark, src, out, ckpt, key_cols=["user_id"], version_col="ts",
+        available_now=True, max_files_per_trigger=1,
+    )
+    await_finished(q)
+    streamed = sorted(
+        (r["user_id"], r["event_id"])
+        for r in read_upserted(spark, out).collect()
+    )
+    # batch ground truth: latest event per user (ties impossible: event
+    # ids are unique and ts has microsecond resolution).
+    latest = (
+        raw.groupBy("user_id")
+        .agg(F.max_by("event_id", "ts").alias("event_id"))
+        .collect()
+    )
+    assert streamed == sorted((r["user_id"], r["event_id"]) for r in latest)
