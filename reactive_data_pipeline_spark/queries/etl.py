@@ -894,3 +894,44 @@ def upsert_orders_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("price") * 100).cast("long").alias("price_cents"),
         "ver",
     )
+
+
+@register(
+    "hopping_window_event_counts",
+    oracle="""
+    WITH obs AS (
+      SELECT event_type,
+             epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000 AS hr
+      FROM events
+    ),
+    hops AS (
+      SELECT event_type, unnest(generate_series(hr, hr + 2)) AS w FROM obs
+    )
+    SELECT CAST(w AS BIGINT) AS window_end_hr, event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM hops GROUP BY w, event_type
+    """,
+    tags=("window", "timeseries", "hopping"),
+)
+def hopping_window_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hopping (sliding) window counts - 3-hour windows advancing every
+    hour - done batch-side exactly the way Structured Streaming's
+    ``window(ts, '3 hours', '1 hour')`` assigns rows: each event
+    explodes into the 3 windows that contain it (window id = the
+    window's END hour), then one count aggregate. Stream-batch
+    semantic parity for sliding aggregations, integer hour arithmetic.
+    Scale: the explode is a bounded x3 row expansion (window/slide
+    ratio), the aggregate partial-combines map-side - no window
+    function, no sort."""
+    ev = read_table(spark, sf_dir, "events")
+    obs = ev.select(
+        "event_type",
+        F.expr("unix_micros(CAST(ts AS TIMESTAMP)) div 3600000000").alias("hr"),
+    )
+    hops = obs.select(
+        "event_type",
+        F.explode(F.sequence(F.col("hr"), F.col("hr") + 2)).alias("w"),
+    )
+    return hops.groupBy(
+        F.col("w").cast("long").alias("window_end_hr"), "event_type"
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_events"))
