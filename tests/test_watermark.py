@@ -247,3 +247,47 @@ def test_stream_static_broadcast_enrichment_matches_batch(spark, tmp_path):
         .agg(F.count(F.lit(1)).alias("n"), F.sum(F.col("value").cast("decimal(18,6)")).alias("v"))
     )
     assert_df_equal(got, expected)
+
+
+def test_streaming_hopping_window_matches_batch_query(spark, tmp_path):
+    """Structured Streaming's sliding window(ts, '3 hours', '1 hour')
+    must assign rows to exactly the windows the batch
+    hopping_window_event_counts query computes (window id = end hour)."""
+    from reactive_data_pipeline_spark.queries import QUERIES
+    from reactive_data_pipeline_spark.sources import read_table
+    from tests.conftest import SF_DIR
+
+    events = read_table(spark, SF_DIR, "events")
+    src = str(tmp_path / "ev")
+    for i in range(2):
+        events.filter(events.event_id % 2 == i).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+    stream = (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+        .groupBy(
+            F.window(F.col("ts"), "3 hours", "1 hour").alias("w"), "event_type"
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("hop_agg")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(120)
+    # streaming window.end is EXCLUSIVE; the batch query's window id is
+    # the inclusive end hour, hence the -1.
+    got = {
+        (int(r.w.end.timestamp() * 1_000_000) // 3600_000_000 - 1, r.event_type): r.n
+        for r in spark.sql("SELECT * FROM hop_agg").collect()
+    }
+    batch = {
+        (r.window_end_hr, r.event_type): r.n_events
+        for r in QUERIES["hopping_window_event_counts"].build(spark, SF_DIR).collect()
+    }
+    assert got == batch
