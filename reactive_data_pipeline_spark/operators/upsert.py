@@ -111,3 +111,51 @@ def upsert_stream_run(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def delete_keys(
+    spark: SparkSession,
+    path: str,
+    keys: DataFrame,
+    key_cols: list[str],
+    n_buckets: int = UPSERT_BUCKETS,
+) -> None:
+    """Targeted key deletion (the right-to-be-forgotten primitive) from
+    an :func:`upsert_partitioned` table: read ONLY the buckets the key
+    set hashes into, anti-join the keys out, dynamically overwrite
+    those buckets. Cost is O(touched buckets), not O(table); deleting
+    an absent key is a no-op; idempotent under replay."""
+    bucket = F.pmod(F.xxhash64(*key_cols), F.lit(n_buckets))
+    tagged = keys.select(*key_cols).distinct().withColumn("bucket", bucket).persist()
+    buckets = [r["bucket"] for r in tagged.select("bucket").distinct().collect()]
+    if not buckets:
+        tagged.unpersist()
+        return
+    try:
+        existing = spark.read.parquet(path).filter(F.col("bucket").isin(buckets))
+    except Exception:
+        tagged.unpersist()
+        raise
+    remaining = existing.join(
+        F.broadcast(tagged.select(*key_cols)), key_cols, "left_anti"
+    )
+    remaining = remaining.localCheckpoint(eager=True)
+    # Dynamic overwrite only replaces partitions PRESENT in the write:
+    # a bucket whose every row was deleted would keep its old files.
+    # Those buckets are removed explicitly through the Hadoop FS.
+    present = {
+        r["bucket"] for r in remaining.select("bucket").distinct().collect()
+    }
+    if present:
+        (
+            remaining.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("bucket")
+            .parquet(path)
+        )
+    jvm = spark._jvm  # type: ignore[attr-defined]
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())  # type: ignore[attr-defined]
+    for b in set(buckets) - present:
+        fs.delete(jvm.org.apache.hadoop.fs.Path(f"{path}/bucket={b}"), True)
+    tagged.unpersist()

@@ -135,3 +135,57 @@ def test_streaming_upsert_two_waves_equals_batch(spark, tmp_path):
         .collect()
     )
     assert streamed == sorted((r["user_id"], r["event_id"]) for r in latest)
+
+
+def test_delete_keys_removes_only_targets(spark, tmp_path):
+    from reactive_data_pipeline_spark.operators.upsert import delete_keys
+
+    p = f"{tmp_path}/dim"
+    base = spark.createDataFrame(
+        [(i, f"v{i}", 1) for i in range(100)], "id long, val string, ver long"
+    )
+    upsert_partitioned(spark, p, base, ["id"], "ver")
+    to_del = spark.createDataFrame([(7,), (42,), (99999,)], "id long")
+    delete_keys(spark, p, to_del, ["id"])  # 99999 absent: no-op
+    rows = _rows(spark, p)
+    assert len(rows) == 98
+    assert all(r[0] not in (7, 42) for r in rows)
+    # idempotent replay
+    delete_keys(spark, p, to_del, ["id"])
+    assert _rows(spark, p) == rows
+    # an upsert after deletion reinstates cleanly
+    upsert_partitioned(
+        spark,
+        p,
+        spark.createDataFrame([(7, "back", 2)], "id long, val string, ver long"),
+        ["id"],
+        "ver",
+    )
+    assert (7, "back", 2) in _rows(spark, p)
+
+
+def test_delete_keys_erases_fully_emptied_bucket(spark, tmp_path):
+    """When every key of a bucket is deleted, the bucket's FILES must
+    go too - dynamic overwrite alone cannot erase a partition absent
+    from the write (the latent resurrection bug this pins)."""
+    import glob
+
+    from reactive_data_pipeline_spark.operators.upsert import delete_keys
+
+    p = f"{tmp_path}/dim"
+    base = spark.createDataFrame(
+        [(i, f"v{i}", 1) for i in range(10)], "id long, val string, ver long"
+    )
+    upsert_partitioned(spark, p, base, ["id"], "ver")
+    # delete EVERY key: all touched buckets empty out entirely
+    delete_keys(spark, p, base.select("id"), ["id"])
+    assert glob.glob(f"{p}/bucket=*/part-*") == []
+    # and an upsert into the emptied table works
+    upsert_partitioned(
+        spark,
+        p,
+        spark.createDataFrame([(1, "fresh", 1)], "id long, val string, ver long"),
+        ["id"],
+        "ver",
+    )
+    assert _rows(spark, p) == [(1, "fresh", 1)]
