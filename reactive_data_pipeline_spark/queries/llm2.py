@@ -882,3 +882,180 @@ def group_kfold_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("source").cast("long").alias("n_sources"),
         F.sum("doc_id").cast("long").alias("doc_id_sum"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Flagship pipeline v2: + decontamination + temperature mixing
+# ---------------------------------------------------------------------------
+
+
+def _v2_oracle() -> str:
+    from ..functions import text as TX
+    from .llm import _NORM, _stop_sql
+
+    grams3 = (
+        "list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2] "
+        "FOR i IN generate_series(1, len(t) - 2)])"
+    )
+    return f"""
+    WITH scored AS (
+      SELECT doc_id, source, text, norm,
+             round(least(1.0, CAST(len(string_split(norm, ' ')) AS DOUBLE) / 50.0) * 0.5
+                   + least(1.0, (CAST({_stop_sql('en')} AS DOUBLE)
+                                 / len(string_split(norm, ' '))) * 5.0) * 0.3
+                   + (1.0 - least(1.0, (CAST(len(regexp_extract_all(text, '{TX.PUNCT_CLASS}')) AS DOUBLE)
+                                        / length(text)) * 10.0)) * 0.2, 6) AS quality
+      FROM (SELECT doc_id, source, text, {_NORM} AS norm FROM documents
+            WHERE doc_id % 50 <> 0)
+    ),
+    kept AS (
+      SELECT doc_id, source, norm FROM (
+        SELECT doc_id, source, norm, quality,
+               {_stop_sql('en')} AS s_en, {_stop_sql('es')} AS s_es,
+               {_stop_sql('fr')} AS s_fr, {_stop_sql('de')} AS s_de
+        FROM scored
+      )
+      WHERE quality >= 0.5 AND s_en > 0
+        AND s_en = greatest(s_en, s_es, s_fr, s_de)
+    ),
+    bench AS (
+      SELECT DISTINCT unnest(g) AS gram FROM (
+        SELECT {grams3.replace('t[', 'tt[').replace('len(t)', 'len(tt)')} AS g
+        FROM (SELECT string_split({_NORM}, ' ') AS tt FROM documents
+              WHERE doc_id % 50 = 0)
+      )
+    ),
+    kgrams AS (
+      SELECT doc_id, unnest(g) AS gram FROM (
+        SELECT doc_id, {grams3.replace('t[', 'tt[').replace('len(t)', 'len(tt)')} AS g
+        FROM (SELECT doc_id, string_split(norm, ' ') AS tt FROM kept)
+      )
+    ),
+    contaminated AS (
+      SELECT DISTINCT kgrams.doc_id FROM kgrams JOIN bench USING (gram)
+    ),
+    clean AS (
+      SELECT k.* FROM kept k LEFT JOIN contaminated c USING (doc_id)
+      WHERE c.doc_id IS NULL
+    ),
+    stats AS (SELECT source, COUNT(*) AS n_docs FROM clean GROUP BY source),
+    tot AS (SELECT SUM(n_docs) AS n FROM stats),
+    w AS (SELECT source, n_docs,
+                 round(sqrt(CAST(n_docs AS DOUBLE) / n), 12) AS wgt, n
+          FROM stats, tot),
+    wtot AS (SELECT CAST(SUM(CAST(wgt AS DECIMAL(38,12))) AS DOUBLE) AS wsum FROM w),
+    rates AS (SELECT source,
+                     least(1.0, (wgt / wsum) * n * 0.5 / n_docs) AS rate_raw
+              FROM w, wtot),
+    mixed AS (
+      SELECT c.doc_id, c.norm FROM clean c JOIN rates r ON c.source = r.source
+      WHERE (c.doc_id * 1000003) % 1000 < r.rate_raw * 1000
+    ),
+    dedup AS (
+      SELECT doc_id, norm FROM (
+        SELECT doc_id, norm, MIN(doc_id) OVER (PARTITION BY norm) AS keeper
+        FROM mixed
+      ) WHERE doc_id = keeper
+    ),
+    toks AS (SELECT doc_id, string_split(norm, ' ') AS t FROM dedup),
+    chunks AS (
+      SELECT doc_id, chunk_idx,
+             len(t[chunk_idx * 24 + 1 : chunk_idx * 24 + 32]) AS n_tokens
+      FROM (
+        SELECT doc_id, t,
+               unnest(generate_series(
+                 0, CAST(greatest(ceil((len(t) - 8) / 24.0), 1) AS INT) - 1)) AS chunk_idx
+        FROM toks
+      )
+    )
+    SELECT doc_id, chunk_idx, n_tokens,
+           CAST(floor(COALESCE(SUM(n_tokens) OVER (
+             PARTITION BY doc_id % 32
+             ORDER BY doc_id, chunk_idx
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 128.0) AS BIGINT)
+             * 32 + (doc_id % 32) AS bin_id
+    FROM chunks
+    """
+
+
+@register(
+    "training_data_pipeline_v2",
+    oracle=_v2_oracle(),
+    tags=("text", "pipeline", "dedup", "chunking", "curation", "contamination"),
+)
+def training_data_pipeline_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The round-4 flagship: the full curation surface as ONE plan -
+    quality -> language -> BENCHMARK DECONTAMINATION (Bloom prefilter +
+    exact verify) -> temperature-scaled domain mixing -> exact dedup ->
+    chunk -> bucket-packed bins, every stage value-hash checked.
+
+    The decontamination stage is the two-phase scale shape: the
+    constant-size Bloom filter flags a superset of contaminated docs in
+    a narrow pass (no shuffle, no gram strings shipped), and only the
+    FLAGGED docs' grams go through the exact broadcast join - so the
+    expensive verify runs on a sliver of the corpus while the dropped
+    set stays EXACTLY the true contaminated set (which is what the
+    oracle recomputes; Bloom false positives cost verify work, never
+    rows). Mixing reuses the IEEE-exact temperature weights; the tail
+    is the v1 dedup->chunk->pack plan with the keyed pack window.
+    """
+    from ..dedup.exact import dedup_documents
+    from ..dedup.ngram import token_ngrams
+    from ..functions import text as TX
+    from ..functions.chunking import chunk_documents, pack_bins
+    from .llm import _docs
+
+    d = _docs(spark, sf_dir)
+    bench = d.filter(F.col("doc_id") % 50 == 0)
+    corpus = d.filter(F.col("doc_id") % 50 != 0)
+    kept = corpus.filter(
+        (TX.quality_score("text") >= 0.5) & (TX.lang_id("text") == "en")
+    )
+
+    bench_grams = bench.select(
+        F.explode(token_ngrams("text", 3)).alias("gram")
+    ).distinct()
+    bf = bloom_build(bench_grams, "gram", num_bits=_BLOOM_BITS, k=_BLOOM_K)
+    kept_grams = kept.select(
+        "doc_id", F.explode(token_ngrams("text", 3)).alias("gram")
+    )
+    suspects = (
+        kept_grams.crossJoin(F.broadcast(bf))
+        .filter(
+            bloom_might_contain(
+                "bloom_words", "gram", num_bits=_BLOOM_BITS, k=_BLOOM_K
+            )
+        )
+        .select("doc_id", "gram")
+    )
+    confirmed = (
+        suspects.join(F.broadcast(bench_grams), "gram", "left_semi")
+        .select("doc_id")
+        .distinct()
+    )
+    clean = kept.join(confirmed, "doc_id", "left_anti")
+
+    stats = clean.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
+    tot = stats.agg(F.sum("n_docs").alias("__n"))
+    w = stats.crossJoin(F.broadcast(tot)).withColumn(
+        "__w", F.round(F.sqrt(F.col("n_docs") / F.col("__n")), 12)
+    )
+    wtot = w.agg(
+        F.sum(F.col("__w").cast("decimal(38,12)")).cast("double").alias("__wsum")
+    )
+    rates = w.crossJoin(F.broadcast(wtot)).select(
+        "source",
+        F.least(
+            F.lit(1.0),
+            F.col("__w") / F.col("__wsum") * F.col("__n") * 0.5 / F.col("n_docs"),
+        ).alias("__rate"),
+    )
+    mixed = (
+        clean.join(F.broadcast(rates), "source")
+        .filter(stratified_keep(clean, F.col("__rate"), key="doc_id"))
+        .select("doc_id", "text")
+    )
+
+    deduped = dedup_documents(mixed)
+    chunks = chunk_documents(deduped, chunk_tokens=32, overlap=8).drop("chunk_text")
+    return pack_bins(chunks, bin_tokens=128)
