@@ -1012,9 +1012,14 @@ def training_data_pipeline_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
         (TX.quality_score("text") >= 0.5) & (TX.lang_id("text") == "en")
     )
 
-    bench_grams = bench.select(
-        F.explode(token_ngrams("text", 3)).alias("gram")
-    ).distinct()
+    # The eval gram set and the post-curation doc set each feed TWO
+    # consumers; checkpointing the small frames keeps Catalyst from
+    # duplicating their whole upstream subtrees (26 -> ~8 exchanges).
+    bench_grams = (
+        bench.select(F.explode(token_ngrams("text", 3)).alias("gram"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
     bf = bloom_build(bench_grams, "gram", num_bits=_BLOOM_BITS, k=_BLOOM_K)
     kept_grams = kept.select(
         "doc_id", F.explode(token_ngrams("text", 3)).alias("gram")
@@ -1033,7 +1038,9 @@ def training_data_pipeline_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id")
         .distinct()
     )
-    clean = kept.join(confirmed, "doc_id", "left_anti")
+    clean = kept.join(confirmed, "doc_id", "left_anti").localCheckpoint(
+        eager=False
+    )
 
     stats = clean.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
     tot = stats.agg(F.sum("n_docs").alias("__n"))

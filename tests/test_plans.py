@@ -374,3 +374,18 @@ def test_join_strategy_hints_control_physical_plan(spark):
             assert node in plan, f"hint {hint!r} did not produce {node}:\n{plan[:500]}"
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prior)
+
+
+def test_training_pipeline_v2_shuffle_budget(spark):
+    """The v2 pipeline's only wide exchanges: bloom-build bit agg +
+    zero-seed union, per-source stats, the suspect doc-id distinct, the
+    dedup content window, and the keyed pack window - the corpus scan
+    itself never re-shuffles for decontamination or mixing (both ride
+    broadcasts). Budget pinned so a regression that shuffles the corpus
+    an extra time fails loudly."""
+    df = QUERIES["training_data_pipeline_v2"].build(spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert plan.count("Exchange hashpartitioning") <= 10
+    # the pack window is keyed (the round-3 scale defect, permanently)
+    assert "__bucket" in plan
