@@ -74,6 +74,9 @@ def asof_join_cogroup(
     r2 = right.select([F.col(c).alias(f"__r_{c}") for c in rcols])
 
     def _null_series(simple_type: str, n: int) -> "pd.Series":
+        # decimal payloads are NOT covered (object dtype would re-open
+        # the null-type hazard); cast decimals to double/long before an
+        # as-of cogroup, as every catalog caller does.
         if simple_type.startswith("timestamp"):
             return pd.Series([pd.NaT] * n, dtype="datetime64[ns]")
         if simple_type in ("double", "float"):

@@ -48,8 +48,9 @@ def pruned_read(
     )
     files = [r["file"] for r in keep.select("file").collect()]
     if not files:
-        empty = spark.createDataFrame([], spark.read.parquet(
-            index.select("file").first()["file"]
-        ).schema)
-        return empty, 0
+        any_file = index.select("file").first()
+        if any_file is None:
+            raise ValueError("file index is empty - build it first")
+        schema = spark.read.parquet(any_file["file"]).schema
+        return spark.createDataFrame([], schema), 0
     return spark.read.parquet(*files), len(files)

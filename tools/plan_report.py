@@ -37,6 +37,12 @@ SHOWCASE = [
         "no range cross-product.",
     ),
     (
+        "training_data_pipeline_v2",
+        "The full curation pipeline: bloom build + broadcast verify (no "
+        "corpus shuffle for decontamination/mixing), content-keyed dedup "
+        "window, KEYED pack window - 6 hash exchanges total.",
+    ),
+    (
         "training_data_pipeline",
         "The composed quality→dedup→chunk→pack pipeline as one plan; the "
         "pack window is KEYED (`__bucket`) - no unpartitioned WindowExec "
