@@ -311,3 +311,46 @@ def test_interval_bucket_join_equals_theta_join(spark, case):
         iv, (pts.k == iv.k) & (pts.ts >= iv.st) & (pts.ts <= iv.en)
     )
     assert bucketed.count() == naive.count()
+
+
+upsert_seq = st.lists(
+    st.lists(
+        st.tuples(st.integers(0, 5), st.integers(0, 20)),  # (key, version)
+        min_size=1,
+        max_size=6,
+    ),
+    min_size=1,
+    max_size=4,
+)
+
+
+@SLOW
+@given(upsert_seq)
+def test_upsert_converges_to_per_key_max_version(spark, tmp_path_factory, batches):
+    """Any sequence of upsert batches must converge to: per key, the
+    highest version ever written (with the LATEST batch winning equal
+    versions - last-writer-wins)."""
+    from reactive_data_pipeline_spark.operators.upsert import (
+        read_upserted,
+        upsert_partitioned,
+    )
+
+    path = str(tmp_path_factory.mktemp("ups")) + "/t"
+    expected: dict[int, tuple[int, int]] = {}  # key -> (version, batch_idx)
+    for bi, batch in enumerate(batches):
+        rows = [(k, f"b{bi}", v) for k, v in batch]
+        df = spark.createDataFrame(rows, "id long, val string, ver long")
+        upsert_partitioned(spark, path, df, ["id"], "ver")
+        # model: within a batch, max_by picks the max (ver, ...) row;
+        # across batches, incoming wins ties.
+        best_in_batch: dict[int, int] = {}
+        for k, v in batch:
+            best_in_batch[k] = max(best_in_batch.get(k, -1), v)
+        for k, v in best_in_batch.items():
+            if k not in expected or v >= expected[k][0]:
+                expected[k] = (v, bi)
+    got = {
+        r["id"]: (r["ver"], int(r["val"][1:]))
+        for r in read_upserted(spark, path).collect()
+    }
+    assert got == expected
