@@ -1066,3 +1066,49 @@ def training_data_pipeline_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
     deduped = dedup_documents(mixed)
     chunks = chunk_documents(deduped, chunk_tokens=32, overlap=8).drop("chunk_text")
     return pack_bins(chunks, bin_tokens=128)
+
+
+# ---------------------------------------------------------------------------
+# mapInArrow (raw Arrow-batch surface)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "arrow_char_lengths",
+    oracle="""
+    SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars_arrow
+    FROM documents
+    """,
+    tags=("text", "arrow", "udf"),
+)
+def arrow_char_lengths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The LOWEST-level Python surface: ``mapInArrow`` hands raw
+    ``pyarrow.RecordBatch``es to Python with no pandas materialization -
+    the zero-copy path for columnar libraries (vectorized tokenizers,
+    Arrow-native codecs). The transform here is row-wise (1->1 via
+    ``pyarrow.compute``), so the output is independent of batch
+    boundaries and sits under the exact oracle. Completes the
+    section-2.10 ladder: built-ins > pandas_udf > mapInPandas >
+    grouped/cogrouped > UDTF > mapInArrow.
+    """
+
+    def lengths(batches):
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        for b in batches:
+            yield pa.RecordBatch.from_arrays(
+                [
+                    b.column(b.schema.get_field_index("doc_id")),
+                    pc.cast(
+                        pc.utf8_length(
+                            b.column(b.schema.get_field_index("text"))
+                        ),
+                        pa.int64(),
+                    ),
+                ],
+                names=["doc_id", "n_chars_arrow"],
+            )
+
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return docs.mapInArrow(lengths, "doc_id long, n_chars_arrow long")

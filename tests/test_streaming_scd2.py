@@ -130,3 +130,28 @@ def test_restart_from_checkpoint_processes_only_new_files(spark, tmp_path):
     )
     assert full == batch
     assert full != mid  # the restart actually advanced the table
+
+
+def test_malformed_props_yield_null_tier_not_crash(spark, tmp_path):
+    """Broken/missing JSON in props must flow through as a NULL tier
+    (its own SCD2 state, null-safe change detection), never a crash -
+    ingest robustness for the 100 TB reality of dirty payloads."""
+    import datetime as dt
+
+    rows = [
+        (1, dt.datetime(2024, 1, 1, 0), 7, "click", 0.0, '{"k": 10}'),
+        (2, dt.datetime(2024, 1, 2, 0), 7, "click", 0.0, "not json at all"),
+        (3, dt.datetime(2024, 1, 3, 0), 7, "click", 0.0, '{"other": 1}'),
+        (4, dt.datetime(2024, 1, 4, 0), 7, "click", 0.0, '{"k": 90}'),
+    ]
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp_ntz, user_id long, event_type string, "
+        "value double, props string",
+    )
+    dim = scd2_intervals(event_observations(ev)).orderBy("version").collect()
+    tiers = [r["tier"] for r in dim]
+    # k=10 -> tier 0; two malformed -> one NULL interval; k=90 -> tier 3
+    assert tiers == [0, None, 3]
+    assert [r["version"] for r in dim] == [1, 2, 3]
+    assert dim[-1]["is_current"]
