@@ -935,3 +935,42 @@ def hopping_window_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hops.groupBy(
         F.col("w").cast("long").alias("window_end_hr"), "event_type"
     ).agg(F.count(F.lit(1)).cast("long").alias("n_events"))
+
+
+@register(
+    "sql_api_nation_revenue",
+    oracle="""
+    SELECT n.n_name AS nation,
+           CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                         AS DECIMAL(18,4)) * 10000) AS BIGINT) AS revenue_e4
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    GROUP BY n.n_name
+    """,
+    tags=("sql", "join", "agg"),
+)
+def sql_api_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The engine's SQL ENTRY POINT exercised as such: registered temp
+    views + one ``spark.sql`` text query (portable ANSI SQL; revenue is
+    an e4-scaled integer because Spark TRUNCATES decimal->int casts
+    while DuckDB ROUNDS - scaling to an integer-valued decimal first
+    sidesteps the divergence) - what a reference
+    user typing SQL against the engine actually runs. Catalyst plans it
+    identically to the DataFrame twin queries (broadcast dims, one fact
+    shuffle)."""
+    for t in ("lineitem", "orders", "customer", "nation"):
+        read_table(spark, sf_dir, t).createOrReplaceTempView(f"__sql_{t}")
+    return spark.sql(
+        """
+        SELECT n.n_name AS nation,
+               CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                             AS DECIMAL(18,4)) * 10000) AS BIGINT) AS revenue_e4
+        FROM __sql_lineitem l
+        JOIN __sql_orders o ON l.l_orderkey = o.o_orderkey
+        JOIN __sql_customer c ON o.o_custkey = c.c_custkey
+        JOIN __sql_nation n ON c.c_nationkey = n.n_nationkey
+        GROUP BY n.n_name
+        """
+    )

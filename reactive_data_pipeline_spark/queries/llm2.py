@@ -1,6 +1,10 @@
-"""Round-4 LLM-pipeline catalog additions: nearest-centroid routing,
-Bloom-filter decontamination (the fixed-size broadcast scale path),
-temperature-scaled domain mixing, and the cogrouped-pandas as-of twin.
+"""Round-4 catalog additions: nearest-centroid routing + iterative
+k-means, Bloom-filter decontamination (fixed-size broadcast scale
+path), temperature-scaled domain mixing, the cogrouped-pandas as-of
+twin, bucketized interval join, BPE pair stats, grouped-map gap stats,
+UDTF + LATERAL, winsorized robust stats, token co-occurrence,
+deterministic epoch reshuffling, group-aware K-fold, the v2 composed
+pipeline (decontamination + mixing), and the raw mapInArrow surface.
 
 Same determinism rules as queries/llm.py: decimal-exact summation
 wherever float addition order could differ between engines, IEEE-exact
