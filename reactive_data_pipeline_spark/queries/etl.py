@@ -974,3 +974,64 @@ def sql_api_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY n.n_name
         """
     )
+
+
+@register(
+    "triangle_count_copurchase",
+    oracle="""
+    WITH pairs AS (
+      SELECT DISTINCT a.l_partkey AS pa, b.l_partkey AS pb
+      FROM (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) a
+      JOIN (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_triangles,
+           CAST(COALESCE(SUM(e1.pa + e1.pb + e2.pb), 0) AS BIGINT)
+             AS vertex_sum_checksum
+    FROM pairs e1
+    JOIN pairs e2 ON e2.pa = e1.pb
+    JOIN pairs e3 ON e3.pa = e1.pa AND e3.pb = e2.pb
+    """,
+    tags=("analytics", "graph"),
+)
+def triangle_count_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle counting on the part co-purchase graph - the classic
+    distributed graph statistic (clustering-coefficient numerator),
+    rounding out the graph family next to PageRank and connected
+    components. Edges are kept in canonical a<b orientation, so each
+    triangle {a<b<c} is found exactly once as (a,b)+(b,c)+(a,c): two
+    hash joins on vertex keys, never an all-pairs product. Emits the
+    count plus a vertex-id-sum checksum so the oracle verifies the
+    triangle SET, not just its size.
+
+    Scale: this is the standard edge-orientation optimization - the
+    join fan-out is bounded by per-vertex out-degree in the
+    DIRECTED-by-id orientation (max out-degree <= max co-purchase set),
+    and both joins partition on a vertex key. Degree-ordered
+    orientation (low-degree vertex first) drops the bound further on
+    skewed graphs; id-orientation keeps the oracle trivially portable.
+    """
+    li = read_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    ).distinct()
+    a, b = li.alias("a"), li.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(F.col("a.l_partkey").alias("pa"), F.col("b.l_partkey").alias("pb"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    e1 = pairs.select(F.col("pa").alias("x"), F.col("pb").alias("y"))
+    e2 = pairs.select(F.col("pa").alias("y"), F.col("pb").alias("z"))
+    e3 = pairs.select(F.col("pa").alias("x"), F.col("pb").alias("z"))
+    tri = e1.join(e2, "y").join(e3, ["x", "z"])
+    return tri.agg(
+        F.count(F.lit(1)).cast("long").alias("n_triangles"),
+        F.coalesce(F.sum(F.col("x") + F.col("y") + F.col("z")), F.lit(0))
+        .cast("long")
+        .alias("vertex_sum_checksum"),
+    )
