@@ -1116,3 +1116,74 @@ def arrow_char_lengths(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
     return docs.mapInArrow(lengths, "doc_id long, n_chars_arrow long")
+
+
+# ---------------------------------------------------------------------------
+# Corpus-level source similarity (vocabulary Jaccard)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "source_vocab_jaccard",
+    oracle=f"""
+    WITH st AS (
+      SELECT DISTINCT source, unnest({_TOKS_SQL}) AS tok FROM documents
+    ),
+    sizes AS (SELECT source, COUNT(*) AS n FROM st GROUP BY source),
+    inter AS (
+      SELECT a.source AS src_a, b.source AS src_b, COUNT(*) AS n_common
+      FROM st a JOIN st b ON a.tok = b.tok AND a.source < b.source
+      GROUP BY a.source, b.source
+    )
+    SELECT i.src_a, i.src_b,
+           CAST(i.n_common AS BIGINT) AS n_common,
+           round(CAST(i.n_common AS DOUBLE) / (sa.n + sb.n - i.n_common), 6)
+             AS jaccard
+    FROM inter i
+    JOIN sizes sa ON sa.source = i.src_a
+    JOIN sizes sb ON sb.source = i.src_b
+    """,
+    tags=("text", "similarity", "corpus-analytics"),
+)
+def source_vocab_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise vocabulary Jaccard between document sources - the
+    corpus-composition analytic behind domain-overlap dashboards and
+    mixture design. Inverted-index shape: one (source, token) distinct
+    set, self-joined ON TOKEN (each token contributes its own source
+    pairs - linear in token-postings, never an all-pairs scan of the
+    corpus), then tiny per-source sizes broadcast back. Integer
+    intersection counts; the Jaccard ratio divides exact integers in
+    double (identical on every engine)."""
+    from ..functions.text import tokens
+    from .llm import _docs
+
+    st = (
+        _docs(spark, sf_dir)
+        .select("source", F.explode(tokens("text")).alias("tok"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    sizes = st.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    a = st.select(F.col("source").alias("src_a"), "tok")
+    b = st.select(F.col("source").alias("src_b"), "tok")
+    inter = (
+        a.join(b, "tok")
+        .filter(F.col("src_a") < F.col("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col("source").alias("src_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("source").alias("src_b"), F.col("n").alias("nb"))
+    return (
+        inter.join(F.broadcast(sa), "src_a")
+        .join(F.broadcast(sb), "src_b")
+        .select(
+            "src_a",
+            "src_b",
+            F.col("n_common").cast("long").alias("n_common"),
+            F.round(
+                F.col("n_common") / (F.col("na") + F.col("nb") - F.col("n_common")),
+                6,
+            ).alias("jaccard"),
+        )
+    )
