@@ -1035,3 +1035,40 @@ def triangle_count_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("vertex_sum_checksum"),
     )
+
+
+@register(
+    "event_gap_log_histogram",
+    oracle="""
+    WITH gaps AS (
+      SELECT epoch_us(CAST(ts AS TIMESTAMP))
+               - lag(epoch_us(CAST(ts AS TIMESTAMP))) OVER
+                 (PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+      FROM events
+    )
+    SELECT CAST(length(bin(gap_us)) - 1 AS BIGINT) AS log2_bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_gaps
+    FROM gaps WHERE gap_us > 0
+    GROUP BY log2_bucket
+    """,
+    tags=("analytics", "histogram", "timeseries"),
+)
+def event_gap_log_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log2-bucketed inter-arrival histogram (the latency-distribution
+    shape ops dashboards want): bucket = floor(log2(gap_us)) computed
+    EXACTLY as the binary-string length minus one - no float log, whose
+    last-ulp error near power-of-two boundaries would mis-bucket on one
+    engine and not the other (the bucket-boundary lesson applied to
+    logarithms). One user-keyed lag window, then a constant-size
+    (~40-bucket) count aggregate."""
+    ev = read_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.unix_micros(F.col("ts").cast("timestamp")), F.col("event_id")
+    )
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    gaps = ev.select((us - F.lag(us).over(w)).alias("gap_us")).filter(
+        F.col("gap_us") > 0
+    )
+    return gaps.groupBy(
+        (F.length(F.expr("bin(gap_us)")) - 1).cast("long").alias("log2_bucket")
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_gaps"))
