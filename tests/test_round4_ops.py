@@ -339,3 +339,48 @@ def test_zorder_key_bit_budget_guard(spark):
 
     with pytest.raises(ValueError):
         zorder_key(["a", "b", "c", "d"], bits=16)  # 64 bits > 63
+
+
+def test_decontam_result_invariant_to_bloom_sizing(spark):
+    """The bloom prefilter must only affect WORK, never the dropped
+    set: with a deliberately tiny (high-FP) filter, prefilter+exact
+    verify still equals the direct exact join."""
+    from reactive_data_pipeline_spark.dedup.ngram import token_ngrams
+    from reactive_data_pipeline_spark.functions.bloom import (
+        bloom_build,
+        bloom_might_contain,
+    )
+    from reactive_data_pipeline_spark.queries.llm import _docs
+
+    d = _docs(spark, SF_DIR)
+    bench = d.filter(F.col("doc_id") % 50 == 0)
+    corpus = d.filter(F.col("doc_id") % 50 != 0)
+    bench_grams = bench.select(
+        F.explode(token_ngrams("text", 3)).alias("gram")
+    ).distinct()
+    corpus_grams = corpus.select(
+        "doc_id", F.explode(token_ngrams("text", 3)).alias("gram")
+    )
+
+    exact = {
+        r["doc_id"]
+        for r in corpus_grams.join(F.broadcast(bench_grams), "gram", "left_semi")
+        .select("doc_id")
+        .distinct()
+        .collect()
+    }
+    tiny_bits = 1 << 8  # 256 bits for thousands of grams: FP-saturated
+    bf = bloom_build(bench_grams, "gram", num_bits=tiny_bits, k=2)
+    suspects = (
+        corpus_grams.crossJoin(F.broadcast(bf))
+        .filter(bloom_might_contain("bloom_words", "gram", num_bits=tiny_bits, k=2))
+        .select("doc_id", "gram")
+    )
+    confirmed = {
+        r["doc_id"]
+        for r in suspects.join(F.broadcast(bench_grams), "gram", "left_semi")
+        .select("doc_id")
+        .distinct()
+        .collect()
+    }
+    assert confirmed == exact
