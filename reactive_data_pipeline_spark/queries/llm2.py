@@ -95,6 +95,7 @@ _BLOOM_K = 5
 
 #: DuckDB twin of dedup.ngram.token_ngrams(text, 3) over normalized text
 #: (mirrors queries/curation.py's _GRAMS3 but inlined with its toks CTE).
+_NORM_SQL = r"regexp_replace(lower(trim(text)), '\s+', ' ', 'g')"
 _TOKS_SQL = r"string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')"
 _GRAMS3_SQL = (
     "list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2] "
@@ -1186,4 +1187,46 @@ def source_vocab_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
                 6,
             ).alias("jaccard"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Per-source duplication dashboard
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dedup_rate_by_source",
+    oracle=f"""
+    WITH n AS (SELECT doc_id, source, {_NORM_SQL} AS norm FROM documents)
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(DISTINCT norm) AS BIGINT) AS n_unique,
+           CAST(COUNT(*) - COUNT(DISTINCT norm) AS BIGINT) AS n_dupes,
+           round(CAST(COUNT(*) - COUNT(DISTINCT norm) AS DOUBLE) / COUNT(*), 6)
+             AS dup_rate
+    FROM n GROUP BY source
+    """,
+    tags=("dedup", "curation", "corpus-analytics"),
+)
+def dedup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source exact-duplicate rate (the curation dashboard number
+    that decides which feeds need aggressive dedup): normalized-content
+    distinct counts per source, integer ratios. One shuffle; at scale
+    substitute xxhash64(norm) for the distinct key so the exchange
+    carries 8-byte hashes instead of document text (same guidance as
+    dedup/exact.py)."""
+    from ..functions.text import normalize_ws
+    from .llm import _docs
+
+    n = _docs(spark, sf_dir).select(
+        "source", normalize_ws("text").alias("norm")
+    )
+    return n.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.countDistinct("norm").cast("long").alias("n_unique"),
+        (F.count(F.lit(1)) - F.countDistinct("norm")).cast("long").alias("n_dupes"),
+        F.round(
+            (F.count(F.lit(1)) - F.countDistinct("norm")) / F.count(F.lit(1)), 6
+        ).alias("dup_rate"),
     )
