@@ -1230,3 +1230,55 @@ def dedup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.count(F.lit(1)) - F.countDistinct("norm")) / F.count(F.lit(1)), 6
         ).alias("dup_rate"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Embedding dimension audit (integer-exact moments)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "embedding_dim_moments",
+    oracle="""
+    WITH comp AS (
+      SELECT pos, CAST(floor(CAST(embedding[pos] AS DOUBLE) * 1000000 + 0.5)
+                       AS BIGINT) AS v_e6
+      FROM (SELECT embedding, unnest(generate_series(1, len(embedding))) AS pos
+            FROM embeddings)
+    )
+    SELECT CAST(pos AS BIGINT) AS pos,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(v_e6) AS BIGINT) AS sum_e6,
+           CAST(SUM(v_e6 * v_e6) AS BIGINT) AS sumsq_e12
+    FROM comp GROUP BY pos
+    """,
+    tags=("similarity", "profiling"),
+)
+def embedding_dim_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension first and second moments of the embedding space -
+    the dead/degenerate-dimension audit an embedding pipeline runs
+    before indexing (variance per coordinate = (n*sumsq - sum^2) /
+    n^2, derivable from the emitted integers). Components quantize to
+    e6 integers via floor(x*1e6+0.5) (engine-neutral half-up - decimal
+    casts are NOT, see the commit trail), so sums and squared sums are
+    EXACT 64-bit arithmetic:
+    order-independent, ulp-free on every engine, and safely sized
+    (|x|<=1 => x_e6^2 <= 1e12; 1e6 rows per dimension stays < 2^63).
+    One posexplode + one (pos)-keyed partial-combined aggregate; output
+    is dim-sized regardless of corpus row count."""
+    comp = _emb(spark, sf_dir).select(
+        F.posexplode(F.col("embedding").cast("array<double>")).alias("pos0", "v")
+    )
+    # floor(x*1e6 + 0.5), NOT a decimal cast: DuckDB's double->decimal
+    # cast is itself inexact near .5 ulp boundaries, while double
+    # multiply + exact floor is bit-identical on every engine.
+    v_e6 = F.floor(F.col("v") * F.lit(1e6) + F.lit(0.5)).cast("long")
+    return (
+        comp.select((F.col("pos0") + 1).cast("long").alias("pos"), v_e6.alias("v_e6"))
+        .groupBy("pos")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("v_e6").cast("long").alias("sum_e6"),
+            F.sum(F.col("v_e6") * F.col("v_e6")).cast("long").alias("sumsq_e12"),
+        )
+    )
