@@ -354,3 +354,25 @@ def test_upsert_converges_to_per_key_max_version(spark, tmp_path_factory, batche
         for r in read_upserted(spark, path).collect()
     }
     assert got == expected
+
+
+zorder_grid = st.lists(
+    st.tuples(st.integers(0, 255), st.integers(0, 255)),
+    min_size=1,
+    max_size=40,
+    unique=True,
+)
+
+
+@SLOW
+@given(zorder_grid)
+def test_zorder_key_is_injective_on_the_grid(spark, cells):
+    """Distinct (x, y) grid cells must map to distinct Morton keys
+    (bit interleaving is a bijection onto 2*bits-bit integers)."""
+    from reactive_data_pipeline_spark.functions.zorder import zorder_key
+
+    df = spark.createDataFrame(cells, "x long, y long")
+    keys = df.select(zorder_key(["x", "y"], bits=8).alias("k"))
+    assert keys.distinct().count() == len(cells)
+    mx = keys.agg(F.max("k")).collect()[0][0]
+    assert 0 <= mx < (1 << 16)
