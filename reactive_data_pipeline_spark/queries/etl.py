@@ -1072,3 +1072,34 @@ def event_gap_log_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return gaps.groupBy(
         (F.length(F.expr("bin(gap_us)")) - 1).cast("long").alias("log2_bucket")
     ).agg(F.count(F.lit(1)).cast("long").alias("n_gaps"))
+
+
+@register(
+    "events_dow_hour_heatmap",
+    oracle="""
+    SELECT CAST((epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 + 4) % 7
+                AS BIGINT) AS dow,
+           CAST((epoch_us(CAST(ts AS TIMESTAMP)) % 86400000000) // 3600000000
+                AS BIGINT) AS hour,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM events GROUP BY 1, 2
+    """,
+    tags=("analytics", "timeseries", "heatmap"),
+)
+def events_dow_hour_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week x hour activity heat map (the traffic-shape
+    dashboard) in pure INTEGER epoch arithmetic: dow = (epoch_day + 4)
+    mod 7 (1970-01-01 was a Thursday; Monday = 0) rather than the
+    engines' dayofweek() functions, whose numbering conventions differ.
+    Constant 7x24 output from one partial-combined aggregate."""
+    ev = read_table(spark, sf_dir, "events")
+    return ev.select(
+        F.expr(
+            "(unix_micros(CAST(ts AS TIMESTAMP)) div 86400000000 + 4) % 7"
+        ).cast("long").alias("dow"),
+        F.expr(
+            "(unix_micros(CAST(ts AS TIMESTAMP)) % 86400000000) div 3600000000"
+        ).cast("long").alias("hour"),
+    ).groupBy("dow", "hour").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events")
+    )
