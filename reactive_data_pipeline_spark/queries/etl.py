@@ -1103,3 +1103,70 @@ def events_dow_hour_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).groupBy("dow", "hour").agg(
         F.count(F.lit(1)).cast("long").alias("n_events")
     )
+
+
+@register(
+    "customer_rfm_segments",
+    oracle="""
+    WITH maxd AS (SELECT MAX(o_orderdate) AS d FROM orders),
+    rfm AS (
+      SELECT o.o_custkey,
+             date_diff('day', MAX(o.o_orderdate), maxd.d) AS recency_days,
+             COUNT(*) AS frequency,
+             CAST(SUM(CAST(o.o_totalprice AS DECIMAL(15,2)) * 100) AS BIGINT)
+               AS monetary_cents
+      FROM orders o, maxd GROUP BY o.o_custkey, maxd.d
+    )
+    SELECT CASE WHEN recency_days <= 30 THEN 0
+                WHEN recency_days <= 90 THEN 1 ELSE 2 END AS r_bucket,
+           CASE WHEN frequency >= 20 THEN 0
+                WHEN frequency >= 10 THEN 1 ELSE 2 END AS f_bucket,
+           CASE WHEN monetary_cents >= 300000000 THEN 0
+                WHEN monetary_cents >= 150000000 THEN 1 ELSE 2 END AS m_bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           CAST(SUM(monetary_cents) AS BIGINT) AS total_cents
+    FROM rfm GROUP BY 1, 2, 3
+    """,
+    tags=("analytics", "segmentation"),
+)
+def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM (recency / frequency / monetary) customer segmentation -
+    the marketing-analytics workhorse - in fully integer arithmetic:
+    recency as whole days from the corpus max date, monetary as exact
+    cents, fixed bucket thresholds, aggregated to the 27-cell segment
+    matrix. One customer-keyed aggregate + one broadcast scalar (the
+    max date); constant-size output."""
+    o = read_table(spark, sf_dir, "orders")
+    maxd = o.agg(F.max("o_orderdate").alias("__d"))
+    rfm = (
+        o.crossJoin(F.broadcast(maxd))
+        .groupBy("o_custkey", "__d")
+        .agg(
+            F.datediff(F.first("__d"), F.max("o_orderdate")).alias("recency_days"),
+            F.count(F.lit(1)).alias("frequency"),
+            F.sum(F.col("o_totalprice").cast("decimal(15,2)") * 100)
+            .cast("long")
+            .alias("monetary_cents"),
+        )
+    )
+    r_b = (
+        F.when(F.col("recency_days") <= 30, 0)
+        .when(F.col("recency_days") <= 90, 1)
+        .otherwise(2)
+    )
+    f_b = (
+        F.when(F.col("frequency") >= 20, 0)
+        .when(F.col("frequency") >= 10, 1)
+        .otherwise(2)
+    )
+    m_b = (
+        F.when(F.col("monetary_cents") >= 300000000, 0)
+        .when(F.col("monetary_cents") >= 150000000, 1)
+        .otherwise(2)
+    )
+    return rfm.groupBy(
+        r_b.alias("r_bucket"), f_b.alias("f_bucket"), m_b.alias("m_bucket")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_customers"),
+        F.sum("monetary_cents").cast("long").alias("total_cents"),
+    )
