@@ -73,6 +73,7 @@ from . import relational_ext3  # noqa: E402,F401
 from . import reference  # noqa: E402,F401
 from . import llm  # noqa: E402,F401
 from . import llm2  # noqa: E402,F401
+from . import llm3  # noqa: E402,F401
 from . import curation  # noqa: E402,F401
 from . import tpch2  # noqa: E402,F401
 from . import etl  # noqa: E402,F401

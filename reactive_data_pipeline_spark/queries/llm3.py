@@ -1,0 +1,433 @@
+"""Round-4 late additions: semantic dedup and curation operators from
+the recent LLM-data literature, each with an exact cross-engine oracle.
+
+* ``semdedup_cluster_pairs`` - SemDeDup (Abbas et al. 2023,
+  arXiv:2303.09540): cluster the embedding space, then look for
+  near-duplicate pairs ONLY within a cluster - the O(N^2/k) scale form
+  of semantic dedup (the all-pairs form is the deliberately-labeled
+  ground-truth twin ``embedding_neardup_pairs``).
+* ``hard_negative_mining`` - contrastive-training data prep: for every
+  vector, the most cosine-similar vector with a DIFFERENT label inside
+  its assigned cluster (semantically close, differently labeled - the
+  classic hard negative).
+* ``quality_topfrac_by_source`` - FineWeb-style per-domain dynamic
+  thresholding: keep the top half of each source by quality score
+  instead of one global cutoff (a global cutoff lets a clean domain
+  crowd out a noisy one entirely).
+* ``bigram_logprob_docs`` - bigram LM scoring (the CCNet perplexity
+  filter one order up from ``unigram_logprob_docs``), trained on the
+  corpus itself with a keyed count join instead of a giant broadcast.
+
+Determinism rules are the module family's usual ones: integer-exact
+e12 centroid sums, cosines/log-probs rounded to 6dp BEFORE any
+argmax / threshold / fold, sequential left folds in document order on
+both engines, e6-scaled integer outputs wherever a double would ride
+through an aggregate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions import text as TX
+from ..functions.vectors import cosine
+from ..similarity.centroid import label_centroids, nearest_centroid
+from . import register
+from .llm import _NORM, _TOKS, _cos_sql, _docs, _emb, _stop_sql
+
+# ---------------------------------------------------------------------------
+# Shared oracle SQL: decimal-exact per-label centroids + rounded argmax
+# assignment (identical rules to similarity/centroid.py - see
+# nearest_centroid_confusion in queries/llm2.py for the same chain).
+# ---------------------------------------------------------------------------
+
+_ASSIGN_CTES = f"""
+    comp AS (
+      SELECT label, pos, CAST(embedding[pos] AS DOUBLE) AS v
+      FROM (SELECT label, embedding,
+                   unnest(generate_series(1, len(embedding))) AS pos
+            FROM embeddings)
+    ),
+    cent AS (
+      SELECT label, pos,
+             CAST(SUM(CAST(CAST(v AS DECIMAL(20,12)) * 1000000000000 AS BIGINT))
+                  AS DOUBLE) / (COUNT(*) * 1e12) AS c
+      FROM comp GROUP BY label, pos
+    ),
+    cvecs AS (SELECT label AS cand_label, list(c ORDER BY pos) AS cvec
+              FROM cent GROUP BY label),
+    scored AS (
+      SELECT e.vec_id, e.label AS true_label, e.embedding, c.cand_label,
+             round({_cos_sql('e.embedding', 'c.cvec')}, 6) AS cos
+      FROM embeddings e CROSS JOIN cvecs c
+    ),
+    assigned AS (
+      SELECT vec_id, true_label, embedding, cand_label AS cluster
+      FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                                         ORDER BY cos DESC, cand_label) AS rn
+            FROM scored)
+      WHERE rn = 1
+    )"""
+
+#: SemDeDup similarity threshold on the 6dp-rounded cosine. Chosen so
+#: the synthetic corpus yields a non-degenerate pair set at every SF
+#: (within-cluster cosines top out ~0.47; ~1% of pairs clear 0.30).
+_SEM_TAU = 0.30
+
+_E6 = "CAST(CAST({x} AS DECIMAL(10,6)) * 1000000 AS BIGINT)"
+
+
+def _e6(col) -> F.Column:
+    return (col.cast("decimal(10,6)") * F.lit(10**6)).cast("long")
+
+
+@register(
+    "semdedup_cluster_pairs",
+    oracle=f"""
+    WITH {_ASSIGN_CTES},
+    pairs AS (
+      SELECT x.cluster, x.vec_id AS a_id, y.vec_id AS b_id,
+             round({_cos_sql('x.embedding', 'y.embedding')}, 6) AS cos
+      FROM assigned x JOIN assigned y
+        ON x.cluster = y.cluster AND x.vec_id < y.vec_id
+    ),
+    hits AS (
+      SELECT cluster,
+             CAST(COUNT(*) AS BIGINT) AS n_pairs,
+             CAST(COUNT(DISTINCT b_id) AS BIGINT) AS n_removed,
+             CAST(SUM({_E6.format(x='cos')}) AS BIGINT) AS sum_cos_e6
+      FROM pairs WHERE cos >= {_SEM_TAU} GROUP BY cluster
+    ),
+    sizes AS (SELECT cluster, CAST(COUNT(*) AS BIGINT) AS n_vecs
+              FROM assigned GROUP BY cluster)
+    SELECT s.cluster, s.n_vecs,
+           COALESCE(h.n_pairs, 0) AS n_pairs,
+           COALESCE(h.n_removed, 0) AS n_removed,
+           COALESCE(h.sum_cos_e6, 0) AS sum_cos_e6
+    FROM sizes s LEFT JOIN hits h ON s.cluster = h.cluster
+    """,
+    tags=("dedup", "similarity", "clustering", "semdedup"),
+)
+def semdedup_cluster_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup: per-cluster semantic near-duplicate report - pair
+    count, vectors the keep-lowest-id rule would drop, and the e6
+    cosine mass of the qualifying pairs.
+
+    Scale shape: centroids broadcast (k x dim), assignment is the
+    map-combined argmax (similarity/centroid.py), and the pair join is
+    keyed by CLUSTER - each side shuffles once on the cluster id and
+    candidate generation is O(sum of cluster_size^2) = O(N^2/k) under
+    balanced k, never the corpus cross-product (the plan guard forbids
+    CartesianProduct over the whole catalog). The assigned frame is
+    localCheckpoint-ed so the self-join's two subtrees don't recompute
+    the assignment; skewed clusters are a real failure mode at 100 TB -
+    cap cluster size upstream (raise k) or salt the join, see SCALE.md.
+    """
+    emb = _emb(spark, sf_dir)
+    assigned = nearest_centroid(emb, label_centroids(emb))
+    vecs = (
+        emb.select("vec_id", "embedding")
+        .join(
+            assigned.select(
+                "vec_id", F.col("assigned_label").alias("cluster")
+            ),
+            "vec_id",
+        )
+        .localCheckpoint(eager=True)
+    )
+    a = vecs.select(
+        F.col("cluster"),
+        F.col("vec_id").alias("a_id"),
+        F.col("embedding").alias("a_vec"),
+    )
+    b = vecs.select(
+        F.col("cluster"),
+        F.col("vec_id").alias("b_id"),
+        F.col("embedding").alias("b_vec"),
+    )
+    pairs = (
+        a.join(b, "cluster")
+        .filter(F.col("a_id") < F.col("b_id"))
+        .select(
+            "cluster",
+            "b_id",
+            F.round(cosine("a_vec", "b_vec"), 6).alias("cos"),
+        )
+        .filter(F.col("cos") >= F.lit(_SEM_TAU))
+    )
+    hits = pairs.groupBy("cluster").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.countDistinct("b_id").cast("long").alias("n_removed"),
+        F.sum(_e6(F.col("cos"))).cast("long").alias("sum_cos_e6"),
+    )
+    sizes = vecs.groupBy("cluster").agg(
+        F.count(F.lit(1)).cast("long").alias("n_vecs")
+    )
+    return sizes.join(hits, "cluster", "left").select(
+        "cluster",
+        "n_vecs",
+        F.coalesce("n_pairs", F.lit(0)).cast("long").alias("n_pairs"),
+        F.coalesce("n_removed", F.lit(0)).cast("long").alias("n_removed"),
+        F.coalesce("sum_cos_e6", F.lit(0)).cast("long").alias("sum_cos_e6"),
+    )
+
+
+@register(
+    "hard_negative_mining",
+    oracle=f"""
+    WITH {_ASSIGN_CTES},
+    cand AS (
+      SELECT x.vec_id, x.true_label, y.vec_id AS neg_id,
+             y.true_label AS neg_label,
+             round({_cos_sql('x.embedding', 'y.embedding')}, 6) AS cos
+      FROM assigned x JOIN assigned y
+        ON x.cluster = y.cluster AND x.true_label <> y.true_label
+    )
+    SELECT vec_id, true_label,
+           neg_id AS hard_neg_id, neg_label AS hard_neg_label,
+           {_E6.format(x='cos')} AS cos_e6
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                                       ORDER BY cos DESC, neg_id) AS rn
+          FROM cand)
+    WHERE rn = 1
+    """,
+    tags=("similarity", "contrastive", "clustering"),
+)
+def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive training: each vector's
+    most cosine-similar DIFFERENT-label vector within its assigned
+    cluster (vectors whose whole cluster shares their label emit no
+    row, identically on both engines).
+
+    Scale shape: same cluster-keyed candidate join as SemDeDup (one
+    exchange per side, O(N^2/k) candidates), then the argmax collapses
+    map-side via ``min_by`` under the composite (-cos, neg_id) key -
+    the shuffle after scoring carries one candidate per (vector,
+    partition), never the score matrix.
+    """
+    emb = _emb(spark, sf_dir)
+    assigned = nearest_centroid(emb, label_centroids(emb))
+    vecs = (
+        emb.select("vec_id", "label", "embedding")
+        .join(
+            assigned.select(
+                "vec_id", F.col("assigned_label").alias("cluster")
+            ),
+            "vec_id",
+        )
+        .localCheckpoint(eager=True)
+    )
+    x = vecs.select(
+        "cluster",
+        F.col("vec_id"),
+        F.col("label").alias("true_label"),
+        F.col("embedding").alias("x_vec"),
+    )
+    y = vecs.select(
+        "cluster",
+        F.col("vec_id").alias("neg_id"),
+        F.col("label").alias("neg_label"),
+        F.col("embedding").alias("y_vec"),
+    )
+    cand = (
+        x.join(y, "cluster")
+        .filter(F.col("true_label") != F.col("neg_label"))
+        .select(
+            "vec_id",
+            "true_label",
+            "neg_id",
+            "neg_label",
+            F.round(cosine("x_vec", "y_vec"), 6).alias("cos"),
+        )
+    )
+    best = cand.groupBy("vec_id", "true_label").agg(
+        F.min_by(
+            F.struct(
+                F.col("neg_id").alias("hard_neg_id"),
+                F.col("neg_label").alias("hard_neg_label"),
+                _e6(F.col("cos")).alias("cos_e6"),
+            ),
+            F.struct((-F.col("cos")).alias("a"), F.col("neg_id").alias("b")),
+        ).alias("__best")
+    )
+    return best.select(
+        "vec_id",
+        "true_label",
+        "__best.hard_neg_id",
+        "__best.hard_neg_label",
+        "__best.cos_e6",
+    )
+
+
+@register(
+    "quality_topfrac_by_source",
+    oracle=f"""
+    WITH q AS (
+      SELECT doc_id, source,
+             round(least(1.0, CAST(n_words AS DOUBLE) / 50.0) * 0.5
+                   + least(1.0, stop_ratio * 5.0) * 0.3
+                   + (1.0 - least(1.0, punct_ratio * 10.0)) * 0.2, 6) AS quality
+      FROM (
+        SELECT doc_id, source,
+               len(string_split(norm, ' ')) AS n_words,
+               CAST({_stop_sql('en')} AS DOUBLE)
+                 / len(string_split(norm, ' ')) AS stop_ratio,
+               CAST(len(regexp_extract_all(text, '{TX.PUNCT_CLASS}')) AS DOUBLE)
+                 / length(text) AS punct_ratio
+        FROM (SELECT doc_id, source, text, {_NORM} AS norm FROM documents)
+      )
+    ),
+    r AS (
+      SELECT doc_id, source, quality,
+             ROW_NUMBER() OVER (PARTITION BY source
+                                ORDER BY quality DESC, doc_id) AS rn,
+             COUNT(*) OVER (PARTITION BY source) AS n
+      FROM q
+    )
+    SELECT source,
+           CAST(MAX(n) AS BIGINT) AS n_docs,
+           CAST(COUNT(CASE WHEN rn * 2 <= n + 1 THEN 1 END) AS BIGINT) AS n_kept,
+           CAST(MIN(CASE WHEN rn * 2 <= n + 1
+                         THEN {_E6.format(x='quality')} END) AS BIGINT)
+             AS cutoff_quality_e6,
+           CAST(SUM(CASE WHEN rn * 2 <= n + 1
+                         THEN {_E6.format(x='quality')} END) AS BIGINT)
+             AS sum_kept_quality_e6
+    FROM r GROUP BY source
+    """,
+    tags=("curation", "quality", "window"),
+)
+def quality_topfrac_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source dynamic quality thresholding (the FineWeb recipe's
+    per-domain form): keep the top ``ceil(n/2)`` documents of EACH
+    source by (quality desc, doc_id) - so a noisy source keeps its best
+    half instead of being wiped out by a global cutoff - and report the
+    per-source kept count, the effective cutoff score, and the kept
+    quality mass (e6 integers).
+
+    Scale shape: the quality score is per-row JVM expressions (no
+    shuffle); the ranking is one window exchange keyed by source. A
+    pathologically hot source is the usual skew story - mitigate with
+    the approx-quantile cutoff variant (one pass, no per-source sort)
+    when a source no longer fits a partition's sort spill budget.
+    """
+    d = _docs(spark, sf_dir)
+    q = d.select("doc_id", "source", TX.quality_score("text").alias("quality"))
+    rank_w = Window.partitionBy("source").orderBy(
+        F.desc("quality"), F.asc("doc_id")
+    )
+    src_w = Window.partitionBy("source")
+    r = q.select(
+        "source",
+        F.col("quality"),
+        F.row_number().over(rank_w).alias("rn"),
+        F.count(F.lit(1)).over(src_w).alias("n"),
+    )
+    kept = F.col("rn") * 2 <= F.col("n") + 1
+    return r.groupBy("source").agg(
+        F.max("n").cast("long").alias("n_docs"),
+        F.count(F.when(kept, 1)).cast("long").alias("n_kept"),
+        F.min(F.when(kept, _e6(F.col("quality"))))
+        .cast("long")
+        .alias("cutoff_quality_e6"),
+        F.sum(F.when(kept, _e6(F.col("quality"))))
+        .cast("long")
+        .alias("sum_kept_quality_e6"),
+    )
+
+
+@register(
+    "bigram_logprob_docs",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+    big AS (
+      SELECT doc_id, len(t) AS n_tokens, i AS pos, t[i] AS t1,
+             t[i] || ' ' || t[i + 1] AS bg
+      FROM toks, unnest(generate_series(1, len(t) - 1)) AS u(i)
+      WHERE len(t) >= 2
+    ),
+    c2 AS (SELECT bg, t1, COUNT(*) AS n2 FROM big GROUP BY bg, t1),
+    c1 AS (SELECT t1, COUNT(*) AS n1 FROM big GROUP BY t1),
+    lp AS (
+      SELECT bg,
+             CAST(floor(ln(CAST(n2 AS DOUBLE) / n1) * 1000000 + 0.5)
+                  AS BIGINT) AS lp_e6
+      FROM c2 JOIN c1 USING (t1)
+    )
+    SELECT doc_id,
+           CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+           CAST(SUM(lp_e6) AS BIGINT) AS sum_lp_e6
+    FROM big JOIN lp USING (bg) GROUP BY doc_id, n_tokens
+    """,
+    tags=("text", "quality", "lm", "curation"),
+)
+def bigram_logprob_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram language-model scoring (one order above
+    ``unigram_logprob_docs``): train bigram MLE probabilities
+    p(y|x) = c(x,y)/c(x,.) on the corpus itself and score each document
+    by its mean bigram log-probability - the CCNet-style fluency filter
+    that catches shuffled/unnatural token order a unigram model cannot.
+
+    Determinism: each log-prob becomes an e6-scaled INTEGER via the
+    engine-neutral ``floor(x * 1e6 + 0.5)`` (cross-engine finding #6 in
+    ROUND4_NOTES.md - ``round(x, 6)`` disagrees between engines when a
+    6dp-exact sum divided by a small n lands a half exactly on the 7th
+    decimal, which the first cut of this query hit on doc 4), and the
+    per-document score is then an order-independent integer SUM - no
+    sequential fold needed at all. Count ratios are exact-integer
+    divisions so the pre-floor doubles agree bit-for-bit.
+
+    Scale shape: unlike the unigram query's broadcast vocabulary map, a
+    bigram table is too wide to broadcast on an open crawl - so the
+    scores flow through KEYED joins instead: bigram counts collapse
+    map-side, the (bg -> logp) table joins back to the exploded bigram
+    stream on the bigram key, and the per-document re-assembly is one
+    doc_id exchange. Nothing is ever driver-side or broadcast-unbounded;
+    cap the model with a top-K + floor on open vocabularies (noted,
+    not needed at the synthetic corpus's closed vocabulary).
+    """
+    toks = (
+        _docs(spark, sf_dir)
+        .select("doc_id", TX.tokens("text").alias("t"))
+        .filter(F.size("t") >= 2)
+    )
+    pairs = toks.select(
+        "doc_id",
+        F.size("t").alias("n_tokens"),
+        F.explode(
+            F.zip_with(
+                F.slice(F.col("t"), 1, F.size("t") - 1),
+                F.slice(F.col("t"), 2, F.size("t") - 1),
+                lambda x, y: F.struct(
+                    x.alias("t1"), F.concat_ws(" ", x, y).alias("bg")
+                ),
+            )
+        ).alias("p"),
+    ).select("doc_id", "n_tokens", "p.t1", "p.bg")
+    c2 = pairs.groupBy("bg", "t1").agg(F.count(F.lit(1)).alias("n2"))
+    c1 = pairs.groupBy("t1").agg(F.count(F.lit(1)).alias("n1"))
+    lp = c2.join(c1, "t1").select(
+        "bg",
+        F.floor(
+            F.log(F.col("n2").cast("double") / F.col("n1")) * F.lit(1e6)
+            + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("lp_e6"),
+    )
+    return (
+        pairs.join(lp, "bg")
+        .groupBy("doc_id", "n_tokens")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+            F.sum("lp_e6").cast("long").alias("sum_lp_e6"),
+        )
+        .select(
+            "doc_id",
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            "n_bigrams",
+            "sum_lp_e6",
+        )
+    )
