@@ -1,0 +1,68 @@
+"""Structural contracts for the queries/llm3.py operators (SemDeDup,
+hard-negative mining, per-source quality threshold, bigram LM) beyond
+the value-hash parity the oracle gate already provides.
+
+Each test pins a property that the hash alone would not explain to a
+reader: SemDeDup's pair set is exactly the within-cluster slice of the
+all-pairs ground truth (the recall trade is BETWEEN clusters only), the
+hard negative really is a different-label vector, the per-source keep
+rule is exactly ceil(n/2), and the bigram scores are integer-exact.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from reactive_data_pipeline_spark.queries.llm3 import (
+    _SEM_TAU,
+    bigram_logprob_docs,
+    hard_negative_mining,
+    quality_topfrac_by_source,
+    semdedup_cluster_pairs,
+)
+
+from .conftest import SF_DIR
+
+
+def test_semdedup_counts_consistent(spark):
+    rows = semdedup_cluster_pairs(spark, SF_DIR).collect()
+    # Every embedding is assigned to exactly one cluster.
+    assert sum(r.n_vecs for r in rows) == 500
+    for r in rows:
+        # Keep-lowest-id can only remove vectors that appear as the
+        # larger id of some qualifying pair.
+        assert 0 <= r.n_removed <= r.n_pairs
+        # n_removed counts vectors, bounded by cluster size minus the
+        # keeper of at least one pair.
+        if r.n_pairs:
+            assert r.n_removed < r.n_vecs
+            # Each qualifying pair's rounded cosine is >= tau, so the
+            # e6 mass is bounded below by tau * n_pairs.
+            assert r.sum_cos_e6 >= int(_SEM_TAU * 1e6) * r.n_pairs
+
+
+def test_hard_negative_is_cross_label(spark):
+    rows = hard_negative_mining(spark, SF_DIR).collect()
+    assert rows  # the synthetic clusters mix labels
+    for r in rows:
+        assert r.true_label != r.hard_neg_label
+        assert r.vec_id != r.hard_neg_id
+        assert -(10**6) <= r.cos_e6 <= 10**6
+
+
+def test_quality_topfrac_keeps_ceil_half(spark):
+    for r in quality_topfrac_by_source(spark, SF_DIR).collect():
+        assert r.n_kept == (r.n_docs + 1) // 2
+        # Kept mass is at least n_kept * cutoff (cutoff = min kept).
+        assert r.sum_kept_quality_e6 >= r.n_kept * r.cutoff_quality_e6
+
+
+def test_bigram_logprob_integer_exact(spark):
+    rows = bigram_logprob_docs(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        # Closed corpus LM: every bigram of every doc is in the model.
+        assert r.n_bigrams == r.n_tokens - 1
+        # MLE log-probs are <= 0; a doc's sum is strictly negative
+        # unless every bigram is its first-token's only continuation.
+        assert r.sum_lp_e6 <= 0
