@@ -412,7 +412,7 @@ def _pagerank_oracle(iters: int) -> str:
     All arithmetic is int64 fixed-point (scale 1e6) with floor division
     - bit-identical across engines, no floats anywhere."""
     ctes = [
-        "pairs AS (SELECT DISTINCT a.l_partkey AS pa, b.l_partkey AS pb"
+        "pairs AS MATERIALIZED (SELECT DISTINCT a.l_partkey AS pa, b.l_partkey AS pb"
         " FROM (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) a"
         " JOIN (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) b"
         " ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey)",
@@ -1170,3 +1170,126 @@ def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_customers"),
         F.sum("monetary_cents").cast("long").alias("total_cents"),
     )
+
+
+# ---------------------------------------------------------------------------
+# k-core decomposition (iterative graph peeling)
+# ---------------------------------------------------------------------------
+
+_KCORE_K = 80
+_KCORE_ROUNDS = 8
+
+
+def _kcore_oracle(k: int, rounds: int) -> str:
+    """Unrolled chained-CTE twin of the Spark peel loop (the
+    kmeans/pagerank pattern for iterative algorithms). Each round drops
+    every vertex of degree < k, then drops edges touching a dropped
+    vertex; both engines run the SAME fixed round count, so the
+    trajectories are identical even before the fixpoint. The per-round
+    CTEs are MATERIALIZED: each round references its predecessor three
+    times, and DuckDB's default inlining re-expands the chain 3^rounds
+    times (first seen as a too-many-open-files error on the scan)."""
+    ctes = [
+        "pairs AS MATERIALIZED (SELECT DISTINCT a.l_partkey AS pa, b.l_partkey AS pb"
+        " FROM (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) a"
+        " JOIN (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) b"
+        " ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey)",
+        "e0 AS MATERIALIZED (SELECT pa AS u, pb AS v FROM pairs"
+        " UNION ALL SELECT pb, pa FROM pairs)",
+    ]
+    for i in range(1, rounds + 1):
+        ctes.append(
+            f"k{i} AS MATERIALIZED (SELECT u FROM (SELECT u, COUNT(*) AS d FROM e{i - 1}"
+            f" GROUP BY u) WHERE d >= {k})"
+        )
+        ctes.append(
+            f"e{i} AS MATERIALIZED (SELECT c.u, c.v FROM e{i - 1} c"
+            f" JOIN k{i} a ON c.u = a.u JOIN k{i} b ON c.v = b.u)"
+        )
+        ctes.append(
+            f"s{i} AS (SELECT CAST({i} AS BIGINT) AS round,"
+            f" (SELECT CAST(COUNT(DISTINCT u) AS BIGINT) FROM e{i}) AS n_nodes,"
+            f" (SELECT CAST(COUNT(*) AS BIGINT) FROM e{i}) AS n_directed,"
+            f" (SELECT CAST(COALESCE(SUM(u), 0) AS BIGINT)"
+            f"  FROM (SELECT DISTINCT u FROM e{i})) AS node_id_sum)"
+        )
+    union = " UNION ALL ".join(f"SELECT * FROM s{i}" for i in range(1, rounds + 1))
+    return "WITH " + ",\n".join(ctes) + "\n" + union
+
+
+@register(
+    "kcore_peel_rounds",
+    oracle=_kcore_oracle(_KCORE_K, _KCORE_ROUNDS),
+    tags=("analytics", "graph", "iterative"),
+)
+def kcore_peel_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-core decomposition of the part co-purchase graph by iterative
+    peeling: each round removes every vertex whose current degree is
+    below k=80, then the edges that touched it - removals cascade, and
+    what survives all rounds is the k-core (the dense backbone
+    community detection and graph-sampling pipelines start from).
+    Emits per-round (surviving nodes, directed edge count, node-id
+    checksum) - informative at every scale, including when the whole
+    graph peels away (at sf0.001 the cascade empties the graph; at
+    sf0.01 a 1857-node core survives; both fixpoints land well inside
+    the 8 unrolled rounds, and extra rounds past the fixpoint are
+    no-ops so the fixed unroll IS the k-core there).
+
+    Scale shape per round: one degree aggregate (map-combined, keyed by
+    vertex) + two semi-join-shaped hash joins keyed u then v - never
+    anything quadratic; the edge frame localCheckpoints each round so
+    the iterative lineage stays flat (the pagerank/kmeans pattern). The
+    per-round stat rows are 1-row aggregates broadcast-joined, costing
+    nothing. 8 rounds = 8 bounded passes over a shrinking edge list.
+    """
+    li = (
+        read_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a, b = li.alias("a"), li.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(F.col("a.l_partkey").alias("pa"), F.col("b.l_partkey").alias("pb"))
+        .distinct()
+    )
+    cur = (
+        pairs.select(F.col("pa").alias("u"), F.col("pb").alias("v"))
+        .unionByName(pairs.select(F.col("pb").alias("u"), F.col("pa").alias("v")))
+        .localCheckpoint(eager=True)
+    )
+    stats = []
+    for i in range(1, _KCORE_ROUNDS + 1):
+        deg = cur.groupBy("u").agg(F.count(F.lit(1)).alias("d"))
+        keep = deg.filter(F.col("d") >= _KCORE_K).select("u")
+        cur = (
+            cur.join(keep, "u")
+            .join(keep.withColumnRenamed("u", "v"), "v")
+            .select("u", "v")
+            .localCheckpoint(eager=True)
+        )
+        node_stats = (
+            cur.select("u")
+            .distinct()
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_nodes"),
+                F.coalesce(F.sum("u"), F.lit(0)).cast("long").alias("node_id_sum"),
+            )
+        )
+        edge_stats = cur.agg(F.count(F.lit(1)).cast("long").alias("n_directed"))
+        stats.append(
+            node_stats.crossJoin(F.broadcast(edge_stats)).select(
+                F.lit(i).cast("long").alias("round"),
+                "n_nodes",
+                "n_directed",
+                "node_id_sum",
+            )
+        )
+    out = stats[0]
+    for s in stats[1:]:
+        out = out.unionByName(s)
+    return out

@@ -431,3 +431,67 @@ def bigram_logprob_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sum_lp_e6",
         )
     )
+
+
+@register(
+    "split_leakage_audit",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id, source, md5({_NORM}) AS fingerprint,
+             CASE WHEN doc_id % 10 < 9 THEN 'train' ELSE 'val' END AS split
+      FROM documents
+    ),
+    g AS (
+      SELECT fingerprint,
+             MAX(CASE WHEN split = 'train' THEN 1 ELSE 0 END) AS has_train
+      FROM d GROUP BY fingerprint
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_val_docs,
+           CAST(SUM(has_train) AS BIGINT) AS n_leaked,
+           CAST(COALESCE(SUM(CASE WHEN has_train = 1 THEN doc_id END), 0)
+                AS BIGINT) AS leaked_id_sum
+    FROM d JOIN g USING (fingerprint)
+    WHERE split = 'val'
+    GROUP BY source
+    """,
+    tags=("curation", "split", "dedup", "contamination"),
+)
+def split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/val split leakage audit: a validation document whose exact
+    content fingerprint also appears in the training split measures
+    nothing (its loss is memorization, not generalization). Reports,
+    per source, how many val documents are leaked this way plus an
+    id-sum checksum of the leaked set - the audit every split pipeline
+    should run AFTER dedup-by-split decisions and BEFORE training
+    (``train_val_split`` assigns by doc_id residue, so exact duplicates
+    with different ids can and do straddle the boundary).
+
+    Scale shape: one fingerprint-keyed aggregate (map-combined boolean
+    OR), one fingerprint-keyed join back to the val slice, one final
+    source-keyed aggregate - all keyed exchanges on bounded keys; no
+    all-pairs anything. The same shape extends to NEAR-dup leakage by
+    swapping the fingerprint for a MinHash band key (the
+    ``minhash_neardup_pairs`` machinery).
+    """
+    from ..functions.text import fingerprint_md5
+
+    d = _docs(spark, sf_dir).select(
+        "doc_id",
+        "source",
+        fingerprint_md5("text").alias("fingerprint"),
+        F.when(F.col("doc_id") % 10 < 9, "train").otherwise("val").alias("split"),
+    )
+    g = d.groupBy("fingerprint").agg(
+        F.max(F.when(F.col("split") == "train", 1).otherwise(0)).alias("has_train")
+    )
+    val = d.filter(F.col("split") == "val").join(g, "fingerprint")
+    return val.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_val_docs"),
+        F.sum("has_train").cast("long").alias("n_leaked"),
+        F.coalesce(
+            F.sum(F.when(F.col("has_train") == 1, F.col("doc_id"))), F.lit(0)
+        )
+        .cast("long")
+        .alias("leaked_id_sum"),
+    )

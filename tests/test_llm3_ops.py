@@ -57,6 +57,36 @@ def test_quality_topfrac_keeps_ceil_half(spark):
         assert r.sum_kept_quality_e6 >= r.n_kept * r.cutoff_quality_e6
 
 
+def test_kcore_rounds_monotone(spark):
+    from reactive_data_pipeline_spark.queries.etl import kcore_peel_rounds
+
+    rows = sorted(kcore_peel_rounds(spark, SF_DIR).collect(), key=lambda r: r.round)
+    assert [r.round for r in rows] == list(range(1, 9))
+    for prev, cur in zip(rows, rows[1:]):
+        # Peeling only removes: node and edge counts are non-increasing.
+        assert cur.n_nodes <= prev.n_nodes
+        assert cur.n_directed <= prev.n_directed
+    for r in rows:
+        # Undirected graph stored as both directions: even edge count,
+        # and an empty node set has no edges (and vice versa).
+        assert r.n_directed % 2 == 0
+        assert (r.n_nodes == 0) == (r.n_directed == 0)
+    # The peel must do SOMETHING at any SF (k=80 bites everywhere).
+    assert rows[-1].n_nodes < rows[0].n_nodes or rows[0].n_nodes == 0
+
+
+def test_split_leakage_bounds(spark):
+    from reactive_data_pipeline_spark.queries.llm3 import split_leakage_audit
+
+    rows = split_leakage_audit(spark, SF_DIR).collect()
+    assert rows
+    # Every val doc is counted once; leaked is a subset.
+    assert sum(r.n_val_docs for r in rows) == 50  # 10% of 500 docs
+    for r in rows:
+        assert 0 <= r.n_leaked <= r.n_val_docs
+        assert (r.leaked_id_sum == 0) == (r.n_leaked == 0)
+
+
 def test_bigram_logprob_integer_exact(spark):
     rows = bigram_logprob_docs(spark, SF_DIR).collect()
     assert rows
