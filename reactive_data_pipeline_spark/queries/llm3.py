@@ -465,14 +465,16 @@ def split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     id-sum checksum of the leaked set - the audit every split pipeline
     should run AFTER dedup-by-split decisions and BEFORE training
     (``train_val_split`` assigns by doc_id residue, so exact duplicates
-    with different ids can and do straddle the boundary).
+    with different ids can straddle the boundary). On THIS synthetic
+    corpus every document is exact-unique, so the audit correctly
+    reports zero leaks at every SF - the non-degenerate companion is
+    ``neardup_split_leakage``, which catches the near-dup leakage this
+    corpus actually has (and which an exact audit structurally misses).
 
     Scale shape: one fingerprint-keyed aggregate (map-combined boolean
     OR), one fingerprint-keyed join back to the val slice, one final
     source-keyed aggregate - all keyed exchanges on bounded keys; no
-    all-pairs anything. The same shape extends to NEAR-dup leakage by
-    swapping the fingerprint for a MinHash band key (the
-    ``minhash_neardup_pairs`` machinery).
+    all-pairs anything.
     """
     from ..functions.text import fingerprint_md5
 
@@ -494,4 +496,167 @@ def split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .cast("long")
         .alias("leaked_id_sum"),
+    )
+
+
+@register(
+    "cross_source_dup_matrix",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, source, {_TOKS} AS t FROM documents),
+    grams AS (
+      SELECT doc_id, source,
+             list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+                            FOR i IN generate_series(1, len(t) - 2)]) AS g
+      FROM toks
+    ),
+    pairs AS (
+      SELECT least(a.source, b.source) AS source_a,
+             greatest(a.source, b.source) AS source_b,
+             CAST(len(list_intersect(a.g, b.g)) AS DOUBLE)
+               / (len(a.g) + len(b.g) - len(list_intersect(a.g, b.g))) AS jac
+      FROM grams a JOIN grams b ON a.doc_id < b.doc_id
+    )
+    SELECT source_a, source_b, CAST(COUNT(*) AS BIGINT) AS n_neardup_pairs
+    FROM pairs WHERE jac >= 0.5 GROUP BY source_a, source_b
+    """,
+    tags=("dedup", "curation", "corpus-analytics", "ngram"),
+)
+def cross_source_dup_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplication matrix between sources: for each source pair,
+    how many near-duplicate document pairs (word-trigram Jaccard >=
+    0.5, the ``ngram3_jaccard_pairs`` rule) straddle them - the
+    provenance analytic that tells you feed b is substantially a
+    re-crawl/mirror of feed a, which dedup ordering and mixture weights
+    both depend on. The diagonal counts within-source near-dup pairs.
+    (An EXACT-fingerprint matrix is the cheap first pass, but this
+    corpus - like most cleaned corpora - has zero exact duplicates;
+    all its duplication is near-dup, which is the realistic case.)
+
+    Scale shape: the pair relation is the inverted-index gram join
+    (shuffle keyed by GRAM, per-gram fan-out capped via max_doc_freq on
+    open crawls; MinHash-banded first pass at web scale), and the
+    matrix aggregate collapses it onto a sources^2-bounded key space -
+    map-combined, constant-size output.
+    """
+    from ..dedup.ngram import ngram_jaccard_pairs
+
+    d = _docs(spark, sf_dir)
+    pairs = ngram_jaccard_pairs(d, n=3, threshold=0.5)
+    labels = d.select("doc_id", "source")
+    la = labels.select(
+        F.col("doc_id").alias("doc_a"), F.col("source").alias("src_a")
+    )
+    lb = labels.select(
+        F.col("doc_id").alias("doc_b"), F.col("source").alias("src_b")
+    )
+    return (
+        pairs.join(la, "doc_a")
+        .join(lb, "doc_b")
+        .groupBy(
+            F.least("src_a", "src_b").alias("source_a"),
+            F.greatest("src_a", "src_b").alias("source_b"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_neardup_pairs"))
+    )
+
+
+@register(
+    "neardup_split_leakage",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, source, {_TOKS} AS t FROM documents),
+    grams AS (
+      SELECT doc_id, source,
+             CASE WHEN doc_id % 10 < 9 THEN 'train' ELSE 'val' END AS split,
+             list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+                            FOR i IN generate_series(1, len(t) - 2)]) AS g
+      FROM toks
+    ),
+    pairs AS (
+      SELECT b.doc_id AS val_id, b.source AS val_source,
+             CAST(len(list_intersect(a.g, b.g)) AS DOUBLE)
+               / (len(a.g) + len(b.g) - len(list_intersect(a.g, b.g))) AS jac
+      FROM grams a JOIN grams b
+        ON a.split = 'train' AND b.split = 'val'
+    ),
+    leaked AS (
+      SELECT DISTINCT val_id, val_source FROM pairs WHERE jac >= 0.5
+    ),
+    vals AS (SELECT source, COUNT(*) AS n_val_docs FROM grams
+             WHERE split = 'val' GROUP BY source)
+    SELECT v.source,
+           CAST(v.n_val_docs AS BIGINT) AS n_val_docs,
+           CAST(COUNT(l.val_id) AS BIGINT) AS n_leaked,
+           CAST(COALESCE(SUM(l.val_id), 0) AS BIGINT) AS leaked_id_sum
+    FROM vals v LEFT JOIN leaked l ON l.val_source = v.source
+    GROUP BY v.source, v.n_val_docs
+    """,
+    tags=("curation", "split", "dedup", "contamination", "ngram"),
+)
+def neardup_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The NEAR-dup extension of ``split_leakage_audit``: a validation
+    document whose word-trigram Jaccard against ANY training document
+    reaches 0.5 is leaked even though its exact fingerprint differs -
+    the contamination mode exact-hash audits miss entirely (Lee et al.
+    2022 measured it on real corpora). Reports per-source leaked-val
+    counts + id-sum checksum.
+
+    Scale shape: the candidate pairs come from the same inverted-index
+    gram join as ``ngram3_jaccard_pairs`` (shuffle keyed by GRAM, fan
+    out bounded by per-gram document frequency - cap with max_doc_freq
+    on an open crawl), restricted to train x val pairs - so the
+    candidate volume is a strict subset of the full near-dup join's. At
+    web scale you run the MinHash-banded form first and this join only
+    on band-collision candidates (dedup/minhash.py machinery).
+
+    The DuckDB oracle brute-forces all train x val pairs - fine at gate
+    scale, deliberately NOT the Spark plan.
+    """
+    from ..dedup.ngram import ngram_jaccard_pairs
+
+    d = _docs(spark, sf_dir).withColumn(
+        "split",
+        F.when(F.col("doc_id") % 10 < 9, "train").otherwise("val"),
+    )
+    pairs = ngram_jaccard_pairs(d, n=3, threshold=0.5)
+    labels = d.select("doc_id", "source", "split")
+    # A pair leaks when its two sides sit in different splits; the pair
+    # relation is a<b-oriented, so the val doc can be either side.
+    la = labels.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("source").alias("src_a"),
+        F.col("split").alias("split_a"),
+    )
+    lb = labels.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("source").alias("src_b"),
+        F.col("split").alias("split_b"),
+    )
+    cross = (
+        pairs.join(la, "doc_a")
+        .join(lb, "doc_b")
+        .filter(F.col("split_a") != F.col("split_b"))
+        .select(
+            F.when(F.col("split_a") == "val", F.col("doc_a"))
+            .otherwise(F.col("doc_b"))
+            .alias("val_id"),
+            F.when(F.col("split_a") == "val", F.col("src_a"))
+            .otherwise(F.col("src_b"))
+            .alias("val_source"),
+        )
+        .distinct()
+    )
+    vals = (
+        labels.filter(F.col("split") == "val")
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_val_docs"))
+    )
+    return (
+        vals.join(cross, vals.source == cross.val_source, "left")
+        .groupBy("source", "n_val_docs")
+        .agg(
+            F.count("val_id").cast("long").alias("n_leaked"),
+            F.coalesce(F.sum("val_id"), F.lit(0))
+            .cast("long")
+            .alias("leaked_id_sum"),
+        )
     )
