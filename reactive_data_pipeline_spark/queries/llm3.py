@@ -660,3 +660,87 @@ def neardup_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("leaked_id_sum"),
         )
     )
+
+
+def _lang_by_source_sql() -> str:
+    """source x predicted-language matrix SQL: the same stopword-argmax
+    CASE chain as queries/llm.py::_lang_case_sql, keyed by source."""
+    scores = {lang: _stop_sql(lang) for lang in TX.STOPWORDS}
+    best = "greatest(" + ", ".join(f"s_{l}" for l in TX.STOPWORDS) + ")"
+    whens = "\n".join(f"WHEN s_{l} = best THEN '{l}'" for l in TX.STOPWORDS)
+    inner = ",\n".join(f"{sql} AS s_{l}" for l, sql in scores.items())
+    return f"""
+    SELECT source, lang_pred, CAST(COUNT(*) AS BIGINT) AS n_docs
+    FROM (
+      SELECT source,
+             CASE WHEN best <= 0 THEN 'und'
+                  {whens}
+                  ELSE 'und' END AS lang_pred
+      FROM (
+        SELECT source, s_en, s_es, s_fr, s_de, {best} AS best
+        FROM (SELECT source, {inner}
+              FROM (SELECT source, {_NORM} AS norm FROM documents))
+      )
+    )
+    GROUP BY source, lang_pred
+    """
+
+
+@register(
+    "lang_mix_by_source",
+    oracle=_lang_by_source_sql(),
+    tags=("text", "curation", "corpus-analytics"),
+)
+def lang_mix_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """source x predicted-language document counts - the matrix mixture
+    design actually consumes (per-feed language shares decide sampling
+    weights and routing to per-language pipelines), built on the same
+    deterministic stopword-argmax language ID as ``lang_id_docs``.
+
+    Scale shape: language ID is per-row JVM regex/HOF work with zero
+    shuffle; the matrix aggregate collapses map-side onto a
+    sources x languages key space - constant-size output.
+    """
+    return (
+        _docs(spark, sf_dir)
+        .select("source", TX.lang_id("text").alias("lang_pred"))
+        .groupBy("source", "lang_pred")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    )
+
+
+@register(
+    "user_activity_freq_spectrum",
+    oracle="""
+    SELECT n_events,
+           CAST(COUNT(*) AS BIGINT) AS n_users,
+           CAST(SUM(uid) AS BIGINT) AS user_id_sum
+    FROM (SELECT user_id AS uid, COUNT(*) AS n_events
+          FROM events GROUP BY user_id)
+    GROUP BY n_events
+    """,
+    tags=("analytics", "profiling", "skew"),
+)
+def user_activity_freq_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequency-of-frequencies spectrum of user activity: how many
+    users emitted exactly k events, with an id-sum checksum per stratum.
+    This is the skew-planning analytic - the tail of this spectrum IS
+    the hot-key population that decides whether a per-user shuffle
+    needs salting (operators/skew.py), and its head sizes the state
+    store for per-user streaming operators.
+
+    Scale shape: two map-combined aggregates back to back - per-user
+    counts (one user-keyed exchange), then the spectrum (one exchange
+    on the bounded count domain). Nothing else; output is bounded by
+    the distinct activity levels, not the user count.
+    """
+    from ..sources import read_table
+
+    ev = read_table(spark, sf_dir, "events")
+    per_user = ev.groupBy(F.col("user_id").alias("uid")).agg(
+        F.count(F.lit(1)).alias("n_events")
+    )
+    return per_user.groupBy("n_events").agg(
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+        F.sum("uid").cast("long").alias("user_id_sum"),
+    )

@@ -122,6 +122,29 @@ def test_neardup_leakage_superset_of_exact(spark):
     assert total_leaked >= 1  # non-degenerate at every SF (probed)
 
 
+def test_lang_mix_totals(spark):
+    from reactive_data_pipeline_spark.queries.llm3 import lang_mix_by_source
+
+    rows = lang_mix_by_source(spark, SF_DIR).collect()
+    assert sum(r.n_docs for r in rows) == 500  # partition of the corpus
+    assert len({(r.source, r.lang_pred) for r in rows}) == len(rows)
+
+
+def test_freq_spectrum_partitions_users(spark):
+    from reactive_data_pipeline_spark.queries.llm3 import (
+        user_activity_freq_spectrum,
+    )
+    from reactive_data_pipeline_spark.sources import read_table
+
+    rows = user_activity_freq_spectrum(spark, SF_DIR).collect()
+    ev = read_table(spark, SF_DIR, "events")
+    n_users = ev.select("user_id").distinct().count()
+    n_events = ev.count()
+    assert sum(r.n_users for r in rows) == n_users
+    # Sum of k * (#users with k events) recovers the event count.
+    assert sum(r.n_events * r.n_users for r in rows) == n_events
+
+
 def test_bigram_logprob_integer_exact(spark):
     rows = bigram_logprob_docs(spark, SF_DIR).collect()
     assert rows
