@@ -1293,3 +1293,116 @@ def kcore_peel_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
     for s in stats[1:]:
         out = out.unionByName(s)
     return out
+
+
+# ---------------------------------------------------------------------------
+# Stream-stream LEFT OUTER join (watermark-driven null emission)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "stream_join_attribution_outer",
+    oracle="""
+    WITH c AS (SELECT user_id, event_id AS click_id,
+                      CAST(ts AS TIMESTAMP) AS c_ts
+               FROM events WHERE event_type = 'click'),
+    p AS (SELECT user_id, event_id AS purchase_id,
+                 CAST(ts AS TIMESTAMP) AS p_ts
+          FROM events WHERE event_type = 'purchase'),
+    j AS (
+      SELECT p.purchase_id, p.p_ts, c.click_id,
+             epoch_us(p.p_ts) - epoch_us(c.c_ts) AS lag_us
+      FROM p LEFT JOIN c
+        ON p.user_id = c.user_id
+       AND p.p_ts >= c.c_ts
+       AND p.p_ts <= c.c_ts + INTERVAL 3600 SECONDS
+    )
+    SELECT CAST(p_ts AS DATE) AS day,
+           CAST(COUNT(click_id) AS BIGINT) AS n_pairs,
+           CAST(COUNT(DISTINCT CASE WHEN click_id IS NOT NULL
+                                    THEN purchase_id END) AS BIGINT)
+             AS n_matched_purchases,
+           CAST(COUNT(CASE WHEN click_id IS NULL THEN 1 END) AS BIGINT)
+             AS n_unmatched_purchases,
+           CAST(COALESCE(SUM(lag_us), 0) AS BIGINT) AS sum_lag_us
+    FROM j GROUP BY day
+    """,
+    tags=("streaming", "join", "attribution", "outer"),
+)
+def stream_join_attribution_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversion attribution as a stream-stream LEFT OUTER interval
+    join, value-hash-checked against the batch left join: every
+    purchase pairs with its in-window clicks, and purchases with NO
+    in-window click emit a null-padded row - but only once the
+    click-side watermark proves no match can still arrive. That
+    watermark-passage emission path is the semantics the inner
+    `stream_join_attribution` never exercises, and the reason outer
+    stream-stream joins need bounded time conditions at all.
+
+    Finite-input mechanics (the harness's problem, not production's):
+    the real events arrive as wave 1; two SENTINEL purchase rows
+    (user_id = -1, filtered from the result) arrive as waves 2 and 3
+    with timestamps past max(ts) + window + watermark, forced into
+    separate micro-batches via mtime + maxFilesPerTrigger=1 - wave 2
+    advances the watermark past every real purchase's emission bound,
+    wave 3 runs the eviction pass that flushes the null-padded rows.
+    At steady state ordinary arrivals do this continuously.
+
+    Scale: state is hash-partitioned by user_id; the time bound lets
+    click state expire at (watermark - window) and purchase state at
+    watermark, so per-key state is rate x window-bounded - identical
+    arithmetic to the inner join's (SCALE.md streaming section).
+    """
+    import glob
+    import os
+    import shutil
+    import tempfile
+
+    from ..streaming import await_finished, stream_join_outer_run
+
+    work = tempfile.mkdtemp(prefix="stream_join_outer_")
+    out, ckpt = f"{work}/pairs", f"{work}/ckpt"
+    src = f"{work}/events_in"
+    os.mkdir(src)
+
+    ev = read_table(spark, sf_dir, "events")
+    max_ts = ev.agg(F.max("ts").alias("m")).collect()[0]["m"]  # bounded: 1 row
+
+    def _stage(df: DataFrame, tag: str, mtime: int) -> None:
+        tmp = f"{work}/wave_{tag}"
+        df.coalesce(1).write.parquet(tmp)
+        part = glob.glob(f"{tmp}/part-*.parquet")[0]
+        dst = f"{src}/{tag}.parquet"
+        shutil.move(part, dst)
+        os.utime(dst, (mtime, mtime))
+
+    _stage(ev, "a", 1_000_000_000)
+    # Sentinels: far enough past max(ts) that the 1h watermark delay
+    # plus the 1h join window can never hold a real row back.
+    for tag, hours, mtime in (("b", 3, 2_000_000_000), ("c", 5, 3_000_000_000)):
+        sentinel = ev.limit(1).select(
+            F.lit(-1).cast("long").alias("event_id"),
+            (F.lit(max_ts) + F.expr(f"INTERVAL {hours} HOURS")).alias("ts"),
+            F.lit(-1).cast("long").alias("user_id"),
+            F.lit("purchase").alias("event_type"),
+            F.lit(0.0).alias("value"),
+            F.lit("{}").alias("props"),
+        )
+        _stage(sentinel, tag, mtime)
+
+    q = stream_join_outer_run(
+        spark, src, out, ckpt, window_s=3600, watermark="1 hour",
+        available_now=True, max_files_per_trigger=1,
+    )
+    await_finished(q)
+    pairs = spark.read.parquet(out).filter(F.col("user_id") >= 0)
+    return pairs.groupBy(F.to_date("p_ts").alias("day")).agg(
+        F.count("click_id").cast("long").alias("n_pairs"),
+        F.countDistinct(
+            F.when(F.col("click_id").isNotNull(), F.col("purchase_id"))
+        ).cast("long").alias("n_matched_purchases"),
+        F.count(F.when(F.col("click_id").isNull(), 1))
+        .cast("long")
+        .alias("n_unmatched_purchases"),
+        F.coalesce(F.sum("lag_us"), F.lit(0)).cast("long").alias("sum_lag_us"),
+    )

@@ -28,7 +28,12 @@ from .dedup import (
 )
 from .sessions import sessionize_stream, latest_sessions
 from .totals import user_totals_stream, user_totals_run, latest_totals
-from .join import click_purchase_pairs, stream_join_run
+from .join import (
+    click_purchase_pairs,
+    purchase_click_pairs_outer,
+    stream_join_outer_run,
+    stream_join_run,
+)
 from .merge_util import await_finished, existing_or_empty
 from .neardup import (
     neardup_registry_batch,
@@ -43,6 +48,8 @@ __all__ = [
     "read_neardup_pairs",
     "streaming_neardup_run",
     "click_purchase_pairs",
+    "purchase_click_pairs_outer",
+    "stream_join_outer_run",
     "stream_join_run",
     "sessionize_stream",
     "latest_sessions",

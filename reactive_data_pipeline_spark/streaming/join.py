@@ -98,3 +98,84 @@ def stream_join_run(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def purchase_click_pairs_outer(
+    clicks: DataFrame, purchases: DataFrame, window_s: int
+) -> DataFrame:
+    """LEFT OUTER interval join: every purchase, with its in-window
+    clicks where they exist and NULL click columns where none do.
+    Shared by the streaming run and the batch oracle (same-plan twin).
+
+    The outer side is what makes this a distinct streaming family: an
+    unmatched purchase can only be emitted once the click-side
+    watermark proves no in-window click can still arrive, so the
+    null-padded rows surface on watermark PASSAGE, not on data arrival
+    - the held-back-result semantics the inner join never exercises.
+    """
+    c = clicks.select(
+        F.col("user_id").alias("c_user"),
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("c_ts"),
+    )
+    p = purchases.select(
+        F.col("user_id").alias("p_user"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("p_ts"),
+    )
+    joined = p.join(
+        c,
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("p_ts") >= F.col("c_ts"))
+        & (F.col("p_ts") <= F.col("c_ts") + F.expr(f"INTERVAL {window_s} SECONDS")),
+        "leftOuter",
+    )
+    return joined.select(
+        F.col("p_user").alias("user_id"),
+        "purchase_id",
+        "click_id",
+        "p_ts",
+        (F.unix_micros("p_ts") - F.unix_micros("c_ts")).alias("lag_us"),
+    )
+
+
+def stream_join_outer_run(
+    spark: SparkSession,
+    src_dir: str,
+    out_path: str,
+    checkpoint: str,
+    window_s: int = 3600,
+    watermark: str = "1 hour",
+    available_now: bool = True,
+    max_files_per_trigger: int | None = None,
+):
+    """Run the left-outer attribution join as a streaming query.
+
+    Unlike the inner runner, the WATERMARK IS LOAD-BEARING here: outer
+    results only flush when the watermark passes (purchase_ts +
+    window), so a finite backfill must push the watermark past its own
+    data to drain the unmatched rows - callers stage sentinel arrival
+    waves after the real data (two waves: the first advances the
+    watermark, the second triggers the eviction pass that emits the
+    null-padded rows). At steady state in production the ordinary
+    arrival flow does this for free; the sentinel dance is purely the
+    finite-input harness's problem.
+    """
+    events = read_stream(
+        spark, src_dir, "events", max_files_per_trigger=max_files_per_trigger
+    )
+    ev = events.withColumn("ts", F.col("ts").cast("timestamp")).withWatermark(
+        "ts", watermark
+    )
+    clicks = ev.filter(F.col("event_type") == "click")
+    purchases = ev.filter(F.col("event_type") == "purchase")
+    pairs = purchase_click_pairs_outer(clicks, purchases, window_s)
+    writer = (
+        pairs.writeStream.format("parquet")
+        .option("path", out_path)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -145,6 +145,31 @@ def test_freq_spectrum_partitions_users(spark):
     assert sum(r.n_events * r.n_users for r in rows) == n_events
 
 
+def test_outer_stream_join_partitions_purchases(spark):
+    """The watermark-passage emission path must account for EVERY
+    purchase exactly once: matched + unmatched partitions the purchase
+    set, and both populations are non-empty at this SF (probed:
+    5 matched / 197 unmatched at sf0.001)."""
+    from reactive_data_pipeline_spark.queries.etl import (
+        stream_join_attribution_outer,
+    )
+    from reactive_data_pipeline_spark.sources import read_table
+
+    rows = stream_join_attribution_outer(spark, SF_DIR).collect()
+    n_purchases = (
+        read_table(spark, SF_DIR, "events")
+        .filter("event_type = 'purchase'")
+        .count()
+    )
+    matched = sum(r.n_matched_purchases for r in rows)
+    unmatched = sum(r.n_unmatched_purchases for r in rows)
+    assert matched + unmatched == n_purchases
+    assert matched > 0 and unmatched > 0
+    for r in rows:
+        assert r.n_pairs >= r.n_matched_purchases  # multi-click fanout
+        assert (r.sum_lag_us > 0) == (r.n_pairs > 0)
+
+
 def test_bigram_logprob_integer_exact(spark):
     rows = bigram_logprob_docs(spark, SF_DIR).collect()
     assert rows
