@@ -1406,3 +1406,54 @@ def stream_join_attribution_outer(spark: SparkSession, sf_dir: str) -> DataFrame
         .alias("n_unmatched_purchases"),
         F.coalesce(F.sum("lag_us"), F.lit(0)).cast("long").alias("sum_lag_us"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Custom Python DataSource (the reference's live ticker connector analogue)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "pyds_ticker_feed",
+    oracle="""
+    WITH syms AS (SELECT unnest(['AAA','BBB','CCC','DDD']) AS symbol),
+    h AS (SELECT symbol,
+            list_reduce(list_prepend(CAST(0 AS BIGINT),
+              list_transform(list_filter(string_split(symbol, ''), c -> c != ''),
+                             c -> CAST(ascii(c) AS BIGINT))),
+              (acc, x) -> (acc * 31 + x) % 1000000007) AS hs
+          FROM syms),
+    d AS (SELECT unnest(generate_series(0, 249)) AS day)
+    SELECT symbol, CAST(day AS BIGINT) AS day,
+           CAST(5000 + (r % 2000) AS BIGINT) AS open_cents,
+           CAST(5000 + ((r * 31 + 17) % 2000) AS BIGINT) AS close_cents,
+           CAST(1000 + (r * 7) % 9000 AS BIGINT) AS volume
+    FROM (SELECT symbol, day, (hs * 1000003 + day * 7919) % 10000 AS r
+          FROM h CROSS JOIN d)
+    """,
+    tags=("source", "connector", "pyds"),
+)
+def pyds_ticker_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's LIVE TICKER CONNECTOR (ops.py:13-29, a yfinance
+    HTTPS fetch fanned out per symbol in ops.py:32-41) on Spark 4's
+    Python DataSource API: ``spark.read.format("tickerfeed")`` with one
+    InputPartition PER SYMBOL, so the fetch parallelizes across
+    executors with nothing flowing through the driver - the idiomatic
+    external-feed integration surface (sources/pyds.py). The feed is
+    deterministic int64 arithmetic instead of the network (documented
+    deviation - no HTTPS here, and the gate needs reproducible values);
+    the oracle regenerates the identical 1000-row relation from
+    generate_series, value-hash-proving the whole Python read path:
+    partition planning, per-partition iterators, type mapping.
+
+    ``sf_dir`` is unused: the connector is the data source.
+    """
+    from ..sources.pyds import register_ticker_feed
+
+    register_ticker_feed(spark)
+    return (
+        spark.read.format("tickerfeed")
+        .option("symbols", "AAA,BBB,CCC,DDD")
+        .option("days", "250")
+        .load()
+    )

@@ -1,0 +1,139 @@
+"""Custom Python DataSource: the reference's live ticker feed
+(`/root/reference/dagster_repository/ops.py:13-29`, a yfinance HTTPS
+fetch) re-expressed on Spark 4's Python DataSource API - the idiomatic
+way to hang an external feed off the engine without an RDD or a
+driver-side download loop.
+
+The feed is DETERMINISTIC SYNTHETIC data (no network in this
+environment, and the correctness gate needs reproducible values): each
+(symbol, day) cell derives from pure int64 arithmetic on a
+31-multiplicative symbol hash - the same fingerprint recurrence the
+text operators use - so a DuckDB oracle regenerates the identical
+relation from ``generate_series``.
+
+Scale/semantics notes:
+
+* ``partitions()`` returns ONE InputPartition PER SYMBOL, so the read
+  parallelizes across executors exactly like a real fan-out fetch
+  (the reference's op S2 maps symbols -> fetch tasks); nothing flows
+  through the driver.
+* Rows cross the Python->JVM boundary through the DataSource exec -
+  fine for a connector that talks to an external service anyway; this
+  is an INTEGRATION surface, not a hot compute path (the engine's hot
+  paths stay JVM-side, see SCALE.md "UDF policy").
+* The API also accepts filter pushdown (``DataSourceReader.pushFilters``)
+  and a streaming reader (``SimpleDataSourceStreamReader``); the batch
+  reader here keeps to the stable core.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator, Sequence
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    InputPartition,
+    SimpleDataSourceStreamReader,
+)
+
+#: Modulus of the symbol hash (the text fingerprint recurrence's).
+HASH_MOD = 1_000_000_007
+
+TICKER_SCHEMA = (
+    "symbol string, day bigint, open_cents bigint, close_cents bigint, "
+    "volume bigint"
+)
+
+
+def symbol_hash(symbol: str) -> int:
+    """31-multiplicative rolling hash over the symbol's code points -
+    identical to the DuckDB ``list_reduce`` twin (and to
+    functions.text.fingerprint_rolling's recurrence)."""
+    h = 0
+    for ch in symbol:
+        h = (h * 31 + ord(ch)) % HASH_MOD
+    return h
+
+
+def ticker_row(symbol: str, h: int, day: int) -> tuple[str, int, int, int, int]:
+    """One deterministic OHLC-ish row. All arithmetic is int64-safe:
+    h < 1e9+7, so h * 1_000_003 < 2^50 and every intermediate fits."""
+    r = (h * 1_000_003 + day * 7_919) % 10_000
+    open_c = 5_000 + (r % 2_000)
+    close_c = 5_000 + ((r * 31 + 17) % 2_000)
+    volume = 1_000 + (r * 7) % 9_000
+    return (symbol, day, open_c, close_c, volume)
+
+
+class TickerFeedReader(DataSourceReader):
+    def __init__(self, options: dict) -> None:
+        self.symbols: Sequence[str] = [
+            s for s in options.get("symbols", "AAA,BBB").split(",") if s
+        ]
+        self.days = int(options.get("days", "30"))
+
+    def partitions(self) -> Sequence[InputPartition]:
+        # One partition per symbol: the executor-side fan-out.
+        return [InputPartition(s) for s in self.symbols]
+
+    def read(self, partition: InputPartition) -> Iterator[tuple]:
+        symbol = partition.value
+        h = symbol_hash(symbol)
+        for day in range(self.days):
+            yield ticker_row(symbol, h, day)
+
+
+class TickerFeedStreamReader(SimpleDataSourceStreamReader):
+    """Streaming leg: one DAY of quotes per micro-batch, the offset IS
+    the day index - the reference's sensor-driven re-poll
+    (``sensors.py:6-16``) as a first-class streaming source. The
+    offset contract makes replay exact: ``read(start)`` regenerates
+    day ``start`` deterministically, so checkpoint recovery re-emits
+    the identical rows (the engine's exactly-once story needs nothing
+    from the feed beyond this determinism)."""
+
+    def __init__(self, options: dict) -> None:
+        self.symbols: Sequence[str] = [
+            s for s in options.get("symbols", "AAA,BBB").split(",") if s
+        ]
+        self.hashes = {s: symbol_hash(s) for s in self.symbols}
+
+    def initialOffset(self) -> dict:
+        return {"day": 0}
+
+    def read(self, start: dict) -> tuple[Iterator[tuple], dict]:
+        day = start["day"]
+        rows = [ticker_row(s, self.hashes[s], day) for s in self.symbols]
+        return iter(rows), {"day": day + 1}
+
+    def readBetweenOffsets(self, start: dict, end: dict) -> Iterator[tuple]:
+        for day in range(start["day"], end["day"]):
+            for s in self.symbols:
+                yield ticker_row(s, self.hashes[s], day)
+
+
+class TickerFeedDataSource(DataSource):
+    """``spark.read.format("tickerfeed").option("symbols", "AAA,BBB")
+    .option("days", "250").load()`` - or ``spark.readStream`` for the
+    day-per-trigger streaming leg."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "tickerfeed"
+
+    def schema(self) -> str:
+        return TICKER_SCHEMA
+
+    def reader(self, schema) -> TickerFeedReader:
+        return TickerFeedReader(self.options)
+
+    def simpleStreamReader(self, schema) -> TickerFeedStreamReader:
+        return TickerFeedStreamReader(self.options)
+
+
+def register_ticker_feed(spark) -> None:
+    """Idempotently register the data source with the session (the
+    driver harness supplies a vanilla session, so every query entry
+    registers defensively - re-registration overwrites)."""
+    spark.dataSource.register(TickerFeedDataSource)
