@@ -68,19 +68,65 @@ def ticker_row(symbol: str, h: int, day: int) -> tuple[str, int, int, int, int]:
 
 class TickerFeedReader(DataSourceReader):
     def __init__(self, options: dict) -> None:
-        self.symbols: Sequence[str] = [
+        self.base_symbols: Sequence[str] = [
             s for s in options.get("symbols", "AAA,BBB").split(",") if s
         ]
         self.days = int(options.get("days", "30"))
+        self.symbols = list(self.base_symbols)
+        self.day_lo = 0
+        self.day_hi = self.days  # exclusive
+
+    def pushFilters(self, filters):
+        """Handle symbol equality (-> PARTITION PRUNING: the pruned
+        symbols are never planned, let alone generated) and day range
+        bounds (-> the per-partition loop shrinks). Everything else
+        stays with Spark. This is the don't-generate-what-you-drop
+        rule applied to a Python connector - at a real feed it is the
+        difference between fetching one symbol and fetching the
+        universe."""
+        from pyspark.sql.datasource import (
+            EqualTo,
+            GreaterThan,
+            GreaterThanOrEqual,
+            LessThan,
+            LessThanOrEqual,
+        )
+
+        # RESET before applying: the reader instance is shared by every
+        # query planned over the same loaded relation, and self-mutations
+        # persist across plannings - without the reset, one query's
+        # pushed filters would silently constrain the next query's scan
+        # (verified empirically; see tests/test_pyds_source.py).
+        self.symbols = list(self.base_symbols)
+        self.day_lo, self.day_hi = 0, self.days
+
+        for f in filters:
+            col = f.attribute[0] if len(f.attribute) == 1 else None
+            if col == "symbol" and isinstance(f, EqualTo):
+                self.symbols = [s for s in self.symbols if s == f.value]
+            elif col == "day" and isinstance(f, EqualTo):
+                self.day_lo = max(self.day_lo, int(f.value))
+                self.day_hi = min(self.day_hi, int(f.value) + 1)
+            elif col == "day" and isinstance(f, GreaterThan):
+                self.day_lo = max(self.day_lo, int(f.value) + 1)
+            elif col == "day" and isinstance(f, GreaterThanOrEqual):
+                self.day_lo = max(self.day_lo, int(f.value))
+            elif col == "day" and isinstance(f, LessThan):
+                self.day_hi = min(self.day_hi, int(f.value))
+            elif col == "day" and isinstance(f, LessThanOrEqual):
+                self.day_hi = min(self.day_hi, int(f.value) + 1)
+            else:
+                yield f  # unsupported: Spark evaluates it post-scan
 
     def partitions(self) -> Sequence[InputPartition]:
-        # One partition per symbol: the executor-side fan-out.
+        # One partition per (post-pruning) symbol: the executor-side
+        # fan-out, minus everything a pushed symbol filter removed.
         return [InputPartition(s) for s in self.symbols]
 
     def read(self, partition: InputPartition) -> Iterator[tuple]:
         symbol = partition.value
         h = symbol_hash(symbol)
-        for day in range(self.days):
+        for day in range(self.day_lo, self.day_hi):
             yield ticker_row(symbol, h, day)
 
 
@@ -135,5 +181,8 @@ class TickerFeedDataSource(DataSource):
 def register_ticker_feed(spark) -> None:
     """Idempotently register the data source with the session (the
     driver harness supplies a vanilla session, so every query entry
-    registers defensively - re-registration overwrites)."""
+    registers defensively - re-registration overwrites). Python-source
+    filter pushdown ships behind a conf (off by default in 4.1);
+    a reader that implements ``pushFilters`` REQUIRES it."""
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
     spark.dataSource.register(TickerFeedDataSource)

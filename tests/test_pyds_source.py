@@ -38,6 +38,52 @@ def test_batch_partitions_per_symbol(spark):
     assert df.count() == 12
 
 
+def test_filter_pushdown_prunes_partitions(spark):
+    """A pushed symbol equality must PRUNE partitions (the unplanned
+    symbols are never generated), and pushed day bounds must shrink
+    the per-partition loop - results stay equal to post-scan filtering
+    either way. Each query loads a FRESH relation; see the hazard test
+    below for why."""
+    one = _batch(spark, "AAA,BBB,CCC,DDD", 50).filter("symbol = 'CCC'")
+    assert one.rdd.getNumPartitions() == 1  # 3 of 4 partitions pruned
+    rows = {tuple(r) for r in one.collect()}
+    h = symbol_hash("CCC")
+    assert rows == {ticker_row("CCC", h, d) for d in range(50)}
+
+    ranged = (
+        _batch(spark, "AAA,BBB,CCC,DDD", 50)
+        .filter("symbol = 'AAA' AND day >= 10 AND day < 20")
+        .collect()
+    )
+    h = symbol_hash("AAA")
+    assert {tuple(r) for r in ranged} == {
+        ticker_row("AAA", h, d) for d in range(10, 20)
+    }
+    # Disjunctions cannot decompose into pushable conjuncts; Spark
+    # evaluates them post-scan over the full generation.
+    assert (
+        _batch(spark, "AAA,BBB,CCC,DDD", 50)
+        .filter("symbol = 'AAA' OR day = 0")
+        .count()
+        == 50 + 3
+    )
+
+
+def test_pushdown_state_sticks_to_relation(spark):
+    """ENGINE SHARP EDGE, pinned so a behavior change is noticed:
+    pushFilters mutations attach to the LOADED RELATION, and Spark
+    (4.1) does not re-invoke pushFilters for plans without pushable
+    filters - so after one pushed query, further queries over the SAME
+    DataFrame see the narrowed scan. The rule for any reader that
+    implements pushFilters: one .load() per query (cheap - load is
+    lazy). If this test starts failing with 200, Spark fixed the
+    sharing semantics and the fresh-load rule can be dropped."""
+    df = _batch(spark, "AAA,BBB,CCC,DDD", 50)
+    assert df.count() == 200  # pre-pushdown: full relation
+    assert df.filter("symbol = 'CCC'").count() == 50  # mutates reader
+    assert df.count() == 50  # stale pruning persists on the relation
+
+
 def test_stream_equals_batch_prefix(spark):
     """Drain N micro-batches of the streaming leg; the union must be
     EXACTLY the batch relation for the first N days (offset = day)."""
