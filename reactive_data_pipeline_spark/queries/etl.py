@@ -1457,3 +1457,67 @@ def pyds_ticker_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("days", "250")
         .load()
     )
+
+
+@register(
+    "pyds_ticker_roundtrip",
+    oracle="""
+    WITH syms AS (SELECT unnest(['AAA','BBB','CCC','DDD']) AS symbol),
+    h AS (SELECT symbol,
+            list_reduce(list_prepend(CAST(0 AS BIGINT),
+              list_transform(list_filter(string_split(symbol, ''), c -> c != ''),
+                             c -> CAST(ascii(c) AS BIGINT))),
+              (acc, x) -> (acc * 31 + x) % 1000000007) AS hs
+          FROM syms),
+    d AS (SELECT unnest(generate_series(0, 249)) AS day),
+    feed AS (
+      SELECT symbol, day,
+             5000 + (r % 2000) AS open_cents,
+             5000 + ((r * 31 + 17) % 2000) AS close_cents,
+             1000 + (r * 7) % 9000 AS volume
+      FROM (SELECT symbol, day, (hs * 1000003 + day * 7919) % 10000 AS r
+            FROM h CROSS JOIN d)
+    )
+    SELECT symbol,
+           CAST(COUNT(*) AS BIGINT) AS n_days,
+           CAST(SUM(volume) AS BIGINT) AS total_volume,
+           CAST(MIN(open_cents) AS BIGINT) AS min_open_cents,
+           CAST(MAX(close_cents) AS BIGINT) AS max_close_cents
+    FROM feed GROUP BY symbol
+    """,
+    tags=("source", "sink", "connector", "pyds"),
+)
+def pyds_ticker_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FULL custom-connector lifecycle under the value hash: the
+    Python DataSource feed is written through the custom Python SINK
+    (``tickerstore``: per-task CSV staging, two-phase commit - rename
+    on success, delete on abort, ``_SUCCESS`` marker; sources/pyds.py),
+    read back from the committed files, and aggregated per symbol. A
+    bug anywhere in the loop - partition planning, the Python write
+    path, the commit protocol, the read-back schema - shifts the
+    aggregate off the oracle, which regenerates the relation from
+    arithmetic alone. ``sf_dir`` is unused: the connector is the data.
+    """
+    import tempfile
+
+    from ..sources.pyds import register_ticker_feed, register_ticker_store
+
+    register_ticker_feed(spark)
+    register_ticker_store(spark)
+    feed = (
+        spark.read.format("tickerfeed")
+        .option("symbols", "AAA,BBB,CCC,DDD")
+        .option("days", "250")
+        .load()
+    )
+    out = tempfile.mkdtemp(prefix="tickerstore_")
+    feed.write.format("tickerstore").option("path", out).mode("append").save()
+    back = spark.read.schema(
+        "symbol string, day long, open_cents long, close_cents long, volume long"
+    ).csv(out)
+    return back.groupBy("symbol").agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        F.sum("volume").cast("long").alias("total_volume"),
+        F.min("open_cents").cast("long").alias("min_open_cents"),
+        F.max("close_cents").cast("long").alias("max_close_cents"),
+    )

@@ -33,8 +33,10 @@ from collections.abc import Iterator, Sequence
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceWriter,
     InputPartition,
     SimpleDataSourceStreamReader,
+    WriterCommitMessage,
 )
 
 #: Modulus of the symbol hash (the text fingerprint recurrence's).
@@ -186,3 +188,88 @@ def register_ticker_feed(spark) -> None:
     a reader that implements ``pushFilters`` REQUIRES it."""
     spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
     spark.dataSource.register(TickerFeedDataSource)
+
+
+# ---------------------------------------------------------------------------
+# Write path: a custom Python sink with two-phase commit
+# ---------------------------------------------------------------------------
+
+
+class _TickerCommit(WriterCommitMessage):
+    """Commit message: the temp file a task staged (picklable)."""
+
+    def __init__(self, tmp_path: str, rows: int) -> None:
+        self.tmp_path = tmp_path
+        self.rows = rows
+
+
+class TickerStoreWriter(DataSourceWriter):
+    """Per-task CSV staging + driver-side atomic publish.
+
+    Protocol (the same two-phase contract every real connector sink
+    implements): each task writes to ``_tmp-part-<partitionId>`` and
+    returns it as its commit message; ``commit`` - which runs ONLY if
+    every task succeeded - renames the staged files to their final
+    names and drops a ``_SUCCESS`` marker; ``abort`` deletes the
+    staging files, so a failed job publishes NOTHING (no torn output,
+    pinned by test). Task retries overwrite their own staging file
+    (name is partition-deterministic), so at-least-once task execution
+    still publishes exactly one file per partition.
+    """
+
+    def __init__(self, options: dict) -> None:
+        self.path = options["path"]
+
+    def write(self, iterator) -> _TickerCommit:
+        import csv
+        import os
+
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        os.makedirs(self.path, exist_ok=True)
+        tmp = os.path.join(self.path, f"_tmp-part-{pid:05d}.csv")
+        n = 0
+        with open(tmp, "w", newline="") as fh:
+            w = csv.writer(fh)
+            for row in iterator:
+                w.writerow(list(row))
+                n += 1
+        return _TickerCommit(tmp, n)
+
+    def commit(self, messages) -> None:
+        import os
+
+        for m in messages:
+            if m is None:
+                continue
+            final = m.tmp_path.replace("_tmp-part-", "part-")
+            os.replace(m.tmp_path, final)
+        with open(os.path.join(self.path, "_SUCCESS"), "w") as fh:
+            fh.write("")
+
+    def abort(self, messages) -> None:
+        import os
+
+        for m in messages:
+            if m is not None and os.path.exists(m.tmp_path):
+                os.remove(m.tmp_path)
+
+
+class TickerStoreDataSource(DataSource):
+    """``df.write.format("tickerstore").option("path", dir).save()`` -
+    the write half of the connector lifecycle (the reference's S4
+    append sink as a CUSTOM Python sink with real commit/abort
+    semantics, next to the built-in parquet/JDBC sinks in
+    sources/registry.py)."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "tickerstore"
+
+    def writer(self, schema, overwrite: bool) -> TickerStoreWriter:
+        return TickerStoreWriter(self.options)
+
+
+def register_ticker_store(spark) -> None:
+    spark.dataSource.register(TickerStoreDataSource)

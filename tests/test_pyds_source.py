@@ -84,6 +84,53 @@ def test_pushdown_state_sticks_to_relation(spark):
     assert df.count() == 50  # stale pruning persists on the relation
 
 
+def test_sink_roundtrip_and_commit_marker(spark):
+    import os
+
+    from reactive_data_pipeline_spark.sources.pyds import register_ticker_store
+
+    register_ticker_store(spark)
+    df = _batch(spark, "AAA,BBB", 5)
+    out = tempfile.mkdtemp(prefix="store_rt_")
+    df.write.format("tickerstore").option("path", out).mode("append").save()
+    names = sorted(os.listdir(out))
+    assert "_SUCCESS" in names
+    assert all(not n.startswith("_tmp") for n in names)  # staging cleaned
+    back = spark.read.schema(
+        "symbol string, day long, open_cents long, close_cents long, volume long"
+    ).csv(out)
+    assert {tuple(r) for r in back.collect()} == {
+        tuple(r) for r in df.collect()
+    }
+
+
+def test_sink_abort_publishes_nothing(spark):
+    """Two-phase commit: a failing task must abort the WHOLE job with
+    no torn output - no part files, no _SUCCESS, no leftover staging."""
+    import os
+
+    import pytest
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import LongType
+
+    from reactive_data_pipeline_spark.sources.pyds import register_ticker_store
+
+    register_ticker_store(spark)
+
+    @F.udf(returnType=LongType())
+    def boom(day):
+        if day >= 3:
+            raise ValueError("injected task failure")
+        return day
+
+    df = _batch(spark, "AAA,BBB", 5).withColumn("day", boom("day"))
+    out = tempfile.mkdtemp(prefix="store_abort_")
+    with pytest.raises(Exception):
+        df.write.format("tickerstore").option("path", out).mode("append").save()
+    assert [n for n in os.listdir(out) if not n.startswith("_tmp")] == []
+    assert not os.path.exists(os.path.join(out, "_SUCCESS"))
+
+
 def test_stream_equals_batch_prefix(spark):
     """Drain N micro-batches of the streaming leg; the union must be
     EXACTLY the batch relation for the first N days (offset = day)."""
