@@ -71,6 +71,31 @@ SHOWCASE = [
         "Three window functions (lag change-detect, lead closure, "
         "row_number versioning) share ONE user_id exchange.",
     ),
+    (
+        "semdedup_cluster_pairs",
+        "SemDeDup: centroid codebook broadcasts, assignment argmax is a "
+        "map-combined min_by, and the pair join is a hash join KEYED BY "
+        "CLUSTER over the checkpointed assignment - O(N^2/k) candidates, "
+        "no CartesianProduct.",
+    ),
+    (
+        "bigram_logprob_docs",
+        "Bigram LM without a broadcast model: counts collapse map-side, "
+        "the (bigram -> logp) table returns via a KEYED hash join on the "
+        "gram, per-doc scores are integer partial aggregates.",
+    ),
+    (
+        "kcore_peel_rounds",
+        "Iterative peel: each round is a map-combined degree aggregate + "
+        "two vertex-keyed joins over the localCheckpoint-ed edge frame - "
+        "lineage stays flat across 8 rounds.",
+    ),
+    (
+        "pyds_ticker_feed",
+        "Custom Python DataSource scan: `BatchScan tickerfeed` with one "
+        "input partition per symbol (planned Python-side), no exchange - "
+        "rows enter the JVM already partitioned by the connector.",
+    ),
 ]
 
 
