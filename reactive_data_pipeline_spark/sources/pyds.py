@@ -33,6 +33,7 @@ from collections.abc import Iterator, Sequence
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceStreamWriter,
     DataSourceWriter,
     InputPartition,
     SimpleDataSourceStreamReader,
@@ -270,6 +271,64 @@ class TickerStoreDataSource(DataSource):
     def writer(self, schema, overwrite: bool) -> TickerStoreWriter:
         return TickerStoreWriter(self.options)
 
+    def streamWriter(self, schema, overwrite: bool) -> "TickerStoreStreamWriter":
+        return TickerStoreStreamWriter(self.options)
+
 
 def register_ticker_store(spark) -> None:
     spark.dataSource.register(TickerStoreDataSource)
+
+
+class TickerStoreStreamWriter(DataSourceStreamWriter):
+    """Streaming leg of the sink: same staging/commit protocol, but
+    commit is PER MICRO-BATCH and the batch id is part of the final
+    file name - so a REPLAYED batch (at-least-once delivery after a
+    failure) overwrites its own files instead of duplicating rows:
+    idempotence by deterministic naming, the
+    ``streaming/reactive.py`` merge-sink contract expressed by a
+    custom Python connector."""
+
+    def __init__(self, options: dict) -> None:
+        self.path = options["path"]
+
+    def write(self, iterator) -> _TickerCommit:
+        import csv
+        import os
+        import uuid
+
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        os.makedirs(self.path, exist_ok=True)
+        # Stage under a unique name: concurrent speculative attempts
+        # must not clobber each other; commit renames exactly one.
+        tmp = os.path.join(
+            self.path, f"_tmp-{uuid.uuid4().hex}-part-{pid:05d}.csv"
+        )
+        n = 0
+        with open(tmp, "w", newline="") as fh:
+            w = csv.writer(fh)
+            for row in iterator:
+                w.writerow(list(row))
+                n += 1
+        return _TickerCommit(tmp, n)
+
+    def commit(self, messages, batchId: int) -> None:
+        import os
+        import re
+
+        for m in messages:
+            if m is None:
+                continue
+            pid = re.search(r"part-(\d+)\.csv$", m.tmp_path).group(1)
+            final = os.path.join(
+                self.path, f"batch-{batchId:05d}-part-{pid}.csv"
+            )
+            os.replace(m.tmp_path, final)  # replay overwrites, not dups
+
+    def abort(self, messages, batchId: int) -> None:
+        import os
+
+        for m in messages:
+            if m is not None and os.path.exists(m.tmp_path):
+                os.remove(m.tmp_path)

@@ -131,6 +131,50 @@ def test_sink_abort_publishes_nothing(spark):
     assert not os.path.exists(os.path.join(out, "_SUCCESS"))
 
 
+def test_stream_sink_commits_per_batch(spark):
+    """Streaming Python sink: per-micro-batch commit under
+    deterministic batch-id file names (replay overwrites instead of
+    duplicating), committed rows are exactly the generated prefix."""
+    import os
+
+    from reactive_data_pipeline_spark.sources.pyds import register_ticker_store
+
+    register_ticker_store(spark)
+    out = tempfile.mkdtemp(prefix="sw_out_")
+    ckpt = tempfile.mkdtemp(prefix="sw_ckpt_")
+    stream = (
+        spark.readStream.format("tickerfeed").option("symbols", "AAA,BBB").load()
+    )
+    q = (
+        stream.writeStream.format("tickerstore")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(processingTime="0 seconds")
+        .start()
+    )
+    try:
+        deadline = time.time() + 120
+        while time.time() < deadline:
+            if len([f for f in os.listdir(out) if f.startswith("batch-")]) >= 3:
+                break
+            time.sleep(1)
+    finally:
+        q.stop()
+    committed = sorted(f for f in os.listdir(out) if f.startswith("batch-"))
+    assert len(committed) >= 3
+    back = spark.read.schema(
+        "symbol string, day long, open_cents long, close_cents long, volume long"
+    ).csv([os.path.join(out, f) for f in committed])
+    rows = [tuple(r) for r in back.collect()]
+    assert len(rows) == len(set(rows))  # no duplicated (symbol, day)
+    n_days = max(r[1] for r in rows) + 1
+    # Committed batches are a day-prefix (offset = day), one file each.
+    assert {r[:2] for r in rows} <= {
+        (s, d) for s in ("AAA", "BBB") for d in range(n_days)
+    }
+
+
 def test_stream_equals_batch_prefix(spark):
     """Drain N micro-batches of the streaming leg; the union must be
     EXACTLY the batch relation for the first N days (offset = day)."""
