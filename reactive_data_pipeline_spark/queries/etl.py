@@ -1521,3 +1521,48 @@ def pyds_ticker_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("open_cents").cast("long").alias("min_open_cents"),
         F.max("close_cents").cast("long").alias("max_close_cents"),
     )
+
+
+@register(
+    "variant_props_by_type",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT)
+             AS k_sum,
+           CAST(COUNT(CASE WHEN CAST(json_extract(props, '$.k') AS BIGINT)
+                                >= 50 THEN 1 END) AS BIGINT) AS n_k_ge_50,
+           CAST(COUNT(CASE WHEN json_extract(props, '$.missing') IS NULL
+                           THEN 1 END) AS BIGINT) AS n_missing,
+           'OBJECT<k: BIGINT>' AS vschema
+    FROM events GROUP BY event_type
+    """,
+    tags=("json", "variant", "agg", "events"),
+)
+def variant_props_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured props through Spark 4's VARIANT type: one
+    ``parse_json`` turns each payload into the binary variant encoding,
+    then every downstream access (typed ``variant_get`` paths, the
+    miss-tolerant ``try_variant_get``, the ``schema_of_variant_agg``
+    schema inference) reads the BINARY form - parse once, extract many,
+    which is the point of variant at 100 TB: string-JSON re-parses the
+    payload per access, variant pays the parse exactly once per row and
+    shreds fields on columnar reads. ``json_props_by_type`` is the
+    string-path twin; this is the plan you actually want at scale.
+
+    The oracle checks the typed extraction (DuckDB json_extract on the
+    same payloads), the miss semantics (absent path -> NULL, no error),
+    and pins the inferred schema string.
+    """
+    ev = read_table(spark, sf_dir, "events")
+    v = ev.select("event_type", F.parse_json("props").alias("v"))
+    k = F.variant_get("v", "$.k", "bigint")
+    return v.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.sum(k).cast("long").alias("k_sum"),
+        F.count(F.when(k >= 50, 1)).cast("long").alias("n_k_ge_50"),
+        F.count(F.when(F.try_variant_get("v", "$.missing", "bigint").isNull(), 1))
+        .cast("long")
+        .alias("n_missing"),
+        F.expr("schema_of_variant_agg(v)").alias("vschema"),
+    )
