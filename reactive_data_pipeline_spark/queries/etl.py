@@ -1566,3 +1566,80 @@ def variant_props_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("n_missing"),
         F.expr("schema_of_variant_agg(v)").alias("vschema"),
     )
+
+
+@register(
+    "linreg_value_on_hour",
+    oracle="""
+    WITH pts AS (
+      SELECT event_type,
+             (epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000) % 24 AS x,
+             CAST(floor(value * 100 + 0.5) AS BIGINT) AS y
+      FROM events
+    ),
+    m AS (
+      SELECT event_type,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(x) AS BIGINT) AS sx,
+             CAST(SUM(y) AS BIGINT) AS sy,
+             CAST(SUM(x * x) AS BIGINT) AS sxx,
+             CAST(SUM(x * y) AS BIGINT) AS sxy
+      FROM pts GROUP BY event_type
+    )
+    SELECT event_type, n, sx, sy, sxx, sxy,
+           CAST(n * sxy - sx * sy AS BIGINT) AS slope_num,
+           CAST(sy * sxx - sx * sxy AS BIGINT) AS intercept_num,
+           CAST(n * sxx - sx * sx AS BIGINT) AS den
+    FROM m
+    """,
+    tags=("analytics", "ml", "regression"),
+)
+def linreg_value_on_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Closed-form OLS (value-cents on hour-of-day, per event type) via
+    EXACT distributed moments - the pattern for fitting small models on
+    big data: the cluster computes the five sufficient statistics
+    (n, Sx, Sy, Sxx, Sxy) as map-combined integer sums, and the
+    coefficients are exact int64 FRACTIONS of those moments
+    (slope = slope_num/den, intercept = intercept_num/den) - no float
+    division anywhere, so the result is bit-identical on any engine and
+    any partitioning, and the consumer divides at whatever precision it
+    wants. Determinism defenses baked in: hour via integer epoch
+    division (never floor(double/3.6e9) - cross-engine finding #4) and
+    cents via the engine-neutral floor(v*100+0.5) (finding #6).
+
+    Scale shape: one map-combined aggregate over the scan - the moment
+    vector is O(groups), independent of row count; the same shape
+    carries k-feature ridge regression (k x k normal equations as
+    k^2 moment sums) until k^2 stops fitting a combiner (~10^3
+    features), which is far past where you switch to SGD anyway.
+    """
+    ev = read_table(spark, sf_dir, "events")
+    pts = ev.select(
+        "event_type",
+        # TRUE integer division (`div`), never cast(double/3.6e9): the
+        # double quotient is only correctly rounded and can land on the
+        # wrong side of a bucket boundary (cross-engine finding #4).
+        (
+            F.expr("unix_micros(cast(ts as timestamp)) div 3600000000") % 24
+        ).alias("x"),
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("y"),
+    )
+    m = pts.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+    )
+    return m.select(
+        "event_type", "n", "sx", "sy", "sxx", "sxy",
+        (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+        .cast("long")
+        .alias("slope_num"),
+        (F.col("sy") * F.col("sxx") - F.col("sx") * F.col("sxy"))
+        .cast("long")
+        .alias("intercept_num"),
+        (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+        .cast("long")
+        .alias("den"),
+    )
