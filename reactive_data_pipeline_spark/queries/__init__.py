@@ -77,6 +77,7 @@ from . import llm3  # noqa: E402,F401
 from . import curation  # noqa: E402,F401
 from . import tpch2  # noqa: E402,F401
 from . import etl  # noqa: E402,F401
+from . import llm4  # noqa: E402,F401
 
 #: The external gate checks a prefix of the catalog in registration
 #: order (exactly the first 50). Rounds 1-3 drove cumulative coverage
