@@ -14,6 +14,14 @@ retrieval, both with exact cross-engine oracles.
   ``similarity/centroid.py`` as the coarse index (IVF with
   centroids = label centroids, nprobe=1): candidates are the query's
   own cell, the re-rank is exact cosine, top-5 per query.
+* ``bpe_train_rounds`` - ITERATIVE BPE tokenizer training (Sennrich et
+  al. 2016) under the value hash: ``bpe_pair_merges`` is the single
+  induction step; this runs the actual merge LOOP - count adjacent
+  symbol pairs, merge the most frequent, re-count - for 4 rounds, with
+  the greedy left-to-right merge expressed as an ``aggregate`` HOF fold
+  on Spark and the IDENTICAL fold as a DuckDB ``list_reduce`` in the
+  unrolled chained-CTE oracle (the pagerank/kmeans pattern extended to
+  string states).
 
 Determinism rules follow llm3: cosines rounded to 6dp BEFORE any
 ranking, e6-scaled integer outputs, rank ties broken on vec_id.
@@ -206,3 +214,227 @@ def retrieve_rerank_cell(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= 5)
         .select("query_id", "vec_id", _e6(F.col("cos")).alias("cos_e6"), "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# Iterative BPE training (the merge loop, not just one step)
+# ---------------------------------------------------------------------------
+
+_BPE_ROUNDS = 4
+#: Symbol separator for the string-encoded fold state. 0x1f (unit
+#: separator) cannot appear in the whitespace-normalized corpus words,
+#: so symbol boundaries are unambiguous on both engines.
+_US = "chr(31)"
+
+#: One greedy left-to-right merge pass as a fold over the symbol list,
+#: with the state encoded as a chr(31)-joined string (DuckDB's
+#: list_reduce requires acc type == element type, and the IDENTICAL
+#: encoding is used on the Spark side so both engines walk the same
+#: states). Rule: if the last emitted symbol is `a` and the incoming
+#: one is `b`, replace the tail with the merged token; the merged token
+#: is strictly longer than `a`, so it can never re-match as the left
+#: element in the same pass - exactly greedy non-overlapping LTR.
+_MERGE_FOLD_SQL = f"""list_reduce(s.syms, (acc, x) -> CASE
+           WHEN acc = b.a AND x = b.b THEN b.a || b.b
+           WHEN ends_with(acc, {_US} || b.a) AND x = b.b
+             THEN left(acc, length(acc) - length(b.a) - 1)
+                  || {_US} || b.a || b.b
+           ELSE acc || {_US} || x END)"""
+
+
+def _bpe_oracle(rounds: int) -> str:
+    """Unrolled chained-CTE twin of the Spark BPE loop. Every s_r is
+    MATERIALIZED (the kcore lesson: a CTE its successors reference 3x
+    re-expands exponentially under default inlining), and the per-round
+    best pair is a 1-row MATERIALIZED CTE cross-joined into the merge,
+    mirroring Spark's broadcast."""
+    ctes = [
+        r"""w0 AS MATERIALIZED (
+      SELECT w, CAST(COUNT(*) AS BIGINT) AS cnt FROM (
+        SELECT unnest(string_split(
+          regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) AS w
+        FROM documents) GROUP BY w
+    )""",
+        """s0 AS MATERIALIZED (
+      SELECT cnt, list_transform(generate_series(1, length(w)),
+                                 i -> substr(w, i, 1)) AS syms
+      FROM w0
+    )""",
+    ]
+    selects = []
+    for r in range(1, rounds + 1):
+        p = r - 1
+        ctes.append(
+            f"""p{r} AS (
+      SELECT syms[i] AS a, syms[i + 1] AS b, CAST(SUM(cnt) AS BIGINT) AS c
+      FROM (SELECT cnt, syms, unnest(generate_series(1, len(syms) - 1)) AS i
+            FROM s{p})
+      GROUP BY 1, 2
+    )"""
+        )
+        ctes.append(
+            f"b{r} AS MATERIALIZED (SELECT a, b, c FROM p{r} "
+            f"ORDER BY c DESC, a, b LIMIT 1)"
+        )
+        ctes.append(
+            f"""s{r} AS MATERIALIZED (
+      SELECT s.cnt, string_split({_MERGE_FOLD_SQL}, {_US}) AS syms
+      FROM s{p} s CROSS JOIN b{r} b
+    )"""
+        )
+        selects.append(
+            f"""SELECT {r} AS round, b.a AS sym_a, b.b AS sym_b,
+           b.c AS pair_count,
+           (SELECT CAST(COUNT(DISTINCT y) AS BIGINT)
+            FROM (SELECT unnest(syms) AS y FROM s{r})) AS n_types_after,
+           (SELECT CAST(SUM(cnt * len(syms)) AS BIGINT) FROM s{r})
+             AS corpus_tokens_after
+    FROM b{r} b"""
+        )
+    return "WITH " + ",\n    ".join(ctes) + "\n    " + "\n    UNION ALL\n    ".join(selects)
+
+
+@register(
+    "bpe_train_rounds",
+    oracle=_bpe_oracle(_BPE_ROUNDS),
+    tags=("text", "tokenizer", "iterative"),
+)
+def bpe_train_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iterative BPE tokenizer training: 4 merge rounds over the
+    whitespace-normalized corpus vocabulary, emitting per round the
+    merged pair, its (word-frequency-weighted) occurrence count, the
+    symbol-type count after the merge, and the total corpus length in
+    symbols after the merge. ``bpe_pair_merges`` is the single step;
+    this is the loop a real tokenizer build runs (Sennrich et al. 2016)
+    - each round's statistics depend on every previous merge, so the
+    value hash proves the whole trajectory, not one aggregation.
+
+    Plan per round, all lazy (ZERO driver-side collects): one pair
+    explode + map-combined count over the word-frequency table (which
+    is vocabulary-sized, NOT corpus-sized - the classic BPE trick: fold
+    the corpus to (word, count) once, then iterate over distinct words
+    only), a TakeOrderedAndProject picking the best pair (1 row,
+    broadcast), and the greedy left-to-right merge as an ``aggregate``
+    HOF fold with the SAME string-encoded state as the oracle's
+    ``list_reduce`` (chr(31)-separated; the merged token is longer than
+    its left element, so one fold pass IS greedy non-overlapping LTR -
+    verified char-identical across engines including the tricky
+    equal-symbol runs like 'aaaaa'). localCheckpoint per round keeps
+    the iterative lineage flat (the pagerank/kmeans/kcore pattern).
+
+    Scale: the iterated frame is the DISTINCT VOCABULARY (Heaps' law:
+    ~10^7-10^8 types at 100 TB, kilobytes per row), not the corpus;
+    the corpus is touched exactly once to build w0. Each round is one
+    vocabulary-keyed aggregate + a broadcast - at 1000 executors the
+    per-round wall time is dominated by scheduling, which is why real
+    builds batch many merges per materialization; the fold/oracle
+    machinery here is unchanged by that batching.
+    """
+    from ..functions.text import tokens
+
+    sep = F.lit("\x1f")
+    words = (
+        _docs(spark, sf_dir)
+        .select(F.explode(tokens("text")).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    cur = words.select(
+        "cnt",
+        F.expr(
+            "transform(sequence(1, length(w)), i -> substring(w, i, 1))"
+        ).alias("syms"),
+    ).localCheckpoint(eager=True)
+
+    rows = []
+    for r in range(1, _BPE_ROUNDS + 1):
+        pairs = (
+            cur.filter(F.size("syms") >= 2)
+            .select(
+                "cnt",
+                F.explode(
+                    F.expr(
+                        "transform(sequence(1, size(syms) - 1), "
+                        "i -> struct(element_at(syms, i) AS a, "
+                        "element_at(syms, i + 1) AS b))"
+                    )
+                ).alias("p"),
+            )
+            .select("cnt", "p.a", "p.b")
+        )
+        best = (
+            pairs.groupBy("a", "b")
+            .agg(F.sum("cnt").cast("long").alias("c"))
+            .orderBy(F.desc("c"), F.asc("a"), F.asc("b"))
+            .limit(1)
+            .select(
+                F.col("a").alias("ba"),
+                F.col("b").alias("bb"),
+                F.col("c").alias("bc"),
+            )
+        )
+        merged = (
+            cur.crossJoin(F.broadcast(best))
+            .select(
+                "cnt",
+                F.split(
+                    F.aggregate(
+                        F.slice("syms", 2, F.size("syms") - 1),
+                        F.element_at("syms", 1),
+                        lambda acc, x: F.when(
+                            (acc == F.col("ba")) & (x == F.col("bb")),
+                            F.concat(F.col("ba"), F.col("bb")),
+                        )
+                        .when(
+                            acc.endswith(F.concat(sep, F.col("ba")))
+                            & (x == F.col("bb")),
+                            F.concat(
+                                F.substring(
+                                    acc,
+                                    F.lit(1),
+                                    F.length(acc) - F.length(F.col("ba")) - 1,
+                                ),
+                                sep,
+                                F.col("ba"),
+                                F.col("bb"),
+                            ),
+                        )
+                        .otherwise(F.concat(acc, sep, x)),
+                    ),
+                    "\x1f",
+                ).alias("syms"),
+                "ba",
+                "bb",
+                "bc",
+            )
+            .localCheckpoint(eager=True)
+        )
+        cur = merged.select("cnt", "syms")
+        types = (
+            merged.select(F.explode("syms").alias("y"))
+            .distinct()
+            .agg(F.count(F.lit(1)).cast("long").alias("n_types_after"))
+        )
+        toks = merged.agg(
+            F.sum(F.col("cnt") * F.size("syms"))
+            .cast("long")
+            .alias("corpus_tokens_after")
+        )
+        rows.append(
+            merged.select("ba", "bb", "bc")
+            .limit(1)
+            .crossJoin(F.broadcast(types))
+            .crossJoin(F.broadcast(toks))
+            .select(
+                F.lit(r).cast("int").alias("round"),
+                F.col("ba").alias("sym_a"),
+                F.col("bb").alias("sym_b"),
+                F.col("bc").alias("pair_count"),
+                "n_types_after",
+                "corpus_tokens_after",
+            )
+        )
+    out = rows[0]
+    for s in rows[1:]:
+        out = out.unionByName(s)
+    return out

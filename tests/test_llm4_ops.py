@@ -98,6 +98,68 @@ def test_rerank_matches_numpy_within_cell(spark):
         assert got == expect
 
 
+def _python_bpe(word_counts: dict[str, int], rounds: int):
+    """Reference greedy BPE: per round, count adjacent symbol pairs
+    weighted by word frequency, merge the (count desc, a, b)-best pair
+    greedily left-to-right in every word, report trajectory stats."""
+    state = {w: tuple(w) for w in word_counts}
+    out = []
+    for r in range(1, rounds + 1):
+        counts: dict[tuple, int] = {}
+        for w, syms in state.items():
+            for i in range(len(syms) - 1):
+                counts[syms[i], syms[i + 1]] = (
+                    counts.get((syms[i], syms[i + 1]), 0) + word_counts[w]
+                )
+        (a, b), c = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        for w, syms in state.items():
+            merged, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    merged.append(a + b)
+                    i += 2
+                else:
+                    merged.append(syms[i])
+                    i += 1
+            state[w] = tuple(merged)
+        types = {s for syms in state.values() for s in syms}
+        total = sum(word_counts[w] * len(syms) for w, syms in state.items())
+        out.append((r, a, b, c, len(types), total))
+    return out
+
+
+def test_bpe_rounds_match_python_reference(spark):
+    from reactive_data_pipeline_spark.functions.text import tokens
+    from reactive_data_pipeline_spark.queries.llm4 import (
+        _BPE_ROUNDS,
+        bpe_train_rounds,
+    )
+
+    wc: dict[str, int] = {}
+    for r in (
+        _docs(spark, SF_DIR).select(F.explode(tokens("text")).alias("w")).collect()
+    ):
+        wc[r.w] = wc.get(r.w, 0) + 1
+    expect = _python_bpe(wc, _BPE_ROUNDS)
+    got = sorted(
+        (
+            (r.round, r.sym_a, r.sym_b, r.pair_count, r.n_types_after, r.corpus_tokens_after)
+            for r in bpe_train_rounds(spark, SF_DIR).collect()
+        ),
+    )
+    assert got == expect
+
+
+def test_bpe_first_round_agrees_with_single_step_query(spark):
+    from reactive_data_pipeline_spark.queries.llm2 import bpe_pair_merges
+    from reactive_data_pipeline_spark.queries.llm4 import bpe_train_rounds
+
+    top = bpe_pair_merges(spark, SF_DIR).collect()[0]
+    r1 = next(r for r in bpe_train_rounds(spark, SF_DIR).collect() if r.round == 1)
+    assert r1.sym_a + r1.sym_b == top.pair
+    assert r1.pair_count == top.n
+
+
 def test_rerank_ranks_are_contiguous_and_ordered(spark):
     rows = retrieve_rerank_cell(spark, SF_DIR).collect()
     by_query: dict[int, list] = {}
