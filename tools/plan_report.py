@@ -96,6 +96,26 @@ SHOWCASE = [
         "input partition per symbol (planned Python-side), no exchange - "
         "rows enter the JVM already partitioned by the connector.",
     ),
+    (
+        "prefix_containment_pairs",
+        "Containment dedup: the candidate join is a HASH join keyed by "
+        "the 32-char prefix (`pk`) - one exchange per side, startswith "
+        "verify as a post-join filter, never a cross product.",
+    ),
+    (
+        "retrieve_rerank_cell",
+        "Two-stage retrieval: the query block BROADCASTS into the "
+        "cell-keyed candidate join (corpus scanned once over the "
+        "checkpointed assignment); the only exchange after scoring is "
+        "the query-keyed ranking window.",
+    ),
+    (
+        "bpe_train_rounds",
+        "Iterative BPE: each round is ONE vocabulary-keyed hash "
+        "aggregate + a 1-row TakeOrdered broadcast; the greedy merge "
+        "fold is a JVM higher-order function (no Python nodes), and "
+        "localCheckpoint keeps round-4 lineage flat.",
+    ),
 ]
 
 
