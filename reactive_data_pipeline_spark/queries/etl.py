@@ -1643,3 +1643,79 @@ def linreg_value_on_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("den"),
     )
+
+
+@register(
+    "event_pattern_counts",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id,
+             CAST(COUNT(*) AS BIGINT) AS n_events,
+             string_agg(substr(event_type, 1, 1), ''
+                        ORDER BY ts, event_id) AS s
+      FROM events GROUP BY user_id
+    )
+    SELECT user_id, n_events,
+           CAST(len(regexp_extract_all(s, 'vc*p')) AS BIGINT) AS n_funnel,
+           CAST(len(regexp_extract_all(s, 'ee+')) AS BIGINT)
+             AS n_error_burst,
+           CAST(COALESCE(list_max(list_transform(
+                  regexp_extract_all(s, 'v+'), x -> length(x))), 0)
+                AS BIGINT) AS longest_view_run
+    FROM seq
+    """,
+    tags=("events", "sequence", "pattern", "agg"),
+)
+def event_pattern_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-pattern mining over per-user event streams - the
+    MATCH_RECOGNIZE analogue neither Spark nor DuckDB ships: encode
+    each user's time-ordered event history as a symbol string (one
+    char per event type - distinct initials here; map through a
+    codebook otherwise) and count regex motifs over it. Three motifs:
+    view->clicks->purchase funnels (``vc*p``, the lazy-browser
+    conversion), error bursts (``ee+``, 2+ consecutive failures), and
+    the longest unbroken view run. Unlike ``funnel_view_click_purchase``
+    (set-based EXISTS chain), this counts REPEATED, ORDERED,
+    adjacency-sensitive occurrences - the thing only sequence
+    semantics can express.
+
+    Determinism: (ts, user_id) is unique in this table and event_id
+    breaks any hypothetical tie, so the aggregated string is identical
+    on both engines (Spark sorts (ts, event_id, ch) structs inside the
+    group via array_sort; DuckDB uses ORDER BY inside string_agg).
+    Regex semantics match because the motifs use only RE2/Java-common
+    constructs (literals, classes, greedy +/*) and both engines count
+    non-overlapping left-to-right matches.
+
+    Plan: ONE user-keyed exchange (partial collect_list has no map-side
+    combine, but event rows shrink to 1 char + 16 bytes of key before
+    the shuffle); everything after the aggregate is per-row JVM regex
+    in whole-stage codegen. Scale: state is O(events-per-user) - at
+    100 TB, sessionize first (session_window_stats) or cap history per
+    user; the motif pass itself is embarrassingly parallel.
+    """
+    ev = read_table(spark, sf_dir, "events").select(
+        "user_id",
+        F.struct(
+            F.col("ts"), F.col("event_id"), F.substring("event_type", 1, 1).alias("ch")
+        ).alias("e"),
+    )
+    seq = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.concat_ws(
+            "",
+            F.transform(F.array_sort(F.collect_list("e")), lambda x: x["ch"]),
+        ).alias("s"),
+    )
+    longest = F.array_max(
+        F.transform(
+            F.expr("regexp_extract_all(s, 'v+', 0)"), lambda x: F.length(x)
+        )
+    )
+    return seq.select(
+        "user_id",
+        "n_events",
+        F.regexp_count("s", F.lit("vc*p")).cast("long").alias("n_funnel"),
+        F.regexp_count("s", F.lit("ee+")).cast("long").alias("n_error_burst"),
+        F.coalesce(longest, F.lit(0)).cast("long").alias("longest_view_run"),
+    )

@@ -242,12 +242,14 @@ _MERGE_FOLD_SQL = f"""list_reduce(s.syms, (acc, x) -> CASE
            ELSE acc || {_US} || x END)"""
 
 
-def _bpe_oracle(rounds: int) -> str:
-    """Unrolled chained-CTE twin of the Spark BPE loop. Every s_r is
-    MATERIALIZED (the kcore lesson: a CTE its successors reference 3x
-    re-expands exponentially under default inlining), and the per-round
-    best pair is a 1-row MATERIALIZED CTE cross-joined into the merge,
-    mirroring Spark's broadcast."""
+def _bpe_ctes(rounds: int) -> list[str]:
+    """The unrolled training CTE chain (w0, s0, then p/b/s per round),
+    carrying the word ``w`` through every state so downstream consumers
+    (the encode query) can join encoded lengths back to the corpus.
+    Every s_r is MATERIALIZED (the kcore lesson: a CTE its successors
+    reference 3x re-expands exponentially under default inlining), and
+    the per-round best pair is a 1-row MATERIALIZED CTE cross-joined
+    into the merge, mirroring Spark's broadcast."""
     ctes = [
         r"""w0 AS MATERIALIZED (
       SELECT w, CAST(COUNT(*) AS BIGINT) AS cnt FROM (
@@ -256,12 +258,11 @@ def _bpe_oracle(rounds: int) -> str:
         FROM documents) GROUP BY w
     )""",
         """s0 AS MATERIALIZED (
-      SELECT cnt, list_transform(generate_series(1, length(w)),
-                                 i -> substr(w, i, 1)) AS syms
+      SELECT w, cnt, list_transform(generate_series(1, length(w)),
+                                    i -> substr(w, i, 1)) AS syms
       FROM w0
     )""",
     ]
-    selects = []
     for r in range(1, rounds + 1):
         p = r - 1
         ctes.append(
@@ -278,10 +279,18 @@ def _bpe_oracle(rounds: int) -> str:
         )
         ctes.append(
             f"""s{r} AS MATERIALIZED (
-      SELECT s.cnt, string_split({_MERGE_FOLD_SQL}, {_US}) AS syms
+      SELECT s.w, s.cnt, string_split({_MERGE_FOLD_SQL}, {_US}) AS syms
       FROM s{p} s CROSS JOIN b{r} b
     )"""
         )
+    return ctes
+
+
+def _bpe_oracle(rounds: int) -> str:
+    """Per-round trajectory report over the training chain."""
+    ctes = _bpe_ctes(rounds)
+    selects = []
+    for r in range(1, rounds + 1):
         selects.append(
             f"""SELECT {r} AS round, b.a AS sym_a, b.b AS sym_b,
            b.c AS pair_count,
@@ -330,6 +339,20 @@ def bpe_train_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
     builds batch many merges per materialization; the fold/oracle
     machinery here is unchanged by that batching.
     """
+    _final, rows = _bpe_loop(spark, sf_dir, _BPE_ROUNDS)
+    out = rows[0]
+    for s in rows[1:]:
+        out = out.unionByName(s)
+    return out
+
+
+def _bpe_loop(spark: SparkSession, sf_dir: str, rounds: int):
+    """The shared Spark training loop. Returns ``(final, stats)``:
+    ``final`` is the (w, cnt, syms) vocabulary after all merges (the
+    trained tokenizer applied to every word), ``stats`` one 1-row
+    DataFrame per round (round, sym_a, sym_b, pair_count,
+    n_types_after, corpus_tokens_after). Everything is lazy except the
+    per-round localCheckpoint."""
     from ..functions.text import tokens
 
     sep = F.lit("\x1f")
@@ -340,6 +363,7 @@ def bpe_train_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
     )
     cur = words.select(
+        "w",
         "cnt",
         F.expr(
             "transform(sequence(1, length(w)), i -> substring(w, i, 1))"
@@ -347,7 +371,7 @@ def bpe_train_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).localCheckpoint(eager=True)
 
     rows = []
-    for r in range(1, _BPE_ROUNDS + 1):
+    for r in range(1, rounds + 1):
         pairs = (
             cur.filter(F.size("syms") >= 2)
             .select(
@@ -376,6 +400,7 @@ def bpe_train_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
         merged = (
             cur.crossJoin(F.broadcast(best))
             .select(
+                "w",
                 "cnt",
                 F.split(
                     F.aggregate(
@@ -409,7 +434,7 @@ def bpe_train_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .localCheckpoint(eager=True)
         )
-        cur = merged.select("cnt", "syms")
+        cur = merged.select("w", "cnt", "syms")
         types = (
             merged.select(F.explode("syms").alias("y"))
             .distinct()
@@ -434,7 +459,69 @@ def bpe_train_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "corpus_tokens_after",
             )
         )
-    out = rows[0]
-    for s in rows[1:]:
-        out = out.unionByName(s)
-    return out
+    return cur, rows
+
+
+_ENCODE_SELECT = f"""sw AS (
+      SELECT source, w, CAST(COUNT(*) AS BIGINT) AS c FROM (
+        SELECT source, unnest(string_split(
+          regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ')) AS w
+        FROM documents) GROUP BY source, w
+    ),
+    enc AS (SELECT w, CAST(len(syms) AS BIGINT) AS el FROM s{_BPE_ROUNDS})
+    SELECT sw.source,
+           CAST(SUM(sw.c) AS BIGINT) AS n_words,
+           CAST(SUM(sw.c * length(sw.w)) AS BIGINT) AS n_chars,
+           CAST(SUM(sw.c * enc.el) AS BIGINT) AS n_tokens,
+           CAST(SUM(sw.c * length(sw.w)) * 1000000
+                // SUM(sw.c * enc.el) AS BIGINT) AS chars_per_token_e6
+    FROM sw JOIN enc ON sw.w = enc.w
+    GROUP BY sw.source"""
+
+
+@register(
+    "bpe_encode_by_source",
+    oracle="WITH "
+    + ",\n    ".join(_bpe_ctes(_BPE_ROUNDS))
+    + ",\n    "
+    + _ENCODE_SELECT,
+    tags=("text", "tokenizer", "curation"),
+)
+def bpe_encode_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apply the trained tokenizer: encode the whole corpus with the
+    4-round BPE merge table and report per-source compression - word,
+    char, and TOKEN counts plus exact chars-per-token (e6 integer
+    division, no float ratio). Train->apply is the full tokenizer
+    lifecycle; the compression spread across sources is the signal a
+    mixture designer actually reads (a source the tokenizer compresses
+    badly is under-represented in the training corpus).
+
+    Plan: the training loop runs over the distinct vocabulary
+    (``_bpe_loop``); applying it is ONE word-keyed hash join of the
+    per-(source, word) counts against the encoded lengths - the corpus
+    text is never re-scanned per round, and at 100 TB the encoded
+    vocabulary is broadcast-size (Heaps' law) so the apply join needs
+    no fact-side shuffle beyond the (source, word) aggregate.
+    """
+    final, _rows = _bpe_loop(spark, sf_dir, _BPE_ROUNDS)
+    from ..functions.text import tokens
+
+    sw = (
+        _docs(spark, sf_dir)
+        .select("source", F.explode(tokens("text")).alias("w"))
+        .groupBy("source", "w")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    enc = final.select("w", F.size("syms").cast("long").alias("el"))
+    joined = sw.join(F.broadcast(enc), "w")
+    return joined.groupBy("source").agg(
+        F.sum("c").cast("long").alias("n_words"),
+        F.sum(F.col("c") * F.length("w")).cast("long").alias("n_chars"),
+        F.sum(F.col("c") * F.col("el")).cast("long").alias("n_tokens"),
+    ).select(
+        "source",
+        "n_words",
+        "n_chars",
+        "n_tokens",
+        F.expr("(n_chars * 1000000) div n_tokens").alias("chars_per_token_e6"),
+    )

@@ -150,6 +150,28 @@ def test_bpe_rounds_match_python_reference(spark):
     assert got == expect
 
 
+def test_bpe_encode_conserves_training_totals(spark):
+    from reactive_data_pipeline_spark.queries.llm4 import (
+        _BPE_ROUNDS,
+        bpe_encode_by_source,
+        bpe_train_rounds,
+    )
+
+    enc = bpe_encode_by_source(spark, SF_DIR).collect()
+    final = next(
+        r for r in bpe_train_rounds(spark, SF_DIR).collect()
+        if r.round == _BPE_ROUNDS
+    )
+    # Every corpus word is encoded: the per-source token counts must sum
+    # to the final training round's corpus total exactly.
+    assert sum(r.n_tokens for r in enc) == final.corpus_tokens_after
+    for r in enc:
+        # Merges only shrink: token count bounded by chars (and by words
+        # from below), so chars-per-token is a genuine ratio >= 1.
+        assert r.n_words <= r.n_tokens <= r.n_chars
+        assert r.chars_per_token_e6 >= 10**6
+
+
 def test_bpe_first_round_agrees_with_single_step_query(spark):
     from reactive_data_pipeline_spark.queries.llm2 import bpe_pair_merges
     from reactive_data_pipeline_spark.queries.llm4 import bpe_train_rounds
