@@ -1719,3 +1719,83 @@ def event_pattern_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.regexp_count("s", F.lit("ee+")).cast("long").alias("n_error_burst"),
         F.coalesce(longest, F.lit(0)).cast("long").alias("longest_view_run"),
     )
+
+
+@register(
+    "cusum_daily_changepoint",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS n_events
+      FROM events GROUP BY 1
+    ),
+    tot AS (
+      SELECT CAST(SUM(n_events) AS BIGINT) AS t,
+             CAST(COUNT(*) AS BIGINT) AS d
+      FROM daily
+    ),
+    cu AS (
+      SELECT a.day, a.n_events,
+             CAST(SUM(tot.d * b.n_events - tot.t) AS BIGINT) AS cusum_scaled
+      FROM daily a CROSS JOIN tot
+           JOIN daily b ON b.day <= a.day
+      GROUP BY a.day, a.n_events
+    ),
+    mx AS (SELECT MAX(ABS(cusum_scaled)) AS m FROM cu)
+    SELECT day, n_events, cusum_scaled,
+           CAST(CASE WHEN ABS(cusum_scaled) = mx.m THEN 1 ELSE 0 END AS INT)
+             AS is_peak
+    FROM cu CROSS JOIN mx
+    """,
+    tags=("analytics", "timeseries", "changepoint"),
+)
+def cusum_daily_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM changepoint scan over daily event volume: the cumulative
+    sum of deviations from the period mean peaks at the most likely
+    level-shift point (Page 1954) - the drift detector you run over
+    ingest volumes before trusting a training snapshot. INTEGER-exact
+    by scaling: with D days and T total events, the deviation of day i
+    is (D*n_i - T) (the mean never becomes a float), so the cusum and
+    the argmax are bit-identical on every engine and partitioning.
+
+    Plan: one map-combined (day) aggregate collapses the fact table to
+    a <=O(period-days) dim; the running sum is a broadcast self-join
+    over that TINY dim (day^2 pairs of 16-byte rows - the winsorized
+    pattern: never an unpartitioned window, which the catalog-wide
+    plan guard forbids), and the peak flag is a 1-row broadcast max.
+    At 100 TB the only corpus-sized stage is still the first aggregate.
+    """
+    ev = read_table(spark, sf_dir, "events")
+    daily = (
+        ev.select(F.to_date("ts").alias("day"))
+        .groupBy("day")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_events"))
+        .localCheckpoint(eager=True)
+    )
+    tot = daily.agg(
+        F.sum("n_events").cast("long").alias("t"),
+        F.count(F.lit(1)).cast("long").alias("d"),
+    )
+    b = daily.select(
+        F.col("day").alias("b_day"), F.col("n_events").alias("b_n")
+    )
+    cu = (
+        daily.crossJoin(F.broadcast(tot))
+        .join(F.broadcast(b), F.col("b_day") <= F.col("day"))
+        .groupBy("day", "n_events")
+        .agg(
+            F.sum(F.col("d") * F.col("b_n") - F.col("t"))
+            .cast("long")
+            .alias("cusum_scaled")
+        )
+        .localCheckpoint(eager=True)
+    )
+    mx = cu.agg(F.max(F.abs(F.col("cusum_scaled"))).alias("m"))
+    return cu.crossJoin(F.broadcast(mx)).select(
+        "day",
+        "n_events",
+        "cusum_scaled",
+        F.when(F.abs(F.col("cusum_scaled")) == F.col("m"), F.lit(1))
+        .otherwise(F.lit(0))
+        .cast("int")
+        .alias("is_peak"),
+    )

@@ -182,6 +182,24 @@ def test_bpe_first_round_agrees_with_single_step_query(spark):
     assert r1.pair_count == top.n
 
 
+def test_cusum_telescopes_to_zero(spark):
+    from reactive_data_pipeline_spark.queries.etl import cusum_daily_changepoint
+
+    rows = sorted(
+        cusum_daily_changepoint(spark, SF_DIR).collect(), key=lambda r: r.day
+    )
+    # Sum of scaled deviations over the whole period is D*T - D*T = 0,
+    # so the cusum at the last day telescopes to exactly zero.
+    assert rows[-1].cusum_scaled == 0
+    assert sum(r.is_peak for r in rows) >= 1
+    # Each step is exactly D*n_i - T.
+    d, t = len(rows), sum(r.n_events for r in rows)
+    prev = 0
+    for r in rows:
+        assert r.cusum_scaled - prev == d * r.n_events - t
+        prev = r.cusum_scaled
+
+
 def test_rerank_ranks_are_contiguous_and_ordered(spark):
     rows = retrieve_rerank_cell(spark, SF_DIR).collect()
     by_query: dict[int, list] = {}
