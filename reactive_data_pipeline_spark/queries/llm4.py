@@ -347,21 +347,27 @@ def bpe_train_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _bpe_loop(spark: SparkSession, sf_dir: str, rounds: int):
-    """The shared Spark training loop. Returns ``(final, stats)``:
-    ``final`` is the (w, cnt, syms) vocabulary after all merges (the
-    trained tokenizer applied to every word), ``stats`` one 1-row
-    DataFrame per round (round, sym_a, sym_b, pair_count,
-    n_types_after, corpus_tokens_after). Everything is lazy except the
-    per-round localCheckpoint."""
+    """The shared Spark training loop over the corpus vocabulary.
+    Returns ``(final, stats)``: ``final`` is the (w, cnt, syms)
+    vocabulary after all merges (the trained tokenizer applied to every
+    word), ``stats`` one 1-row DataFrame per round (round, sym_a,
+    sym_b, pair_count, n_types_after, corpus_tokens_after)."""
     from ..functions.text import tokens
 
-    sep = F.lit("\x1f")
     words = (
         _docs(spark, sf_dir)
         .select(F.explode(tokens("text")).alias("w"))
         .groupBy("w")
         .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
     )
+    return _bpe_iterate(words, rounds)
+
+
+def _bpe_iterate(words: DataFrame, rounds: int):
+    """The merge loop proper, over any (w, cnt) frame (the property
+    test drives it with adversarial synthetic vocabularies). Everything
+    is lazy except the per-round localCheckpoint."""
+    sep = F.lit("\x1f")
     cur = words.select(
         "w",
         "cnt",

@@ -376,3 +376,57 @@ def test_zorder_key_is_injective_on_the_grid(spark, cells):
     assert keys.distinct().count() == len(cells)
     mx = keys.agg(F.max("k")).collect()[0][0]
     assert 0 <= mx < (1 << 16)
+
+
+# Adversarial BPE vocabularies: tiny alphabet forces repeated-symbol
+# runs ('aaaa', 'abab') - the exact shapes where a naive merge rule
+# diverges from greedy non-overlapping left-to-right.
+bpe_words = st.lists(
+    st.tuples(
+        st.text(alphabet="ab", min_size=1, max_size=8),  # word
+        st.integers(1, 5),                               # count
+    ),
+    min_size=1,
+    max_size=12,
+    unique_by=lambda t: t[0],
+)
+
+
+@settings(max_examples=4, deadline=None)
+@given(bpe_words)
+def test_bpe_iterate_matches_python_reference_on_any_vocab(spark, vocab):
+    from reactive_data_pipeline_spark.queries.llm4 import _bpe_iterate
+
+    from .test_llm4_ops import _python_bpe
+
+    wc = dict(vocab)
+    rounds = 2
+    # The loop needs at least one adjacent pair to merge each round;
+    # pad the vocabulary so round 2 always has a candidate.
+    wc.setdefault("abababab", 1)
+    words = spark.createDataFrame(list(wc.items()), "w string, cnt long")
+    final, stats = _bpe_iterate(words, rounds)
+    got_stats = []
+    for s in stats:
+        r = s.collect()[0]
+        got_stats.append(
+            (r.round, r.sym_a, r.sym_b, r.pair_count, r.n_types_after, r.corpus_tokens_after)
+        )
+    assert got_stats == _python_bpe(wc, rounds)
+
+    # And the per-word final segmentations match the reference walk.
+    ref_state = {w: tuple(w) for w in wc}
+    for rnd in range(rounds):
+        a, b = got_stats[rnd][1], got_stats[rnd][2]
+        for w, syms in ref_state.items():
+            merged, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    merged.append(a + b)
+                    i += 2
+                else:
+                    merged.append(syms[i])
+                    i += 1
+            ref_state[w] = tuple(merged)
+    got_state = {r.w: tuple(r.syms) for r in final.collect()}
+    assert got_state == ref_state
