@@ -1799,3 +1799,149 @@ def cusum_daily_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("int")
         .alias("is_peak"),
     )
+
+
+@register(
+    "recursive_cte_bfs",
+    oracle="""
+    WITH RECURSIVE lp AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ),
+    edges AS (
+      SELECT a.l_partkey AS u, b.l_partkey AS v
+      FROM lp a JOIN lp b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+    ),
+    reach(p, d) AS (
+      SELECT (SELECT MIN(l_partkey) FROM lp), 0
+      UNION ALL
+      SELECT e.v, r.d + 1 FROM reach r JOIN edges e ON e.u = r.p
+      WHERE r.d < 2
+    )
+    SELECT d, CAST(COUNT(*) AS BIGINT) AS n_paths,
+           CAST(COUNT(DISTINCT p) AS BIGINT) AS n_nodes,
+           CAST(SUM(p) AS BIGINT) AS path_psum
+    FROM reach GROUP BY d
+    """,
+    tags=("sql", "graph", "recursive", "iterative"),
+)
+def recursive_cte_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Depth-bounded BFS over the part co-purchase graph as a
+    ``WITH RECURSIVE`` CTE - the declarative iterative surface Spark
+    gained in 4.x (SPARK-24497), exercised as real SQL text and
+    value-hash-matched against DuckDB's recursive CTE on per-depth
+    (path count, distinct nodes, id checksum). The anchor seeds from
+    MIN(l_partkey) via a scalar subquery; UNION ALL + an explicit
+    depth guard keeps the semantics identical on both engines (UNION
+    DISTINCT recursion dedups against different scopes per engine -
+    deliberately avoided).
+
+    Scale shape: each recursion step is one vertex-keyed hash join of
+    the frontier against the edge list - the same per-round plan the
+    hand-rolled pagerank/kcore loops build, now planned by the engine.
+    Path multiplicity grows with frontier degree, which is why the
+    depth guard is part of the QUERY, not an afterthought; the
+    unrolled-loop queries (pagerank_copurchase, kcore_peel_rounds)
+    remain the production form at 100 TB because they localCheckpoint
+    per round and keep O(nodes) state, while the recursive CTE
+    carries path multiplicity.
+    """
+    read_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    ).distinct().createOrReplaceTempView("__rcte_lp")
+    return spark.sql(
+        """
+        WITH RECURSIVE edges AS (
+          SELECT a.l_partkey AS u, b.l_partkey AS v
+          FROM __rcte_lp a JOIN __rcte_lp b
+            ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+        ),
+        reach(p, d) AS (
+          SELECT (SELECT MIN(l_partkey) FROM __rcte_lp), 0
+          UNION ALL
+          SELECT e.v, r.d + 1 FROM reach r JOIN edges e ON e.u = r.p
+          WHERE r.d < 2
+        )
+        SELECT d, CAST(COUNT(*) AS BIGINT) AS n_paths,
+               CAST(COUNT(DISTINCT p) AS BIGINT) AS n_nodes,
+               CAST(SUM(p) AS BIGINT) AS path_psum
+        FROM reach GROUP BY d
+        """
+    )
+
+
+@register(
+    "pipe_syntax_type_stats",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+             AS cents_total
+    FROM events
+    WHERE value > 1.0
+    GROUP BY event_type
+    """,
+    tags=("sql", "pipe", "agg", "events"),
+)
+def pipe_syntax_type_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same engine surface in SQL PIPE syntax (``|>``, Spark 4.x) -
+    scan |> filter |> derive |> aggregate as a linear pipeline, the
+    form the GoogleSQL pipe-syntax paper argues users actually think
+    in. Catalyst lowers it to the identical plan as the ANSI twin
+    (pushed filter, partial+final hash aggregate), so this pins BOTH
+    that the surface parses and that it costs nothing. Cents via the
+    engine-neutral floor(v*100+0.5) (cross-engine finding #6).
+    """
+    read_table(spark, sf_dir, "events").createOrReplaceTempView("__pipe_events")
+    return spark.sql(
+        """
+        FROM __pipe_events
+        |> WHERE value > 1.0
+        |> EXTEND CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+        |> AGGREGATE CAST(COUNT(*) AS BIGINT) AS n,
+                     CAST(SUM(cents) AS BIGINT) AS cents_total
+           GROUP BY event_type
+        """
+    )
+
+
+@register(
+    "collated_lang_counts",
+    oracle="""
+    SELECT lower(CASE WHEN doc_id % 2 = 0 THEN upper(lang) ELSE lang END)
+             AS lang_lc,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(DISTINCT CASE WHEN doc_id % 2 = 0 THEN upper(lang)
+                                    ELSE lang END) AS BIGINT) AS n_raw_forms
+    FROM documents
+    GROUP BY 1
+    """,
+    tags=("sql", "collation", "agg", "text"),
+)
+def collated_lang_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Case-insensitive grouping through Spark 4's COLLATION support:
+    half the lang codes are deterministically upper-cased (doc_id
+    parity), then grouped under ``COLLATE UTF8_LCASE`` - the engine's
+    hash aggregate itself merges 'EN' and 'en' (collation-aware
+    hashing/equality in the shuffle), with ``n_raw_forms`` proving the
+    groups really contained distinct binary strings. Output key is
+    lower()ed because a collated group's representative is
+    engine-chosen; the DuckDB oracle is the classic lower() rewrite -
+    what you write on engines WITHOUT collation support.
+    """
+    d = read_table(spark, sf_dir, "documents").select(
+        F.when(F.col("doc_id") % 2 == 0, F.upper("lang"))
+        .otherwise(F.col("lang"))
+        .alias("raw")
+    )
+    coll = d.select(
+        F.expr("raw COLLATE UTF8_LCASE").alias("k"), F.col("raw")
+    )
+    return coll.groupBy("k").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.countDistinct("raw").cast("long").alias("n_raw_forms"),
+    ).select(
+        F.lower(F.col("k")).cast("string").alias("lang_lc"),
+        "n_docs",
+        "n_raw_forms",
+    )
