@@ -1945,3 +1945,56 @@ def collated_lang_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_docs",
         "n_raw_forms",
     )
+
+
+@register(
+    "statestore_inspect_counts",
+    oracle="""
+    SELECT event_type, CAST(COUNT(*) AS BIGINT) AS state_count
+    FROM events GROUP BY event_type
+    """,
+    tags=("streaming", "statestore", "ops"),
+)
+def statestore_inspect_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming STATE introspection through Spark 4's ``statestore``
+    data source: run the counting aggregation as an availableNow
+    micro-batch stream, then read the checkpoint's state store back AS
+    A DATAFRAME and hash-match it against the batch GROUP BY - proving
+    the persisted streaming state IS the aggregate, key for key. This
+    is the debugging/ops surface a 100 TB streaming deployment leans
+    on (inspect skewed keys, audit state size, recover from a bad
+    deploy by reading state directly) - and state rows come back
+    partition-tagged, so the same read IS the state-skew report.
+
+    Plan: the streaming leg is the usual file-source + state-store
+    aggregate; the inspection leg is a parallel scan over the state
+    files (one task per store partition), never a replay of the input.
+    """
+    import os
+    import tempfile
+
+    from ..sources.registry import read_stream, table_path
+    from ..streaming import await_finished
+
+    work = tempfile.mkdtemp(prefix="statestore_inspect_")
+    src, ckpt = f"{work}/events_in", f"{work}/ckpt"
+    os.mkdir(src)
+    os.symlink(table_path(sf_dir, "events"), f"{src}/events.parquet")
+    agg = (
+        read_stream(spark, src)
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    q = (
+        agg.writeStream.format("noop")
+        .outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    await_finished(q)
+    st = spark.read.format("statestore").load(ckpt)
+    return st.select(
+        F.col("key.event_type").alias("event_type"),
+        F.col("value.count").cast("long").alias("state_count"),
+    )
