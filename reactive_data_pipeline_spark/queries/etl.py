@@ -1998,3 +1998,61 @@ def statestore_inspect_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("key.event_type").alias("event_type"),
         F.col("value.count").cast("long").alias("state_count"),
     )
+
+
+@register(
+    "xml_roundtrip_by_type",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+             AS cents_total,
+           CAST(COUNT(CASE WHEN event_id % 2 = 0 THEN 1 END) AS BIGINT)
+             AS n_with_user
+    FROM events GROUP BY event_type
+    """,
+    tags=("xml", "semistructured", "agg", "events"),
+)
+def xml_roundtrip_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native XML (Spark 4's built-in spark-xml) under the value hash,
+    completing the semi-structured trio next to the string-JSON
+    (``json_props_by_type``) and VARIANT (``variant_props_by_type``)
+    queries: each event is serialized to an XML fragment (type as an
+    ATTRIBUTE, cents as an element, user as an OPTIONAL element present
+    only for even event_ids), parsed back with ``from_xml`` - attribute
+    mapped via the ``_`` prefix, the missing element surfacing as NULL
+    - and aggregated. The oracle recomputes the aggregate from the raw
+    columns, so the hash proves the serialize->parse roundtrip is the
+    identity INCLUDING the null semantics of absent elements.
+
+    Plan: per-row JVM expressions end to end (concat + XML parse inside
+    whole-stage codegen), one map-combined aggregate - the shape an XML
+    feed ingest (the enterprise cousin of the reference's JSON props)
+    runs at any scale.
+    """
+    ev = read_table(spark, sf_dir, "events")
+    xml = ev.select(
+        F.concat(
+            F.lit('<ev type="'),
+            F.col("event_type"),
+            F.lit('"><c>'),
+            F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long"),
+            F.when(
+                F.col("event_id") % 2 == 0,
+                F.concat(F.lit("</c><u>"), F.col("user_id"), F.lit("</u>")),
+            ).otherwise(F.lit("</c>")),
+            F.lit("</ev>"),
+        ).alias("x")
+    )
+    parsed = xml.select(
+        F.from_xml("x", "_type STRING, c BIGINT, u BIGINT").alias("p")
+    ).select(
+        F.col("p._type").alias("event_type"),
+        F.col("p.c").alias("cents"),
+        F.col("p.u").alias("uid"),
+    )
+    return parsed.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("cents").cast("long").alias("cents_total"),
+        F.count("uid").cast("long").alias("n_with_user"),
+    )
