@@ -116,6 +116,19 @@ SHOWCASE = [
         "fold is a JVM higher-order function (no Python nodes), and "
         "localCheckpoint keeps round-4 lineage flat.",
     ),
+    (
+        "recursive_cte_bfs",
+        "WITH RECURSIVE (Spark 4): the engine plans the BFS loop "
+        "itself - each recursion step is a vertex-keyed hash join of "
+        "the frontier against the edge list, the same per-round plan "
+        "the hand-rolled pagerank/kcore loops build.",
+    ),
+    (
+        "xml_roundtrip_by_type",
+        "Native XML: serialize + from_xml parse are per-row JVM "
+        "expressions inside whole-stage codegen; one map-combined "
+        "aggregate - no Python nodes anywhere in the XML path.",
+    ),
 ]
 
 
