@@ -180,3 +180,26 @@ def test_doc_counts_match_registry():
             f"{fname} says {m.group(0)!r}, registry has {total}/{oracled} - "
             f"regenerate CATALOG.md and update the docs"
         )
+
+
+def test_plan_audit_covers_registry():
+    """PLAN_AUDIT.md must have one row per registered query (regenerate
+    with tools/plan_audit.py after adding queries) and must continue to
+    prove the two catalog-wide zeros in its totals row: no
+    CartesianProduct, no row-at-a-time Python."""
+    import re
+
+    text = (_ROOT / "PLAN_AUDIT.md").read_text()
+    names = set(re.findall(r"^\| `([a-z0-9_]+)` \|", text, re.M))
+    assert names == set(QUERIES), (
+        f"PLAN_AUDIT.md rows out of sync with registry "
+        f"(missing: {sorted(set(QUERIES) - names)[:5]}, "
+        f"stale: {sorted(names - set(QUERIES))[:5]}) - regenerate"
+    )
+    totals = re.search(r"^\| \*\*total\*\* \|(.*)\|$", text, re.M)
+    assert totals, "no totals row"
+    cols = [c.strip(" *") for c in totals.group(1).split("|")]
+    # Column order in tools/plan_audit.py PROPS: cartesian is 6th,
+    # rowpy is last.
+    assert cols[5] == "0", "CartesianProduct appeared in the catalog"
+    assert cols[-1] == "0", "row-at-a-time BatchEvalPython appeared"
