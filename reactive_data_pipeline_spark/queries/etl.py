@@ -2007,8 +2007,8 @@ def statestore_inspect_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(COUNT(*) AS BIGINT) AS n,
            CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
              AS cents_total,
-           CAST(COUNT(CASE WHEN event_id % 2 = 0 THEN 1 END) AS BIGINT)
-             AS n_with_user
+           CAST(COUNT(CASE WHEN event_id % 2 = 0 AND user_id IS NOT NULL
+                           THEN 1 END) AS BIGINT) AS n_with_user
     FROM events GROUP BY event_type
     """,
     tags=("xml", "semistructured", "agg", "events"),
@@ -2019,7 +2019,9 @@ def xml_roundtrip_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     (``json_props_by_type``) and VARIANT (``variant_props_by_type``)
     queries: each event is serialized to an XML fragment (type as an
     ATTRIBUTE, cents as an element, user as an OPTIONAL element present
-    only for even event_ids), parsed back with ``from_xml`` - attribute
+    only for even event_ids with a non-null user - and every nullable
+    column omits its node when NULL, the XML convention, rather than
+    nulling the fragment), parsed back with ``from_xml`` - attribute
     mapped via the ``_`` prefix, the missing element surfacing as NULL
     - and aggregated. The oracle recomputes the aggregate from the raw
     columns, so the hash proves the serialize->parse roundtrip is the
@@ -2031,16 +2033,32 @@ def xml_roundtrip_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     runs at any scale.
     """
     ev = read_table(spark, sf_dir, "events")
+    # NULL columns OMIT their attribute/element (the XML convention)
+    # rather than nulling the whole fragment - F.concat is
+    # null-propagating, so every nullable column sits inside its own
+    # null-guarded F.when that falls back to '' (element absent ->
+    # from_xml yields NULL -> SUM/COUNT skip it, exactly like the
+    # oracle's aggregates over the raw column).
     xml = ev.select(
         F.concat(
-            F.lit('<ev type="'),
-            F.col("event_type"),
-            F.lit('"><c>'),
-            F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long"),
+            F.lit("<ev"),
             F.when(
-                F.col("event_id") % 2 == 0,
-                F.concat(F.lit("</c><u>"), F.col("user_id"), F.lit("</u>")),
-            ).otherwise(F.lit("</c>")),
+                F.col("event_type").isNotNull(),
+                F.concat(F.lit(' type="'), F.col("event_type"), F.lit('"')),
+            ).otherwise(F.lit("")),
+            F.lit(">"),
+            F.when(
+                F.col("value").isNotNull(),
+                F.concat(
+                    F.lit("<c>"),
+                    F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long"),
+                    F.lit("</c>"),
+                ),
+            ).otherwise(F.lit("")),
+            F.when(
+                (F.col("event_id") % 2 == 0) & F.col("user_id").isNotNull(),
+                F.concat(F.lit("<u>"), F.col("user_id"), F.lit("</u>")),
+            ).otherwise(F.lit("")),
             F.lit("</ev>"),
         ).alias("x")
     )

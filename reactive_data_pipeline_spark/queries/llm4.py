@@ -251,11 +251,20 @@ def _bpe_ctes(rounds: int) -> list[str]:
     the per-round best pair is a 1-row MATERIALIZED CTE cross-joined
     into the merge, mirroring Spark's broadcast."""
     ctes = [
+        # Word eligibility mirrors _bpe_words exactly: empty words are
+        # excluded (a blank document normalizes to [''], whose symbol
+        # expansion DIVERGES across engines - Spark sequence(1,0) is
+        # the descending [1,0] while DuckDB generate_series(1,0) is
+        # empty and list_reduce errors on []), and so is any word
+        # containing the chr(31) state separator, which would corrupt
+        # the fold's boundary checks identically on both engines.
         r"""w0 AS MATERIALIZED (
       SELECT w, CAST(COUNT(*) AS BIGINT) AS cnt FROM (
         SELECT unnest(string_split(
           regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) AS w
-        FROM documents) GROUP BY w
+        FROM documents)
+      WHERE w <> '' AND NOT contains(w, chr(31))
+      GROUP BY w
     )""",
         """s0 AS MATERIALIZED (
       SELECT w, cnt, list_transform(generate_series(1, length(w)),
@@ -346,6 +355,17 @@ def bpe_train_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+def _bpe_word_eligible(w) -> F.Column:
+    """Word-eligibility contract, identical to the oracle's w0 filter:
+    no empty words (a blank document's '' word has DIVERGENT symbol
+    expansions - Spark sequence(1,0) = [1,0] descending vs DuckDB
+    generate_series(1,0) = [], where list_reduce errors), and no word
+    containing the chr(31) fold-state separator (it would corrupt the
+    merge's boundary checks identically on both engines)."""
+    c = F.col(w) if isinstance(w, str) else w
+    return (c != "") & (~c.contains("\x1f"))
+
+
 def _bpe_loop(spark: SparkSession, sf_dir: str, rounds: int):
     """The shared Spark training loop over the corpus vocabulary.
     Returns ``(final, stats)``: ``final`` is the (w, cnt, syms)
@@ -357,6 +377,7 @@ def _bpe_loop(spark: SparkSession, sf_dir: str, rounds: int):
     words = (
         _docs(spark, sf_dir)
         .select(F.explode(tokens("text")).alias("w"))
+        .filter(_bpe_word_eligible("w"))
         .groupBy("w")
         .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
     )
@@ -364,9 +385,10 @@ def _bpe_loop(spark: SparkSession, sf_dir: str, rounds: int):
 
 
 def _bpe_iterate(words: DataFrame, rounds: int):
-    """The merge loop proper, over any (w, cnt) frame (the property
-    test drives it with adversarial synthetic vocabularies). Everything
-    is lazy except the per-round localCheckpoint."""
+    """The merge loop proper, over any (w, cnt) frame of non-empty,
+    separator-free words (the property test drives it with adversarial
+    synthetic vocabularies). Everything is lazy except the per-round
+    localCheckpoint."""
     sep = F.lit("\x1f")
     cur = words.select(
         "w",
@@ -472,7 +494,9 @@ _ENCODE_SELECT = f"""sw AS (
       SELECT source, w, CAST(COUNT(*) AS BIGINT) AS c FROM (
         SELECT source, unnest(string_split(
           regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ')) AS w
-        FROM documents) GROUP BY source, w
+        FROM documents)
+      WHERE w <> '' AND NOT contains(w, chr(31))
+      GROUP BY source, w
     ),
     enc AS (SELECT w, CAST(len(syms) AS BIGINT) AS el FROM s{_BPE_ROUNDS})
     SELECT sw.source,
@@ -502,22 +526,26 @@ def bpe_encode_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     mixture designer actually reads (a source the tokenizer compresses
     badly is under-represented in the training corpus).
 
-    Plan: the training loop runs over the distinct vocabulary
-    (``_bpe_loop``); applying it is ONE word-keyed hash join of the
-    per-(source, word) counts against the encoded lengths - the corpus
-    text is never re-scanned per round, and at 100 TB the encoded
+    Plan: the corpus is scanned and exploded exactly ONCE, into the
+    checkpointed per-(source, word) counts; the training vocabulary is
+    the word-level re-aggregate of that same frame (never a second
+    corpus scan), and applying the merge table is ONE word-keyed
+    broadcast join of the encoded lengths - at 100 TB the encoded
     vocabulary is broadcast-size (Heaps' law) so the apply join needs
     no fact-side shuffle beyond the (source, word) aggregate.
     """
-    final, _rows = _bpe_loop(spark, sf_dir, _BPE_ROUNDS)
     from ..functions.text import tokens
 
     sw = (
         _docs(spark, sf_dir)
         .select("source", F.explode(tokens("text")).alias("w"))
+        .filter(_bpe_word_eligible("w"))
         .groupBy("source", "w")
         .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .localCheckpoint(eager=True)
     )
+    words = sw.groupBy("w").agg(F.sum("c").cast("long").alias("cnt"))
+    final, _rows = _bpe_iterate(words, _BPE_ROUNDS)
     enc = final.select("w", F.size("syms").cast("long").alias("el"))
     joined = sw.join(F.broadcast(enc), "w")
     return joined.groupBy("source").agg(

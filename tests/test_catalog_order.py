@@ -196,10 +196,17 @@ def test_plan_audit_covers_registry():
         f"(missing: {sorted(set(QUERIES) - names)[:5]}, "
         f"stale: {sorted(names - set(QUERIES))[:5]}) - regenerate"
     )
+    header = re.search(r"^\| query \|(.*)\|$", text, re.M)
     totals = re.search(r"^\| \*\*total\*\* \|(.*)\|$", text, re.M)
-    assert totals, "no totals row"
+    assert header and totals, "no header/totals row"
+    names_row = [c.strip() for c in header.group(1).split("|")]
     cols = [c.strip(" *") for c in totals.group(1).split("|")]
-    # Column order in tools/plan_audit.py PROPS: cartesian is 6th,
-    # rowpy is last.
-    assert cols[5] == "0", "CartesianProduct appeared in the catalog"
-    assert cols[-1] == "0", "row-at-a-time BatchEvalPython appeared"
+    # Locate the two must-be-zero columns by NAME so reordering or
+    # inserting PROPS columns in tools/plan_audit.py cannot silently
+    # point the guard at the wrong counter.
+    assert cols[names_row.index("cartesian")] == "0", (
+        "CartesianProduct appeared in the catalog"
+    )
+    assert cols[names_row.index("rowpy")] == "0", (
+        "row-at-a-time BatchEvalPython appeared"
+    )

@@ -54,21 +54,36 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     rows = []
     for name, q in QUERIES.items():
-        plan = q.build(spark, SF_DIR)._jdf.queryExecution().executedPlan().toString()
+        df = q.build(spark, SF_DIR)
+        # EXECUTE before reading the plan: executedPlan() on an
+        # un-executed frame is the INITIAL adaptive plan
+        # (isFinalPlan=false) - AQE's join demotions/shuffle coalescing
+        # only exist after a run. Drain with bench.py's cost model:
+        # top-k frames collect, everything else goes through noop.
+        opt = df._jdf.queryExecution().optimizedPlan().toString()
+        if opt.startswith("GlobalLimit") or "TakeOrdered" in opt:
+            df.collect()
+        else:
+            df.write.format("noop").mode("overwrite").save()
+        plan = df._jdf.queryExecution().executedPlan().toString()
         rows.append((name, [len(re.findall(pat, plan)) for _, pat in PROPS]))
     rows.sort(key=lambda r: (-r[1][0], r[0]))
 
     print("# PLAN AUDIT — physical-plan properties of every catalog query")
     print()
     print(f"Auto-generated over {len(rows)} queries at sf0.001 "
-          "(`python tools/plan_audit.py > PLAN_AUDIT.md`). Counts come from")
-    print("the EXECUTED plan, so AQE and codegen have already run. "
-          "`rowpy` (row-at-a-time")
-    print("BatchEvalPython) must be zero everywhere; `cartesian` likewise "
-          "(both are also")
-    print("pinned by catalog-wide guard tests). Sorted by shuffle count - "
-          "the top of this")
-    print("table is where 100 TB wall-clock goes.")
+          "(`python tools/plan_audit.py > PLAN_AUDIT.md`). Every query is")
+    print("EXECUTED before its plan is read, so the counts are the FINAL "
+          "adaptive plan")
+    print("(post-AQE join demotions and shuffle coalescing at this SF; at "
+          "larger SFs AQE")
+    print("may choose differently - the per-shape guarantees live in "
+          "tests/test_plans.py).")
+    print("`rowpy` (row-at-a-time BatchEvalPython) must be zero everywhere; "
+          "`cartesian`")
+    print("likewise (both also pinned by catalog-wide guard tests). Sorted "
+          "by shuffle")
+    print("count - the top of this table is where 100 TB wall-clock goes.")
     print()
     totals = [sum(r[1][i] for r in rows) for i in range(len(PROPS))]
     print("| query | " + " | ".join(h for h, _ in PROPS) + " |")
