@@ -795,7 +795,7 @@ def token_cooccurrence_top(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "epoch_shuffle_order",
-    oracle="""
+    oracle=r"""
     WITH chunks AS (
       SELECT doc_id,
              CAST(floor(

@@ -1150,14 +1150,21 @@ def weighted_median_price_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame
     computes grouped-agg pandas UDFs per group post-shuffle; groups are
     the 3 return flags, each group's rows stream through Arrow once."""
     import pandas as pd
-    from pyspark.sql.functions import PandasUDFType, pandas_udf
+    from pyspark.sql.functions import pandas_udf
 
-    @pandas_udf("double", PandasUDFType.GROUPED_AGG)
-    def wmedian(price, qty):
+    # Type-inferred form (Series... -> float annotation = GROUPED_AGG);
+    # the explicit PandasUDFType enum is deprecated in Spark 4. The
+    # annotations are attached as real objects because this module's
+    # ``from __future__ import annotations`` would stringify inline
+    # hints, which pandas_udf's signature inference rejects.
+    def _wmedian(price, qty):
         df = pd.DataFrame({"p": price, "q": qty.astype("int64")}).sort_values("p")
         cum = df["q"].cumsum()
         tot = int(df["q"].sum())
         return float(df.loc[2 * cum >= tot, "p"].iloc[0])
+
+    _wmedian.__annotations__ = {"price": pd.Series, "qty": pd.Series, "return": float}
+    wmedian = pandas_udf(_wmedian, "double")
 
     li = read_table(spark, sf_dir, "lineitem")
     return li.groupBy("l_returnflag").agg(

@@ -186,7 +186,16 @@ def register_ticker_feed(spark) -> None:
     driver harness supplies a vanilla session, so every query entry
     registers defensively - re-registration overwrites). Python-source
     filter pushdown ships behind a conf (off by default in 4.1);
-    a reader that implements ``pushFilters`` REQUIRES it."""
+    a reader that implements ``pushFilters`` REQUIRES it.
+
+    USAGE RULE - one ``.load()`` per query: ``pushFilters`` mutations
+    attach to the reader instance behind the loaded relation, and
+    Spark 4.1 does not re-invoke ``pushFilters`` for plans WITHOUT
+    pushable filters - so a second query over the same loaded
+    DataFrame silently inherits the previous query's narrowed scan
+    (pinned empirically in tests/test_pyds_source.py). Call
+    ``spark.read.format("tickerfeed")...load()`` freshly for each
+    logical query."""
     spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
     spark.dataSource.register(TickerFeedDataSource)
 
@@ -213,9 +222,12 @@ class TickerStoreWriter(DataSourceWriter):
     every task succeeded - renames the staged files to their final
     names and drops a ``_SUCCESS`` marker; ``abort`` deletes the
     staging files, so a failed job publishes NOTHING (no torn output,
-    pinned by test). Task retries overwrite their own staging file
-    (name is partition-deterministic), so at-least-once task execution
-    still publishes exactly one file per partition.
+    pinned by test). Each attempt stages under a UNIQUE (uuid) name -
+    two concurrent attempts of the same task (speculation, or a zombie
+    that outlives its retry) therefore cannot interleave writes into
+    one file; commit renames exactly one winning message per partition
+    and sweeps whatever the losers staged, so at-least-once task
+    execution still publishes exactly one file per partition.
     """
 
     def __init__(self, options: dict) -> None:
@@ -224,12 +236,15 @@ class TickerStoreWriter(DataSourceWriter):
     def write(self, iterator) -> _TickerCommit:
         import csv
         import os
+        import uuid
 
         from pyspark import TaskContext
 
         pid = TaskContext.get().partitionId()
         os.makedirs(self.path, exist_ok=True)
-        tmp = os.path.join(self.path, f"_tmp-part-{pid:05d}.csv")
+        tmp = os.path.join(
+            self.path, f"_tmp-{uuid.uuid4().hex}-part-{pid:05d}.csv"
+        )
         n = 0
         with open(tmp, "w", newline="") as fh:
             w = csv.writer(fh)
@@ -239,13 +254,23 @@ class TickerStoreWriter(DataSourceWriter):
         return _TickerCommit(tmp, n)
 
     def commit(self, messages) -> None:
+        import glob
         import os
+        import re
 
         for m in messages:
             if m is None:
                 continue
-            final = m.tmp_path.replace("_tmp-part-", "part-")
-            os.replace(m.tmp_path, final)
+            pid = re.search(r"part-(\d+)\.csv$", m.tmp_path).group(1)
+            os.replace(m.tmp_path, os.path.join(self.path, f"part-{pid}.csv"))
+        # Losing speculative/zombie attempts staged under other uuids;
+        # their files are garbage now (readers never see _-prefixed
+        # files, but unbounded staging litter is still a leak).
+        for stale in glob.glob(os.path.join(self.path, "_tmp-*.csv")):
+            try:
+                os.remove(stale)
+            except OSError:
+                pass  # a zombie may still hold it; next commit sweeps
         with open(os.path.join(self.path, "_SUCCESS"), "w") as fh:
             fh.write("")
 
@@ -314,6 +339,7 @@ class TickerStoreStreamWriter(DataSourceStreamWriter):
         return _TickerCommit(tmp, n)
 
     def commit(self, messages, batchId: int) -> None:
+        import glob
         import os
         import re
 
@@ -325,6 +351,15 @@ class TickerStoreStreamWriter(DataSourceStreamWriter):
                 self.path, f"batch-{batchId:05d}-part-{pid}.csv"
             )
             os.replace(m.tmp_path, final)  # replay overwrites, not dups
+        # Sweep losers: a retried/speculative attempt that lost the
+        # commit race left its uuid-staged file behind, and abort only
+        # runs on batch FAILURE - without this, a long-running stream
+        # leaks one staging file per losing attempt forever.
+        for stale in glob.glob(os.path.join(self.path, "_tmp-*.csv")):
+            try:
+                os.remove(stale)
+            except OSError:
+                pass  # a zombie may still hold it; next batch sweeps
 
     def abort(self, messages, batchId: int) -> None:
         import os

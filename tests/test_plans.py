@@ -389,3 +389,31 @@ def test_training_pipeline_v2_shuffle_budget(spark):
     assert plan.count("Exchange hashpartitioning") <= 10
     # the pack window is keyed (the round-3 scale defect, permanently)
     assert "__bucket" in plan
+
+
+def test_cogroup_asof_stays_demo_only():
+    """`asof_join_cogroup` exists to put the cogrouped-pandas API
+    surface under the same oracle as the JVM as-of join; at sf0.1 it is
+    ~20x slower (one Arrow round-trip per key). This pin keeps it out
+    of composed pipelines: the ONLY production call site may be its own
+    demonstration query (`asof_cogroup_pandas`); everything else must
+    use operators.joins.asof_join."""
+    import re
+    from pathlib import Path
+
+    pkg = Path(__file__).resolve().parent.parent / "reactive_data_pipeline_spark"
+    calls = []
+    for py in pkg.rglob("*.py"):
+        for i, line in enumerate(py.read_text().splitlines(), 1):
+            if re.search(r"asof_join_cogroup\s*\(", line) and "def asof_join_cogroup" not in line:
+                calls.append((py.relative_to(pkg).as_posix(), i))
+    assert len(calls) == 1 and calls[0][0] == "queries/llm2.py", (
+        f"asof_join_cogroup called outside its demo query: {calls}"
+    )
+    # and that one site is inside the demo query's function body
+    import inspect
+
+    from reactive_data_pipeline_spark.queries import llm2
+
+    src = inspect.getsource(llm2.asof_cogroup_pandas)
+    assert "asof_join_cogroup(" in src
