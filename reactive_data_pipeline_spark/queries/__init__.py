@@ -82,74 +82,84 @@ from . import llm4  # noqa: E402,F401
 #: The external gate checks a prefix of the catalog in registration
 #: order (exactly the first 50). Rounds 1-3 drove cumulative coverage
 #: to 115/168 (union of CORRECTNESS_r01..r03 keys; frozen in
-#: tests/test_catalog_order.py). Round 4 rotates to the THIRD cohort:
-#: 5 canaries - the three packing queries whose bin rule changed this
-#: round (bucket-partitioned pack_bins; the old driver rows hash the
-#: retired global rule, so re-proof is mandatory), the reactive
-#: streaming path whose merge sink was hardened this round, and the q1
-#: relational anchor - plus ALL 45 oracle-paired queries that had no
-#: driver row in any prior round. Cumulative after this round:
-#: 160/168; the 8 remaining are rows-only by construction (LSH bucket
-#: contents / raw binary payloads - engine-hash-specific outputs whose
-#: QUALITY is hash-proven via the recall/digest contract twins already
-#: checked). Everything not listed keeps its original relative order
-#: after the head; local tools/parity.py checks all entries regardless.
+#: tests/test_catalog_order.py); round 4's rotated cohort (50/50 green)
+#: brought the cumulative to 160/228. Round 5 rotates to the FOURTH
+#: cohort: 4 canaries - the flagship pipeline, the q1 relational
+#: anchor, the reactive streaming path, and weighted_median (whose
+#: pandas-UDF registration form changed this round, so its r4 row
+#: hashes retired code) - plus 46 oracle-paired queries that had no
+#: driver row in any prior round (the round-4 continuation additions:
+#: pipeline v2, SCD2/upsert machinery, SemDeDup/k-core/BPE train+encode,
+#: containment dedup, retrieve-rerank, the Spark-4 SQL surfaces,
+#: statestore introspection, and the Python DataSource pair).
+#: Cumulative after this round: 206/228; the 22 remaining are 14
+#: low-risk single-shape analytics (deferred to round 6, all
+#: oracle-paired and parity-green) + 8 rows-only by construction (LSH
+#: bucket contents / raw binary payloads whose QUALITY is hash-proven
+#: via the recall/digest contract twins already checked). Everything
+#: not listed keeps its original relative order after the head; local
+#: tools/parity.py checks all entries regardless.
 CHECK_PRIORITY: tuple[str, ...] = (
-    # --- canaries: packing-rule re-proofs + touched streaming + anchor ---
+    # --- canaries: flagship, relational anchor, streaming path, and the
+    # --- one query whose implementation changed this round ---
     "training_data_pipeline",
-    "training_shards_manifest",
-    "pack_chunk_bins",
-    "reactive_ticker_meta_stream",
     "q1_pricing_summary",
-    # --- relational variants (never driver-checked) ---
-    "salted_join_segment_revenue",
-    "props_map_funcs",
-    "window_first_last_nth",
-    "null_semantics_battery",
-    "pct_of_total_by_segment",
-    "sample_n_per_group",
-    "histogram_order_prices",
-    "approx_percentile_quantity",
+    "reactive_ticker_meta_stream",
     "weighted_median_price_by_flag",
-    "case_agg_priority_lines",
-    "promo_revenue_ratio",
-    "disjunctive_brand_revenue",
-    "window_range_30d_totals",
-    "window_percent_rank_orders",
-    "set_events_intersect_all",
-    "set_events_except_all",
-    "minmax_scale_events",
-    "window_ntile_price_quartiles",
-    "bool_aggs_events",
-    "collect_expensive_orderkeys",
-    "profile_orders_columns",
-    "value_frequency_profile",
-    # --- text / quality / curation family ---
-    "token_df_top",
-    "word_repetition_docs",
-    "text_quality",
-    "ngram3_jaccard_pairs",
-    "boilerplate_strip_stats",
-    "sft_pair_stats",
-    "gopher_quality_flags",
-    "doc_length_histogram",
-    "oov_rate_topk",
-    "unigram_logprob_docs",
-    "length_trim_stats",
-    "domain_mix_sample",
-    # --- packing / streaming-dedup / export ---
-    "packing_efficiency",
-    "streaming_dedup_update",
-    "corpus_ingest_manifest",
-    # --- similarity / multimodal / graph ---
-    "knn_pandas_cosine",
-    "simhash_recall_contract",
-    "mm_payload_meta",
-    "mm_resize_digest",
-    "mm_frame_digest",
-    "mm_features",
-    "copurchase_part_pairs",
-    "pagerank_copurchase",
+    # --- composed pipeline v2 + decontamination/mixing machinery ---
+    "training_data_pipeline_v2",
+    "bloom_decontam_contract",
+    "quality_topfrac_by_source",
+    "bigram_logprob_docs",
+    "lang_mix_by_source",
+    # --- dedup / similarity / clustering (round-4 additions) ---
+    "semdedup_cluster_pairs",
+    "hard_negative_mining",
+    "prefix_containment_pairs",
+    "retrieve_rerank_cell",
+    "kmeans_embedding_clusters",
+    "split_leakage_audit",
+    "neardup_split_leakage",
+    "group_kfold_sources",
+    "epoch_shuffle_order",
+    # --- BPE tokenizer lifecycle ---
+    "bpe_pair_merges",
+    "bpe_train_rounds",
+    "bpe_encode_by_source",
+    # --- pandas/Arrow UDF surfaces ---
+    "asof_cogroup_pandas",
+    "user_gap_stats_pandas",
+    "udtf_trigram_top",
+    # --- streaming / CDC / upsert machinery ---
+    "corpus_ingest_incremental",
+    "streaming_neardup_contract",
+    "scd2_user_tier_dim",
+    "scd2_stream_dim",
+    "upsert_orders_snapshot",
+    "stream_join_attribution_outer",
+    "statestore_inspect_counts",
+    "hopping_window_event_counts",
+    # --- Python DataSource connector (batch + roundtrip) ---
+    "pyds_ticker_feed",
+    "pyds_ticker_roundtrip",
+    # --- Spark-4 SQL surfaces ---
+    "sql_api_nation_revenue",
+    "recursive_cte_bfs",
+    "pipe_syntax_type_stats",
+    "collated_lang_counts",
+    "variant_props_by_type",
+    "xml_roundtrip_by_type",
+    # --- time-series / sequence / graph analytics ---
+    "interval_attribution_counts",
+    "ohlc_hourly_user_value",
+    "ewma_user_purchase_value",
+    "retention_weekly_cohorts",
+    "event_type_transitions",
+    "event_pattern_counts",
+    "cusum_daily_changepoint",
+    "linreg_value_on_hour",
+    "triangle_count_copurchase",
+    "kcore_peel_rounds",
 )
 
 _missing = [n for n in CHECK_PRIORITY if n not in QUERIES]

@@ -96,7 +96,38 @@ ROUND3_CHECKED = frozenset(
     }
 )
 
-PRIOR_ROUNDS_CHECKED = ROUND1_CHECKED | ROUND2_CHECKED | ROUND3_CHECKED
+#: Keys of CORRECTNESS_r04.json - the 50 queries the driver
+#: verified in round 4.
+ROUND4_CHECKED = frozenset(
+    {
+        "approx_percentile_quantity", "boilerplate_strip_stats",
+        "bool_aggs_events", "case_agg_priority_lines",
+        "collect_expensive_orderkeys", "copurchase_part_pairs",
+        "corpus_ingest_manifest", "disjunctive_brand_revenue",
+        "doc_length_histogram", "domain_mix_sample", "gopher_quality_flags",
+        "histogram_order_prices", "knn_pandas_cosine", "length_trim_stats",
+        "minmax_scale_events", "mm_features", "mm_frame_digest",
+        "mm_payload_meta", "mm_resize_digest", "ngram3_jaccard_pairs",
+        "null_semantics_battery", "oov_rate_topk", "pack_chunk_bins",
+        "packing_efficiency", "pagerank_copurchase",
+        "pct_of_total_by_segment", "profile_orders_columns",
+        "promo_revenue_ratio", "props_map_funcs", "q1_pricing_summary",
+        "reactive_ticker_meta_stream", "salted_join_segment_revenue",
+        "sample_n_per_group", "set_events_except_all",
+        "set_events_intersect_all", "sft_pair_stats",
+        "simhash_recall_contract", "streaming_dedup_update", "text_quality",
+        "token_df_top", "training_data_pipeline",
+        "training_shards_manifest", "unigram_logprob_docs",
+        "value_frequency_profile", "weighted_median_price_by_flag",
+        "window_first_last_nth", "window_ntile_price_quartiles",
+        "window_percent_rank_orders", "window_range_30d_totals",
+        "word_repetition_docs",
+    }
+)
+
+PRIOR_ROUNDS_CHECKED = (
+    ROUND1_CHECKED | ROUND2_CHECKED | ROUND3_CHECKED | ROUND4_CHECKED
+)
 
 _ROOT = Path(__file__).resolve().parent.parent
 
@@ -105,7 +136,12 @@ def test_frozen_history_matches_correctness_artifacts():
     """The frozen per-round sets must equal the committed driver
     artifacts - if a round's CORRECTNESS file exists but is not frozen
     here, every rotation count downstream is wrong."""
-    frozen = {1: ROUND1_CHECKED, 2: ROUND2_CHECKED, 3: ROUND3_CHECKED}
+    frozen = {
+        1: ROUND1_CHECKED,
+        2: ROUND2_CHECKED,
+        3: ROUND3_CHECKED,
+        4: ROUND4_CHECKED,
+    }
     for r, names in frozen.items():
         path = _ROOT / f"CORRECTNESS_r0{r}.json"
         assert set(json.load(path.open())) == set(names), f"round {r} drifted"
@@ -151,6 +187,13 @@ def test_cumulative_checked_set_spans_every_family():
         "cohort", "tfidf", "pii", "grouping_sets", "contract",
         # families first driver-checked in round 4
         "export", "sampling", "simhash", "graph", "profiling",
+        # families first driver-checked in round 5 (the rotated cohort
+        # that promoted the round-4 continuation additions)
+        "bloom", "clustering", "semdedup", "containment", "rerank",
+        "tokenizer", "cogroup", "udtf", "scd", "upsert", "statestore",
+        "pyds", "connector", "recursive", "pipe", "collation", "variant",
+        "xml", "changepoint", "sequence", "regression", "retention",
+        "interval", "hopping",
     }
     covered = {t for n in cumulative if n in QUERIES for t in QUERIES[n].tags}
     missing = required_tags - covered
