@@ -10,6 +10,22 @@ Each query runs ``$SPARK_GRAFT_REPS`` times (default 3) and reports the
 MEDIAN: single-shot timings on a shared machine showed 2x phantom
 swings round-to-round on sub-second queries (scheduling floor + cache
 state + co-tenant contention), so one sample is noise, not signal.
+
+Contention defenses (round-5: the r4 driver snapshot mis-read the two
+flagship pipelines +43-53% purely from co-tenant load):
+
+* PRE-FLIGHT LOAD PROBE - a fixed 200M-row JVM reduction is timed
+  before the run; if two consecutive probe samples disagree by >15%
+  the host is busy and the probe retries (up to 5x, short sleep
+  between). The final probe seconds are emitted in the JSON
+  (``probe_sec``) so any two bench artifacts can be normalized against
+  each other's host state.
+* ADAPTIVE REPS - if the base reps' spread (max/min) exceeds 1.25, the
+  query re-runs with 4 extra reps and the reported number is
+  min(median of base reps, median of all reps): contention only ever
+  ADDS time, so when samples disagree the lower median is the better
+  estimate of the machine-idle cost. Escalated queries are listed in
+  ``escalated`` in the JSON.
 """
 
 from __future__ import annotations
@@ -37,9 +53,42 @@ def run_one(spark, q, sf_dir: str) -> float:
     return time.time() - t0
 
 
-def run_median(spark, q, sf_dir: str, reps: int) -> float:
-    samples = sorted(run_one(spark, q, sf_dir) for _ in range(reps))
-    return samples[len(samples) // 2]
+def _median(xs: list[float]) -> float:
+    xs = sorted(xs)
+    return xs[len(xs) // 2]
+
+
+def run_median(spark, q, sf_dir: str, reps: int) -> tuple[float, bool]:
+    """Median of ``reps`` samples; on a >25% max/min spread (co-tenant
+    contention signature) escalate with 4 more reps and report
+    min(median of base, median of all) - the less-contended estimate.
+    Returns (seconds, escalated)."""
+    samples = [run_one(spark, q, sf_dir) for _ in range(reps)]
+    base = _median(samples)
+    if reps < 2 or max(samples) / max(min(samples), 1e-9) <= 1.25:
+        return base, False
+    samples += [run_one(spark, q, sf_dir) for _ in range(4)]
+    return min(base, _median(samples)), True
+
+
+def load_probe(spark, attempts: int = 5) -> float:
+    """Time a fixed parallel JVM reduction until two consecutive
+    samples agree within 15% (i.e. the host is quiescent enough that
+    timings mean something); returns the last sample. Emitted as
+    ``probe_sec`` so artifacts taken under different host states can be
+    normalized instead of misread as plan regressions."""
+    import time as _time
+
+    prev = None
+    for _ in range(attempts):
+        t0 = time.time()
+        spark.range(200_000_000).selectExpr("sum(id % 7) AS s").collect()
+        dt = time.time() - t0
+        if prev is not None and abs(dt - prev) / max(prev, dt) <= 0.15:
+            return dt
+        prev = dt
+        _time.sleep(1.0)
+    return prev
 
 
 def main() -> None:
@@ -85,13 +134,24 @@ def main() -> None:
         "overwrite"
     ).save()
 
+    probe_sec = round(load_probe(spark), 3)
+    print(f"# load probe: {probe_sec:.3f}s", file=sys.stderr)
+
     reps = max(1, int(os.environ.get("SPARK_GRAFT_REPS", "3")))
     timings: dict[str, float] = {}
+    escalated: list[str] = []
     for name, q in QUERIES.items():
         if not q.bench:
             continue
-        timings[name] = round(run_median(spark, q, sf_dir, reps), 3)
-        print(f"# {name}: {timings[name]:.3f}s (median of {reps})", file=sys.stderr)
+        sec, esc = run_median(spark, q, sf_dir, reps)
+        timings[name] = round(sec, 3)
+        if esc:
+            escalated.append(name)
+        print(
+            f"# {name}: {timings[name]:.3f}s"
+            + (" (escalated: contended)" if esc else f" (median of {reps})"),
+            file=sys.stderr,
+        )
 
     total = round(sum(timings.values()), 3)
     print(
@@ -102,6 +162,8 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                "probe_sec": probe_sec,
+                "escalated": escalated,
             }
         )
     )

@@ -987,6 +987,7 @@ def _v2_oracle() -> str:
     "training_data_pipeline_v2",
     oracle=_v2_oracle(),
     tags=("text", "pipeline", "dedup", "chunking", "curation", "contamination"),
+    bench=True,  # round-5 headline: the most complete single plan in the repo
 )
 def training_data_pipeline_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The round-4 flagship: the full curation surface as ONE plan -

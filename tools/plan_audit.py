@@ -55,17 +55,24 @@ def main() -> None:
     rows = []
     for name, q in QUERIES.items():
         df = q.build(spark, SF_DIR)
-        # EXECUTE before reading the plan: executedPlan() on an
-        # un-executed frame is the INITIAL adaptive plan
-        # (isFinalPlan=false) - AQE's join demotions/shuffle coalescing
-        # only exist after a run. Drain with bench.py's cost model:
-        # top-k frames collect, everything else goes through noop.
-        opt = df._jdf.queryExecution().optimizedPlan().toString()
-        if opt.startswith("GlobalLimit") or "TakeOrdered" in opt:
-            df.collect()
-        else:
-            df.write.format("noop").mode("overwrite").save()
+        # EXECUTE before reading the plan, and execute via collect():
+        # executedPlan() on an un-executed frame is the INITIAL
+        # adaptive plan (isFinalPlan=false), and a noop WRITE executes
+        # a *different* QueryExecution (the write command wraps the
+        # logical plan in a fresh one), leaving this frame's own plan
+        # un-finalized - verified empirically in round 5: after a noop
+        # drain isFinalPlan stays false; after collect() it is true.
+        # collect() runs the dataset's own QueryExecution, so the
+        # re-read below sees AQE's real output (join demotions, shuffle
+        # coalescing, skew splits). Result sizes at sf0.001 are tiny.
+        df.collect()
         plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in plan or "AdaptiveSparkPlan" not in plan, name
+        # The finalized AdaptiveSparkPlan prints BOTH sections
+        # ("== Final Plan ==" then "== Initial Plan =="); counting the
+        # whole string would double every node. Keep the final section
+        # only.
+        plan = plan.split("== Initial Plan ==")[0]
         rows.append((name, [len(re.findall(pat, plan)) for _, pat in PROPS]))
     rows.sort(key=lambda r: (-r[1][0], r[0]))
 
@@ -79,6 +86,13 @@ def main() -> None:
           "larger SFs AQE")
     print("may choose differently - the per-shape guarantees live in "
           "tests/test_plans.py).")
+    print("Counts are EXECUTED operators: a subtree the final plan reuses "
+          "(ReusedExchange)")
+    print("prints - and counts - once, so these are lower than the initial-"
+          "plan counts")
+    print("rounds 1-4 reported (which also, it turned out, were what the "
+          "noop-drained")
+    print("audit was actually reading - see ROUND5_NOTES.md).")
     print("`rowpy` (row-at-a-time BatchEvalPython) must be zero everywhere; "
           "`cartesian`")
     print("likewise (both also pinned by catalog-wide guard tests). Sorted "

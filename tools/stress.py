@@ -1,0 +1,331 @@
+"""Scale-stress harness: deliberate skew + memory pressure, measured.
+
+Answers two questions the correctness gate can't: (1) what do the
+skew-sensitive plans (shuffle join / aggregation) do when one key owns
+40% of a 12M-row fact table - does AQE split it, does salting beat it,
+does the unprotected plan straggle; (2) do the shuffle-heaviest catalog
+queries COMPLETE (by spilling, not OOMing) when the executor heap is
+capped far below the working set.
+
+Each scenario runs in its OWN subprocess because driver/executor heap
+is fixed at JVM launch. The parent assembles STRESS.md-ready markdown.
+
+    python tools/stress.py               # all scenarios -> markdown on stdout
+    python tools/stress.py --scenario skew_join   # one scenario -> one JSON line
+
+The fixture is deterministic (xxhash64 of a range id - no RNG, no
+wall-clock), sized at 12M facts x 50k dim keys with key 0 owning ~40%
+of facts: the Zipf-head shape that breaks unprotected shuffle plans at
+cluster scale.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+FIXTURE_DIR = os.environ.get("SPARK_GRAFT_STRESS_DIR", "/tmp/spark_graft_stress")
+N_FACTS = 12_000_000
+N_KEYS = 50_000
+HOT_SHARE = 40  # percent of facts on key 0
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+#: The five heaviest shuffle plans in the catalog (by PLAN_AUDIT.md
+#: exchange counts + bench cost) - the memory-pressure cohort.
+TOP5_SHUFFLE = (
+    "training_data_pipeline_v2",
+    "training_data_pipeline",
+    "training_shards_manifest",
+    "q9_product_profit",
+    "q18_large_volume_customers",
+)
+
+
+def _session(app: str, extra: dict[str, str] | None = None, cpus: int = 8):
+    from pyspark.sql import SparkSession
+
+    b = (
+        SparkSession.builder.appName(app)
+        .master(f"local[{cpus}]")
+        .config("spark.sql.shuffle.partitions", str(cpus * 4))
+        .config("spark.ui.showConsoleProgress", "false")
+    )
+    for k, v in (extra or {}).items():
+        b = b.config(k, v)
+    spark = b.getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    return spark
+
+
+def build_fixture() -> dict:
+    """12M-row facts with a 40%-hot key + 50k-key dim, written once.
+    Deterministic: every column derives from the range id via xxhash64."""
+    from pyspark.sql import functions as F
+
+    spark = _session("stress-fixture", cpus=16)
+    t0 = time.time()
+    facts = (
+        spark.range(N_FACTS)
+        .select(
+            F.col("id"),
+            F.when(F.pmod(F.xxhash64("id"), F.lit(100)) < HOT_SHARE, F.lit(0))
+            .otherwise(F.pmod(F.xxhash64("id", F.lit(1)), F.lit(N_KEYS)))
+            .alias("key"),
+            F.pmod(F.xxhash64("id", F.lit(2)), F.lit(1_000_000)).alias("v"),
+        )
+    )
+    facts.write.mode("overwrite").parquet(f"{FIXTURE_DIR}/facts.parquet")
+    dim = spark.range(N_KEYS).select(
+        F.col("id").alias("key"),
+        F.concat(F.lit("attr-"), F.pmod(F.xxhash64("id", F.lit(3)), F.lit(97))).alias("attr"),
+        F.pmod(F.xxhash64("id", F.lit(4)), F.lit(1000)).alias("weight"),
+    )
+    dim.write.mode("overwrite").parquet(f"{FIXTURE_DIR}/dim.parquet")
+    hot = (
+        spark.read.parquet(f"{FIXTURE_DIR}/facts.parquet")
+        .filter(F.col("key") == 0)
+        .count()
+    )
+    out = {
+        "facts": N_FACTS,
+        "dim": N_KEYS,
+        "hot_key_rows": hot,
+        "hot_share_pct": round(100.0 * hot / N_FACTS, 2),
+        "build_sec": round(time.time() - t0, 1),
+    }
+    spark.stop()
+    return out
+
+
+def skew_join() -> dict:
+    """Fact-dim join on the hot key, three ways. The dim (50k rows) is
+    deliberately too 'big' to auto-broadcast (threshold lowered) so the
+    shuffle-join skew machinery is actually exercised - at 100 TB the
+    dim that doesn't fit in memory is exactly this shape."""
+    from pyspark.sql import functions as F
+
+    from reactive_data_pipeline_spark.operators.skew import salted_join
+
+    spark = _session(
+        "stress-skew-join",
+        {
+            "spark.sql.autoBroadcastJoinThreshold": "-1",
+            # let AQE see the skew: default thresholds need >256MB
+            # partitions; scale them to this fixture so the SPLIT
+            # mechanism (not the threshold constant) is what's tested
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "8m",
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes": "4m",
+        },
+    )
+    facts = spark.read.parquet(f"{FIXTURE_DIR}/facts.parquet")
+    dim = spark.read.parquet(f"{FIXTURE_DIR}/dim.parquet")
+
+    def agg(join_df):
+        return join_df.groupBy("attr").agg(F.sum("v").alias("s"))
+
+    def run(df) -> tuple[float, dict]:
+        # collect() (97 result rows) rather than count(): it executes
+        # THIS frame's QueryExecution, so the final adaptive plan is
+        # readable afterwards - count()/noop-write execute a different
+        # one and the plan read would be the pre-AQE initial plan (the
+        # round-4 plan-audit trap, re-verified this round).
+        t0 = time.time()
+        rows = df.collect()
+        return round(time.time() - t0, 2), {r.attr: r.s for r in rows}
+
+    agg(facts.join(dim, "key")).collect()  # warm: JIT + page cache, untimed
+
+    res: dict = {}
+
+    # A1: AQE skew-join split (the runtime re-plan path)
+    joined = agg(facts.join(dim, "key"))
+    res["aqe_split_sec"], v1 = run(joined)
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    assert "isFinalPlan=true" in plan
+    res["aqe_detected_skew"] = "skew=true" in plan
+
+    # A2: skew machinery off - the unprotected straggler plan
+    spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "false")
+    res["unprotected_sec"], v2 = run(agg(facts.join(dim, "key")))
+
+    # A3: explicit salting (plan-stable form; AQE split still off)
+    salted = salted_join(facts, dim, "key", "key", salt_on="id", n_salts=32)
+    res["salted_sec"], v3 = run(agg(salted))
+    spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+
+    res["results_identical"] = v1 == v2 == v3
+    res["result_groups"] = len(v1)
+    spark.stop()
+    return res
+
+
+def skew_agg() -> dict:
+    """Aggregation over the hot key: the plain groupBy survives skew
+    because partial aggregation (map-side combine) collapses the hot
+    key to one row per map task BEFORE the shuffle - measured here so
+    the claim is numbers, not prose. salted_agg is the form for the
+    non-algebraic cases where partials can't collapse."""
+    from pyspark.sql import functions as F
+
+    from reactive_data_pipeline_spark.operators.skew import salted_agg
+
+    spark = _session("stress-skew-agg")
+    facts = spark.read.parquet(f"{FIXTURE_DIR}/facts.parquet")
+
+    def plain_frame():
+        return facts.groupBy("key").agg(
+            F.sum("v").alias("s"), F.count(F.lit(1)).alias("n")
+        )
+
+    plain_frame().collect()  # warm, untimed
+
+    t0 = time.time()
+    plain = plain_frame()
+    rows_plain = plain.collect()  # 50k groups; executes plain's own QE
+    plain_sec = round(time.time() - t0, 2)
+    plan = plain._jdf.queryExecution().executedPlan().toString()
+
+    t0 = time.time()
+    salted = salted_agg(
+        facts,
+        ["key"],
+        {
+            "s": (F.sum("v"), F.sum),
+            "n": (F.count(F.lit(1)), F.sum),
+        },
+        n_salts=32,
+        salt_on="id",
+    )
+    rows_salted = salted.collect()
+    salted_sec = round(time.time() - t0, 2)
+
+    d_plain = {r.key: (r.s, r.n) for r in rows_plain}
+    d_salted = {r.key: (r.s, r.n) for r in rows_salted}
+    spark.stop()
+    return {
+        "plain_sec": plain_sec,
+        "salted_sec": salted_sec,
+        "partial_agg_in_plan": plan.count("HashAggregate") >= 2,
+        "groups": len(d_plain),
+        "results_identical": d_plain == d_salted,
+        "hot_key_rows": d_plain[0][1],
+    }
+
+
+def _rest_spill(spark) -> dict:
+    """Sum spill/GC metrics over all completed stages via the UI REST
+    API (the only spill counter PySpark exposes without a JVM
+    listener)."""
+    import urllib.request
+
+    ui = spark.sparkContext.uiWebUrl
+    app_id = spark.sparkContext.applicationId
+    stages = json.loads(
+        urllib.request.urlopen(f"{ui}/api/v1/applications/{app_id}/stages").read()
+    )
+    return {
+        "memory_spilled_mb": round(
+            sum(s.get("memoryBytesSpilled", 0) for s in stages) / 1e6, 1
+        ),
+        "disk_spilled_mb": round(
+            sum(s.get("diskBytesSpilled", 0) for s in stages) / 1e6, 1
+        ),
+        "stages": len(stages),
+    }
+
+
+def spill_fixture() -> dict:
+    """Force a working set >> heap: global sort + wide join of the 12M
+    fixture under a 1 GiB driver heap (local mode: executors share it),
+    spark.memory.fraction squeezed. PASS = completes via ExternalSorter
+    spill (REST counters nonzero), no OOM."""
+    from pyspark.sql import functions as F
+
+    spark = _session(
+        "stress-spill",
+        {
+            "spark.driver.memory": "1g",
+            "spark.memory.fraction": "0.2",
+            "spark.ui.enabled": "true",
+            "spark.sql.autoBroadcastJoinThreshold": "-1",
+            "spark.sql.adaptive.enabled": "false",  # fixed 8-partition shuffles: big per-task sorts
+            "spark.sql.shuffle.partitions": "8",
+        },
+        cpus=8,
+    )
+    facts = spark.read.parquet(f"{FIXTURE_DIR}/facts.parquet")
+    t0 = time.time()
+    # sort-merge self-join on a high-cardinality key: both sides sort
+    # 12M rows through 8 reducers under ~25MB execution memory each
+    a = facts.select(F.col("v").alias("k"), "id")
+    b = facts.select(F.col("v").alias("k"), F.col("id").alias("id2"))
+    n = a.join(b, "k").filter(F.col("id") != F.col("id2")).count()
+    sec = round(time.time() - t0, 1)
+    out = {"join_rows": n, "sec": sec, **_rest_spill(spark)}
+    spark.stop()
+    return out
+
+
+def spill_catalog() -> dict:
+    """The five shuffle-heaviest catalog queries at sf0.1 under the
+    same capped heap - assert completion (the contract: constrained
+    memory degrades to spill, never to wrong answers or OOM)."""
+    from reactive_data_pipeline_spark.queries import QUERIES
+
+    spark = _session(
+        "stress-spill-catalog",
+        {
+            "spark.driver.memory": "1g",
+            "spark.memory.fraction": "0.2",
+            "spark.ui.enabled": "true",
+        },
+        cpus=8,
+    )
+    times: dict[str, float] = {}
+    for name in TOP5_SHUFFLE:
+        t0 = time.time()
+        df = QUERIES[name].build(spark, SF_DIR)
+        df.write.format("noop").mode("overwrite").save()
+        times[name] = round(time.time() - t0, 1)
+    out = {"queries": times, **_rest_spill(spark)}
+    spark.stop()
+    return out
+
+
+SCENARIOS = {
+    "fixture": build_fixture,
+    "skew_join": skew_join,
+    "skew_agg": skew_agg,
+    "spill_fixture": spill_fixture,
+    "spill_catalog": spill_catalog,
+}
+
+
+def main() -> None:
+    if len(sys.argv) >= 3 and sys.argv[1] == "--scenario":
+        print(json.dumps(SCENARIOS[sys.argv[2]]()))
+        return
+    results: dict[str, dict] = {}
+    for name in SCENARIOS:
+        p = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--scenario", name],
+            capture_output=True,
+            text=True,
+            timeout=1800,
+        )
+        lines = [ln for ln in p.stdout.splitlines() if ln.startswith("{")]
+        if p.returncode != 0 or not lines:
+            results[name] = {"FAILED": p.stderr[-2000:]}
+        else:
+            results[name] = json.loads(lines[-1])
+        print(f"# {name}: {results[name]}", file=sys.stderr)
+    print(json.dumps(results, indent=2))
+
+
+if __name__ == "__main__":
+    main()
