@@ -20,12 +20,14 @@ flagship pipelines +43-53% purely from co-tenant load):
   between). The final probe seconds are emitted in the JSON
   (``probe_sec``) so any two bench artifacts can be normalized against
   each other's host state.
-* ADAPTIVE REPS - if the base reps' spread (max/min) exceeds 1.25, the
-  query re-runs with 4 extra reps and the reported number is
-  min(median of base reps, median of all reps): contention only ever
-  ADDS time, so when samples disagree the lower median is the better
-  estimate of the machine-idle cost. Escalated queries are listed in
-  ``escalated`` in the JSON.
+* ADAPTIVE REPS - if the base reps' spread exceeds 25% of the minimum
+  AND 0.3s absolute (sub-second queries jitter >25% from the
+  scheduling floor alone - without the absolute guard the first run
+  escalated 20/25 queries), the query re-runs with 4 extra reps and
+  the reported number is min(median of base reps, median of all reps):
+  contention only ever ADDS time, so when samples disagree the lower
+  median is the better estimate of the machine-idle cost. Escalated
+  queries are listed in ``escalated`` in the JSON.
 """
 
 from __future__ import annotations
@@ -65,7 +67,8 @@ def run_median(spark, q, sf_dir: str, reps: int) -> tuple[float, bool]:
     Returns (seconds, escalated)."""
     samples = [run_one(spark, q, sf_dir) for _ in range(reps)]
     base = _median(samples)
-    if reps < 2 or max(samples) / max(min(samples), 1e-9) <= 1.25:
+    spread = max(samples) - min(samples)
+    if reps < 2 or spread <= 0.3 or max(samples) / max(min(samples), 1e-9) <= 1.25:
         return base, False
     samples += [run_one(spark, q, sf_dir) for _ in range(4)]
     return min(base, _median(samples)), True
