@@ -54,6 +54,10 @@ def _session(app: str, extra: dict[str, str] | None = None, cpus: int = 8):
         .master(f"local[{cpus}]")
         .config("spark.sql.shuffle.partitions", str(cpus * 4))
         .config("spark.ui.showConsoleProgress", "false")
+        # Roomy default heap for the skew scenarios (the candidate
+        # blow-up measurements need headroom to measure, not die);
+        # the spill scenarios override this DOWN via ``extra``.
+        .config("spark.driver.memory", "8g")
     )
     for k, v in (extra or {}).items():
         b = b.config(k, v)
@@ -217,6 +221,104 @@ def skew_agg() -> dict:
     }
 
 
+def skew_dedup() -> dict:
+    """The dedup families on duplicate-heavy (Zipf-content) corpora -
+    the shape a boilerplate-ridden web crawl actually has.
+
+    Part 1: exact dedup with a HOT content key (40% of 2M docs share
+    one text). dedup_documents uses a min-over-window keyed on content;
+    its docstring argues duplicate groups are tiny so the window is
+    skew-free - here we measure the worst case where that assumption
+    breaks (one 800k-row window group) against the agg+semi-join form
+    that never materializes a per-group window.
+
+    Part 2: MinHash LSH on a corpus where one content has m=2,000
+    exact copies. Banding is QUADRATIC in duplicate multiplicity
+    (every band bucket holds all m copies -> bands*m^2/2 candidate
+    pairs), so the pipeline rule is EXACT DEDUP FIRST - measured here
+    as naive-vs-composed candidate counts and wall clock.
+    """
+    from pyspark.sql import functions as F
+
+    from reactive_data_pipeline_spark.dedup.exact import dedup_documents
+    from reactive_data_pipeline_spark.dedup.minhash import minhash_lsh_pairs
+    from reactive_data_pipeline_spark.functions.text import normalize_ws
+
+    spark = _session("stress-skew-dedup", cpus=16)
+    res: dict = {}
+
+    # ---- part 1: hot-key exact dedup, window vs agg+join ----
+    n_docs, hot_pct = 2_000_000, 40
+    docs = spark.range(n_docs).select(
+        F.col("id").alias("doc_id"),
+        F.when(
+            F.pmod(F.xxhash64("id"), F.lit(100)) < hot_pct,
+            F.lit("the hot boilerplate page body that repeats across the crawl"),
+        )
+        .otherwise(F.concat(F.lit("unique document body "), F.conv(F.hex(F.xxhash64("id", F.lit(1))), 16, 36)))
+        .alias("text"),
+    )
+    docs.write.mode("overwrite").parquet(f"{FIXTURE_DIR}/docs_hot.parquet")
+    hot_docs = spark.read.parquet(f"{FIXTURE_DIR}/docs_hot.parquet")
+
+    dedup_documents(hot_docs).count()  # warm, untimed
+
+    t0 = time.time()
+    n_window = dedup_documents(hot_docs).count()
+    res["exact_window_sec"] = round(time.time() - t0, 2)
+
+    t0 = time.time()
+    keeper = hot_docs.groupBy(normalize_ws("text").alias("__k")).agg(
+        F.min("doc_id").alias("doc_id")
+    )
+    n_aggjoin = hot_docs.join(keeper, "doc_id", "left_semi").count()
+    res["exact_aggjoin_sec"] = round(time.time() - t0, 2)
+    res["exact_survivors_equal"] = n_window == n_aggjoin
+    res["exact_survivors"] = n_window
+
+    # ---- part 2: LSH banding on m exact copies: dedup-first rule ----
+    m_copies, n_small = 2_000, 100_000
+    words = "alpha bravo charlie delta echo foxtrot golf hotel india juliet kilo lima".split()
+    base_text = " ".join(words)
+    small = spark.range(n_small).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") < m_copies, F.lit(base_text))
+        .when(
+            F.col("id") < m_copies + 1_000,
+            # 20 near-dup clusters of 50: one trailing token varies per
+            # member, so intra-cluster trigram jaccard stays >= 0.5
+            F.concat(
+                F.lit(base_text + " "),
+                (F.col("id") % 50).cast("string"),
+            ),
+        )
+        .otherwise(
+            F.concat(
+                F.lit("unique "),
+                F.conv(F.hex(F.xxhash64("id", F.lit(7))), 16, 36),
+                F.lit(" body text with distinct shingles "),
+                F.conv(F.hex(F.xxhash64("id", F.lit(8))), 16, 36),
+            )
+        )
+        .alias("text"),
+    )
+    small.write.mode("overwrite").parquet(f"{FIXTURE_DIR}/docs_dup.parquet")
+    dup_docs = spark.read.parquet(f"{FIXTURE_DIR}/docs_dup.parquet")
+
+    t0 = time.time()
+    naive_pairs = minhash_lsh_pairs(dup_docs).count()
+    res["lsh_naive_sec"] = round(time.time() - t0, 2)
+    res["lsh_naive_pairs"] = naive_pairs
+
+    t0 = time.time()
+    composed_pairs = minhash_lsh_pairs(dedup_documents(dup_docs)).count()
+    res["lsh_dedup_first_sec"] = round(time.time() - t0, 2)
+    res["lsh_dedup_first_pairs"] = composed_pairs
+    res["m_copies"] = m_copies
+    spark.stop()
+    return res
+
+
 def _rest_spill(spark) -> dict:
     """Sum spill/GC metrics over all completed stages via the UI REST
     API (the only spill counter PySpark exposes without a JVM
@@ -301,6 +403,7 @@ SCENARIOS = {
     "fixture": build_fixture,
     "skew_join": skew_join,
     "skew_agg": skew_agg,
+    "skew_dedup": skew_dedup,
     "spill_fixture": spill_fixture,
     "spill_catalog": spill_catalog,
 }
