@@ -215,3 +215,62 @@ def test_stream_equals_batch_prefix(spark):
     }
     assert got_rows == expect
     assert n_days >= 4
+
+
+def test_sink_concurrent_attempts_cannot_interleave(monkeypatch):
+    """The advisor's round-4 finding, as a protocol-level pin: two
+    attempts of the SAME task (speculation, or a zombie that outlives
+    its retry) must stage to DIFFERENT files - uuid staging - so the
+    committed file is exactly one attempt's intact output, never an
+    interleaving; commit renames the winning message's file and sweeps
+    the loser's. Driver-side simulation: write() twice for partition 0,
+    commit only the second message (Spark commits exactly one winner
+    per task)."""
+    import os
+
+    from reactive_data_pipeline_spark.sources.pyds import TickerStoreWriter
+
+    class _Ctx:
+        @staticmethod
+        def partitionId():
+            return 0
+
+    monkeypatch.setattr("pyspark.TaskContext.get", staticmethod(lambda: _Ctx))
+
+    out = tempfile.mkdtemp(prefix="store_spec_")
+    w = TickerStoreWriter({"path": out})
+    loser = w.write(iter([("AAA", 0, 1, 2, 3)]))
+    winner = w.write(iter([("AAA", 0, 1, 2, 3), ("BBB", 1, 4, 5, 6)]))
+    assert loser.tmp_path != winner.tmp_path  # uuid staging: no clobber
+    w.commit([winner])
+    names = sorted(os.listdir(out))
+    assert names == ["_SUCCESS", "part-00000.csv"]  # loser swept, one file
+    with open(os.path.join(out, "part-00000.csv")) as fh:
+        assert fh.read().splitlines() == ["AAA,0,1,2,3", "BBB,1,4,5,6"]
+
+
+def test_stream_sink_commit_sweeps_losing_attempts(monkeypatch):
+    """Streaming leg of the same contract: abort only runs on batch
+    FAILURE, so a losing attempt's staged file must be swept by the
+    next successful commit or it leaks for the stream's lifetime."""
+    import os
+
+    from reactive_data_pipeline_spark.sources.pyds import TickerStoreStreamWriter
+
+    class _Ctx:
+        @staticmethod
+        def partitionId():
+            return 0
+
+    monkeypatch.setattr("pyspark.TaskContext.get", staticmethod(lambda: _Ctx))
+
+    out = tempfile.mkdtemp(prefix="store_stream_spec_")
+    w = TickerStoreStreamWriter({"path": out})
+    loser = w.write(iter([("AAA", 0, 1, 2, 3)]))
+    winner = w.write(iter([("AAA", 0, 9, 9, 9)]))
+    assert loser.tmp_path != winner.tmp_path
+    w.commit([winner], batchId=7)
+    names = sorted(os.listdir(out))
+    assert names == ["batch-00007-part-00000.csv"]  # loser swept
+    with open(os.path.join(out, names[0])) as fh:
+        assert fh.read().splitlines() == ["AAA,0,9,9,9"]
