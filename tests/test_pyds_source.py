@@ -274,3 +274,72 @@ def test_stream_sink_commit_sweeps_losing_attempts(monkeypatch):
     assert names == ["batch-00007-part-00000.csv"]  # loser swept
     with open(os.path.join(out, names[0])) as fh:
         assert fh.read().splitlines() == ["AAA,0,9,9,9"]
+
+
+def test_sink_survives_real_task_retry():
+    """End-to-end twin of the simulated-attempt pins above: a REAL
+    injected task failure under ``local[2,2]`` (task retries enabled).
+    The first attempt of the failing task dies mid-stage; Spark retries
+    it; the job must publish exactly one intact file per partition,
+    full row count, zero staging leftovers. Runs in a subprocess
+    because the retry policy is fixed at session creation (the shared
+    test session is local[4] with maxFailures=1)."""
+    import json
+    import subprocess
+    import sys
+    import textwrap
+    from pathlib import Path
+
+    repo = str(Path(__file__).resolve().parent.parent)
+    code = textwrap.dedent(
+        """
+        import json, os, sys, tempfile
+        sys.path.insert(0, %(repo)r)
+        from pyspark.sql import SparkSession, functions as F
+        from pyspark.sql.types import LongType
+
+        spark = (SparkSession.builder.master("local[2,2]")
+                 .appName("retry-e2e")
+                 .config("spark.sql.shuffle.partitions", "2")
+                 .config("spark.ui.showConsoleProgress", "false")
+                 .getOrCreate())
+        spark.sparkContext.setLogLevel("ERROR")
+        from reactive_data_pipeline_spark.sources.pyds import (
+            register_ticker_feed, register_ticker_store)
+        register_ticker_feed(spark); register_ticker_store(spark)
+
+        marker = os.path.join(tempfile.mkdtemp(prefix="retry_m_"), "a")
+        out = tempfile.mkdtemp(prefix="retry_out_")
+
+        @F.udf(returnType=LongType())
+        def fail_once(day):
+            if day == 0 and not os.path.exists(marker):
+                open(marker, "w").close()
+                raise ValueError("injected first-attempt failure")
+            return day
+
+        df = (spark.read.format("tickerfeed")
+              .option("symbols", "AAA,BBB").option("days", "5").load()
+              .withColumn("day", fail_once("day")))
+        df.write.format("tickerstore").option("path", out).mode("append").save()
+        names = sorted(os.listdir(out))
+        parts = [n for n in names if n.startswith("part-")]
+        rows = sum(1 for p in parts for _ in open(os.path.join(out, p)))
+        print(json.dumps({
+            "parts": len(parts),
+            "tmps": len([n for n in names if n.startswith("_tmp")]),
+            "rows": rows,
+            "success": "_SUCCESS" in names,
+            "retried": os.path.exists(marker),
+        }))
+        spark.stop()
+        """
+    ) % {"repo": repo}
+    p = subprocess.run(
+        [sys.executable, "-c", code], capture_output=True, text=True, timeout=300
+    )
+    assert p.returncode == 0, p.stderr[-2000:]
+    got = json.loads([ln for ln in p.stdout.splitlines() if ln.startswith("{")][-1])
+    assert got == {
+        "parts": 2, "tmps": 0, "rows": 10, "success": True, "retried": True
+    }
