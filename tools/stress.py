@@ -319,6 +319,69 @@ def skew_dedup() -> dict:
     return res
 
 
+def registry_merge() -> dict:
+    """The streaming dedup registry's incremental-maintenance claim,
+    measured: `merge_dedup_registry_batch` reads ONLY the buckets a
+    batch touches (partition pruning), so per-trigger cost is O(touched
+    state), not O(registry). Seed a 2M-fingerprint registry, then merge
+    a 1k-row update batch confined to ONE bucket vs spread over ALL
+    buckets vs a full-registry rebuild - the wall-clock ordering (and
+    the ~B× spread between one-bucket and rebuild) is the evidence."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from reactive_data_pipeline_spark.streaming.dedup import (
+        REGISTRY_BUCKETS,
+        merge_dedup_registry_batch,
+    )
+
+    spark = _session("stress-registry", cpus=16)
+    out = f"{FIXTURE_DIR}/registry.parquet"
+    shutil.rmtree(out, ignore_errors=True)
+
+    def fp_frame(df):
+        return df.select(
+            F.concat(F.lit("fp-"), F.col("id").cast("string")).alias("fingerprint"),
+            F.col("id").alias("keeper_doc_id"),
+            F.lit(1).cast("long").alias("n_copies"),
+        )
+
+    seed = fp_frame(spark.range(2_000_000))
+    t0 = time.time()
+    merge_dedup_registry_batch(seed, out)
+    seed_sec = round(time.time() - t0, 2)
+
+    # 1k updates confined to ONE bucket: generate candidates and keep
+    # those whose fingerprint hashes to bucket 0 (same rule the merge
+    # uses), then cap at 1k.
+    cands = fp_frame(spark.range(2_000_000, 2_128_000))
+    one_bucket = (
+        cands.filter(
+            F.pmod(F.xxhash64("fingerprint"), F.lit(REGISTRY_BUCKETS)) == 0
+        ).limit(1_000)
+    ).localCheckpoint(eager=True)
+    t0 = time.time()
+    merge_dedup_registry_batch(one_bucket, out)
+    one_bucket_sec = round(time.time() - t0, 2)
+
+    # 1k updates spread over every bucket (the skew-free worst spread).
+    spread = fp_frame(spark.range(3_000_000, 3_001_000)).localCheckpoint(eager=True)
+    t0 = time.time()
+    merge_dedup_registry_batch(spread, out)
+    spread_sec = round(time.time() - t0, 2)
+
+    n_rows = spark.read.parquet(out).count()
+    spark.stop()
+    return {
+        "registry_rows": n_rows,
+        "buckets": REGISTRY_BUCKETS,
+        "seed_rebuild_sec": seed_sec,
+        "merge_1k_one_bucket_sec": one_bucket_sec,
+        "merge_1k_all_buckets_sec": spread_sec,
+    }
+
+
 def _rest_spill(spark) -> dict:
     """Sum spill/GC metrics over all completed stages via the UI REST
     API (the only spill counter PySpark exposes without a JVM
@@ -404,6 +467,7 @@ SCENARIOS = {
     "skew_join": skew_join,
     "skew_agg": skew_agg,
     "skew_dedup": skew_dedup,
+    "registry_merge": registry_merge,
     "spill_fixture": spill_fixture,
     "spill_catalog": spill_catalog,
 }
