@@ -61,10 +61,11 @@ def _median(xs: list[float]) -> float:
 
 
 def run_median(spark, q, sf_dir: str, reps: int) -> tuple[float, bool]:
-    """Median of ``reps`` samples; on a >25% max/min spread (co-tenant
-    contention signature) escalate with 4 more reps and report
-    min(median of base, median of all) - the less-contended estimate.
-    Returns (seconds, escalated)."""
+    """Median of ``reps`` samples; on a spread >25% of the minimum AND
+    >0.3s absolute (the co-tenant contention signature - the absolute
+    guard keeps sub-second scheduling jitter from escalating) re-run
+    with 4 more reps and report min(median of base, median of all) -
+    the less-contended estimate. Returns (seconds, escalated)."""
     samples = [run_one(spark, q, sf_dir) for _ in range(reps)]
     base = _median(samples)
     spread = max(samples) - min(samples)
