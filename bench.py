@@ -27,7 +27,11 @@ flagship pipelines +43-53% purely from co-tenant load):
   the reported number is min(median of base reps, median of all reps):
   contention only ever ADDS time, so when samples disagree the lower
   median is the better estimate of the machine-idle cost. Escalated
-  queries are listed in ``escalated`` in the JSON.
+  queries are listed in ``escalated`` in the JSON, and BOTH medians
+  (``base`` and ``all``) are emitted per escalated query under
+  ``escalated_medians`` so the discounted value stays visible - a
+  genuinely bimodal cost (GC, spill, a plan change's cache-miss path)
+  shows up as base ~= all while contention shows base << all.
 """
 
 from __future__ import annotations
@@ -60,19 +64,24 @@ def _median(xs: list[float]) -> float:
     return xs[len(xs) // 2]
 
 
-def run_median(spark, q, sf_dir: str, reps: int) -> tuple[float, bool]:
+def run_median(spark, q, sf_dir: str, reps: int) -> tuple[float, dict | None]:
     """Median of ``reps`` samples; on a spread >25% of the minimum AND
     >0.3s absolute (the co-tenant contention signature - the absolute
     guard keeps sub-second scheduling jitter from escalating) re-run
     with 4 more reps and report min(median of base, median of all) -
-    the less-contended estimate. Returns (seconds, escalated)."""
+    the less-contended estimate. Returns (seconds, detail) where detail
+    is None when not escalated, else {"base": median-of-base-reps,
+    "all": median-of-all-reps} so the discarded value stays visible in
+    the artifact (genuine bimodal cost - GC, spill, a cache-miss path -
+    would otherwise be silently discounted as contention)."""
     samples = [run_one(spark, q, sf_dir) for _ in range(reps)]
     base = _median(samples)
     spread = max(samples) - min(samples)
     if reps < 2 or spread <= 0.3 or max(samples) / max(min(samples), 1e-9) <= 1.25:
-        return base, False
+        return base, None
     samples += [run_one(spark, q, sf_dir) for _ in range(4)]
-    return min(base, _median(samples)), True
+    med_all = _median(samples)
+    return min(base, med_all), {"base": round(base, 3), "all": round(med_all, 3)}
 
 
 def load_probe(spark, attempts: int = 5) -> float:
@@ -144,16 +153,22 @@ def main() -> None:
     reps = max(1, int(os.environ.get("SPARK_GRAFT_REPS", "3")))
     timings: dict[str, float] = {}
     escalated: list[str] = []
+    escalated_medians: dict[str, dict] = {}
     for name, q in QUERIES.items():
         if not q.bench:
             continue
         sec, esc = run_median(spark, q, sf_dir, reps)
         timings[name] = round(sec, 3)
-        if esc:
+        if esc is not None:
             escalated.append(name)
+            escalated_medians[name] = esc
         print(
             f"# {name}: {timings[name]:.3f}s"
-            + (" (escalated: contended)" if esc else f" (median of {reps})"),
+            + (
+                f" (escalated: contended; base={esc['base']:.3f} all={esc['all']:.3f})"
+                if esc is not None
+                else f" (median of {reps})"
+            ),
             file=sys.stderr,
         )
 
@@ -168,6 +183,7 @@ def main() -> None:
                 "sf": sf,
                 "probe_sec": probe_sec,
                 "escalated": escalated,
+                "escalated_medians": escalated_medians,
             }
         )
     )

@@ -228,10 +228,26 @@ class TickerStoreWriter(DataSourceWriter):
     one file; commit renames exactly one winning message per partition
     and sweeps whatever the losers staged, so at-least-once task
     execution still publishes exactly one file per partition.
+
+    The sweep is scoped to THIS writer's job uuid (minted driver-side
+    in ``__init__`` and serialized to every task), so a second
+    concurrent job writing to the same directory keeps its own
+    in-flight staging files - an unscoped sweep would delete them and
+    fail the other job's commit on os.replace. Residual-litter window:
+    a zombie attempt of THIS job that enters write() after commit's
+    sweep re-creates a ``_tmp-<jobuuid>-*`` file with no later commit
+    to sweep it (batch jobs commit once, unlike the stream path);
+    harmless to readers (underscore-prefixed) but possible.
     """
 
     def __init__(self, options: dict) -> None:
+        import uuid
+
         self.path = options["path"]
+        # One uuid per WRITER INSTANCE (= per job): tasks inherit it
+        # via serialization; attempts distinguish themselves with a
+        # second per-attempt uuid in write().
+        self.job_uuid = uuid.uuid4().hex
 
     def write(self, iterator) -> _TickerCommit:
         import csv
@@ -243,7 +259,8 @@ class TickerStoreWriter(DataSourceWriter):
         pid = TaskContext.get().partitionId()
         os.makedirs(self.path, exist_ok=True)
         tmp = os.path.join(
-            self.path, f"_tmp-{uuid.uuid4().hex}-part-{pid:05d}.csv"
+            self.path,
+            f"_tmp-{self.job_uuid}-{uuid.uuid4().hex}-part-{pid:05d}.csv",
         )
         n = 0
         with open(tmp, "w", newline="") as fh:
@@ -263,10 +280,13 @@ class TickerStoreWriter(DataSourceWriter):
                 continue
             pid = re.search(r"part-(\d+)\.csv$", m.tmp_path).group(1)
             os.replace(m.tmp_path, os.path.join(self.path, f"part-{pid}.csv"))
-        # Losing speculative/zombie attempts staged under other uuids;
-        # their files are garbage now (readers never see _-prefixed
-        # files, but unbounded staging litter is still a leak).
-        for stale in glob.glob(os.path.join(self.path, "_tmp-*.csv")):
+        # Losing speculative/zombie attempts of THIS job staged under
+        # other attempt-uuids; their files are garbage now. Scope the
+        # sweep to this job's uuid - another job's in-flight staging
+        # files in the same directory are NOT ours to delete.
+        for stale in glob.glob(
+            os.path.join(self.path, f"_tmp-{self.job_uuid}-*.csv")
+        ):
             try:
                 os.remove(stale)
             except OSError:
@@ -314,7 +334,13 @@ class TickerStoreStreamWriter(DataSourceStreamWriter):
     custom Python connector."""
 
     def __init__(self, options: dict) -> None:
+        import uuid
+
         self.path = options["path"]
+        # Per-stream uuid (driver-side, serialized to tasks): scopes
+        # the per-batch sweep so a second stream writing to the same
+        # directory keeps its in-flight staging files.
+        self.job_uuid = uuid.uuid4().hex
 
     def write(self, iterator) -> _TickerCommit:
         import csv
@@ -328,7 +354,8 @@ class TickerStoreStreamWriter(DataSourceStreamWriter):
         # Stage under a unique name: concurrent speculative attempts
         # must not clobber each other; commit renames exactly one.
         tmp = os.path.join(
-            self.path, f"_tmp-{uuid.uuid4().hex}-part-{pid:05d}.csv"
+            self.path,
+            f"_tmp-{self.job_uuid}-{uuid.uuid4().hex}-part-{pid:05d}.csv",
         )
         n = 0
         with open(tmp, "w", newline="") as fh:
@@ -354,8 +381,11 @@ class TickerStoreStreamWriter(DataSourceStreamWriter):
         # Sweep losers: a retried/speculative attempt that lost the
         # commit race left its uuid-staged file behind, and abort only
         # runs on batch FAILURE - without this, a long-running stream
-        # leaks one staging file per losing attempt forever.
-        for stale in glob.glob(os.path.join(self.path, "_tmp-*.csv")):
+        # leaks one staging file per losing attempt forever. Scoped to
+        # this stream's uuid: another writer's staging is not ours.
+        for stale in glob.glob(
+            os.path.join(self.path, f"_tmp-{self.job_uuid}-*.csv")
+        ):
             try:
                 os.remove(stale)
             except OSError:

@@ -67,7 +67,11 @@ def main() -> None:
         # coalescing, skew splits). Result sizes at sf0.001 are tiny.
         df.collect()
         plan = df._jdf.queryExecution().executedPlan().toString()
-        assert "isFinalPlan=true" in plan or "AdaptiveSparkPlan" not in plan, name
+        # RuntimeError, not assert: this guard is what keeps the audit
+        # from regressing to counting pre-AQE initial plans (the r1-r4
+        # bug), and an assert would vanish under `python -O`.
+        if "AdaptiveSparkPlan" in plan and "isFinalPlan=true" not in plan:
+            raise RuntimeError(f"plan not finalized (pre-AQE) for {name}")
         # The finalized AdaptiveSparkPlan prints BOTH sections
         # ("== Final Plan ==" then "== Initial Plan =="); counting the
         # whole string would double every node. Keep the final section
