@@ -80,86 +80,81 @@ from . import etl  # noqa: E402,F401
 from . import llm4  # noqa: E402,F401
 
 #: The external gate checks a prefix of the catalog in registration
-#: order (exactly the first 50). Rounds 1-3 drove cumulative coverage
-#: to 115/168 (union of CORRECTNESS_r01..r03 keys; frozen in
-#: tests/test_catalog_order.py); round 4's rotated cohort (50/50 green)
-#: brought the cumulative to 160/228. Round 5 rotates to the FOURTH
-#: cohort: 4 canaries - the flagship pipeline, the q1 relational
-#: anchor, the reactive streaming path, and weighted_median (whose
-#: pandas-UDF registration form changed this round, so its r4 row
-#: hashes retired code) - plus 46 oracle-paired queries that had no
-#: driver row in any prior round (the round-4 continuation additions:
-#: pipeline v2, SCD2/upsert machinery, SemDeDup/k-core/BPE train+encode,
-#: containment dedup, retrieve-rerank, the Spark-4 SQL surfaces,
-#: statestore introspection, and the Python DataSource pair).
-#: Cumulative after this round: 206/228; the 22 remaining are 14
-#: low-risk single-shape analytics (deferred to round 6, all
-#: oracle-paired and parity-green) + 8 rows-only by construction (LSH
-#: bucket contents / raw binary payloads whose QUALITY is hash-proven
-#: via the recall/digest contract twins already checked). Everything
-#: not listed keeps its original relative order after the head; local
-#: tools/parity.py checks all entries regardless.
+#: order (exactly the first 50). Cumulative driver coverage after five
+#: rounds: 206/228 (per-round key sets frozen in
+#: tests/test_catalog_order.py). Round 6 is the CLOSURE rotation
+#: (verdict #1): the window carries ALL 22 never-driver-checked
+#: queries - the 14 deferred single-shape analytics plus the 8
+#: formerly-rows-only entries (4 of which were hardened into DuckDB
+#: oracle contracts this round: minhash_neardup_pairs,
+#: minhash_dedup_groups, knn_ivf_cosine, knn_lsh_cosine; the other 4
+#: stay rows-only with justifications in CATALOG.md) - so after this
+#: round every catalog query has a driver row at least once
+#: (228/228). The remaining 28 slots are canaries (flagship v1+v2, q1,
+#: the reactive stream) and re-checks biased toward this round's
+#: changed machinery: the IVF quantizer swap (pyspark.ml KMeans ->
+#: deterministic decimal-exact Lloyd), the ann_recall floor change,
+#: the pyds sink staging scope, and the oracle twins of the four
+#: hardened contracts. Everything not listed keeps its original
+#: relative order after the head; local tools/parity.py checks all
+#: entries regardless.
 CHECK_PRIORITY: tuple[str, ...] = (
-    # --- canaries: flagship, relational anchor, streaming path, and the
-    # --- one query whose implementation changed this round ---
+    # --- canaries: flagships, relational anchor, streaming path ---
     "training_data_pipeline",
     "q1_pricing_summary",
     "reactive_ticker_meta_stream",
-    "weighted_median_price_by_flag",
-    # --- composed pipeline v2 + decontamination/mixing machinery ---
     "training_data_pipeline_v2",
-    "bloom_decontam_contract",
-    "quality_topfrac_by_source",
-    "bigram_logprob_docs",
-    "lang_mix_by_source",
-    # --- dedup / similarity / clustering (round-4 additions) ---
-    "semdedup_cluster_pairs",
-    "hard_negative_mining",
-    "prefix_containment_pairs",
-    "retrieve_rerank_cell",
+    # --- the 14 deferred oracle-paired analytics (round-5 pool) ---
+    "dup_ngram_coverage",
+    "nearest_centroid_confusion",
+    "temperature_mix_rates",
+    "winsorized_quantity_stats",
+    "token_cooccurrence_top",
+    "arrow_char_lengths",
+    "source_vocab_jaccard",
+    "dedup_rate_by_source",
+    "embedding_dim_moments",
+    "cross_source_dup_matrix",
+    "user_activity_freq_spectrum",
+    "event_gap_log_histogram",
+    "events_dow_hour_heatmap",
+    "customer_rfm_segments",
+    # --- the 4 hardened former-rows-only entries (now contracts) ---
+    "minhash_neardup_pairs",
+    "minhash_dedup_groups",
+    "knn_ivf_cosine",
+    "knn_lsh_cosine",
+    # --- the 4 justified rows-only entries (weak check, closes 228/228) ---
+    "simhash_near_pairs",
+    "embedding_neardup_lsh",
+    "mm_resize",
+    "mm_frame_sample",
+    # --- re-checks: this round's changed machinery + oracle twins ---
+    "ann_recall_contract",
+    "knn_brute_cosine",
     "kmeans_embedding_clusters",
-    "split_leakage_audit",
-    "neardup_split_leakage",
-    "group_kfold_sources",
-    "epoch_shuffle_order",
-    # --- BPE tokenizer lifecycle ---
-    "bpe_pair_merges",
-    "bpe_train_rounds",
-    "bpe_encode_by_source",
-    # --- pandas/Arrow UDF surfaces ---
-    "asof_cogroup_pandas",
-    "user_gap_stats_pandas",
-    "udtf_trigram_top",
-    # --- streaming / CDC / upsert machinery ---
-    "corpus_ingest_incremental",
-    "streaming_neardup_contract",
-    "scd2_user_tier_dim",
-    "scd2_stream_dim",
-    "upsert_orders_snapshot",
-    "stream_join_attribution_outer",
-    "statestore_inspect_counts",
-    "hopping_window_event_counts",
-    # --- Python DataSource connector (batch + roundtrip) ---
+    "retrieve_rerank_cell",
+    "semdedup_cluster_pairs",
+    "minhash_recall_contract",
+    "simhash_recall_contract",
+    "embedding_recall_contract",
+    "embedding_neardup_pairs",
+    "ngram3_jaccard_pairs",
+    "neardup_groups_connected",
     "pyds_ticker_feed",
     "pyds_ticker_roundtrip",
-    # --- Spark-4 SQL surfaces ---
-    "sql_api_nation_revenue",
+    # --- re-checks: broad-family regression spread ---
+    "training_shards_manifest",
+    "scd2_stream_dim",
+    "corpus_ingest_incremental",
+    "streaming_neardup_contract",
+    "bpe_train_rounds",
     "recursive_cte_bfs",
-    "pipe_syntax_type_stats",
-    "collated_lang_counts",
-    "variant_props_by_type",
-    "xml_roundtrip_by_type",
-    # --- time-series / sequence / graph analytics ---
-    "interval_attribution_counts",
-    "ohlc_hourly_user_value",
-    "ewma_user_purchase_value",
-    "retention_weekly_cohorts",
-    "event_type_transitions",
-    "event_pattern_counts",
-    "cusum_daily_changepoint",
-    "linreg_value_on_hour",
-    "triangle_count_copurchase",
-    "kcore_peel_rounds",
+    "udtf_trigram_top",
+    "pagerank_copurchase",
+    "q6_forecast_revenue",
+    "sessionize_events",
+    "events_daily_activity",
 )
 
 _missing = [n for n in CHECK_PRIORITY if n not in QUERIES]

@@ -7,25 +7,31 @@ to its nearest centroid; a query scores only the vectors in the
 ``nprobe = n_cells`` degenerates to exact brute force, ``nprobe = 1``
 scans ~1/n_cells of the table.
 
-Spark shape: the quantizer is ``pyspark.ml.clustering.KMeans`` (fit on
-the table - at 100 TB you fit on a small sample instead, the API is the
-same); assignment is ``model.transform`` (one narrow map). The probe is
-fully declarative - query row and centroid table are broadcast, cell
-selection is a top-k over n_cells rows, candidates come from an equi
-join on the cell id - so nothing is collected to the driver and the
-whole search is one partition-prunable plan. Writing the assigned table
-``partitionBy('ivf_cell')`` turns the probe into a pruned file scan,
-which is the deployment layout at scale.
+Spark shape: the quantizer is the repo's own DETERMINISTIC Lloyd loop
+(similarity/centroid.py: decimal-exact e12-integer component sums for
+the update step, round-6 cosines with a label-ascending tie-break for
+the assignment step), seeded by hashing ids into ``n_cells`` buckets.
+Round-6 lesson: ``pyspark.ml.clustering.KMeans`` aggregates float
+partial sums whose result depends on partition count, so the SAME seed
+gave different centroids under local[8] vs local[16] - an index build
+that isn't reproducible across cluster layouts can't be oracle-checked
+(and at 100 TB means two runs of the same job disagree). The decimal
+loop is order-independent under any partitioning. Assignment and probe
+are fully declarative - query row and centroid table are broadcast,
+cell selection is a top-k over n_cells rows, candidates come from an
+equi join on the cell id - so nothing but the tiny codebook is
+collected and the whole search is one partition-prunable plan. Writing
+the assigned table ``partitionBy('ivf_cell')`` turns the probe into a
+pruned file scan, which is the deployment layout at scale.
 
-Approximate by construction -> rows-only driver check; the exact
-baseline is similarity.brute.knn_brute (and tests assert exact equality
-at nprobe = n_cells).
+Approximate by construction; the exact baseline is
+similarity.brute.knn_brute (tests assert exact equality at
+nprobe = n_cells), and the catalog entry knn_ivf_cosine pins a
+rank-overlap contract against it.
 """
 
 from __future__ import annotations
 
-from pyspark.ml.clustering import KMeans
-from pyspark.ml.functions import array_to_vector
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -39,22 +45,46 @@ def ivf_assign(
     emb: DataFrame,
     n_cells: int = 16,
     vec_col: str = "embedding",
+    id_col: str = "vec_id",
     seed: int = DEFAULT_SEED,
-) -> tuple[DataFrame, list[list[float]]]:
+    iters: int = 2,
+) -> tuple[DataFrame, list[tuple[int, list[float]]]]:
     """Fit the coarse quantizer and assign every row to a cell.
 
-    Returns (table + ``ivf_cell`` column, centroid list). The centroid
-    list is tiny (n_cells x dim) and becomes a broadcast literal table in
-    the probe plan.
+    Returns (table + ``ivf_cell`` column, [(cell, centroid), ...]).
+    The centroid list is tiny (<= n_cells x dim) and becomes a
+    broadcast literal table in the probe plan; cells that empty out
+    during Lloyd iterations drop from it (ids stay sparse-but-stable).
+
+    Each iteration: decimal-exact per-cell component means (one bounded
+    posexplode shuffle), broadcast-codebook argmax re-assignment (one
+    map-combined min_by exchange), join back. ``localCheckpoint`` after
+    each update truncates the iterative lineage - fixed-size state, the
+    same shape as kmeans_embedding_clusters.
     """
+    from .centroid import label_centroids, nearest_centroid
+
     emb = ensure_parallelism(emb)
-    with_vec = emb.withColumn("__v", array_to_vector(F.col(vec_col).cast("array<double>")))
-    model = KMeans(k=n_cells, seed=seed, featuresCol="__v", predictionCol="ivf_cell").fit(
-        with_vec
+    cells = emb.withColumn(
+        "__cell",
+        F.pmod(F.xxhash64(F.col(id_col), F.lit(seed)), F.lit(n_cells)).cast("int"),
     )
-    assigned = model.transform(with_vec).drop("__v")
-    centers = [[float(x) for x in c] for c in model.clusterCenters()]
-    return assigned, centers
+    cents = None
+    for _ in range(max(1, iters)):
+        cents = label_centroids(cells, label_col="__cell", vec_col=vec_col).localCheckpoint(
+            eager=True
+        )
+        assigned = nearest_centroid(
+            cells, cents, id_col=id_col, label_col="__cell", vec_col=vec_col
+        )
+        cells = emb.join(
+            assigned.select(id_col, F.col("assigned_label").alias("__cell")), id_col
+        )
+    centers = [
+        (int(r["label"]), [float(x) for x in r["centroid"]])
+        for r in cents.orderBy("label").collect()
+    ]
+    return cells.withColumnRenamed("__cell", "ivf_cell"), centers
 
 
 def knn_ivf(
@@ -70,11 +100,11 @@ def knn_ivf(
     """Approximate top-k cosine neighbors of ``query_id`` scanning only
     ``nprobe`` of ``n_cells`` inverted lists. Columns: vec_id, cos_sim
     (same schema as knn_brute)."""
-    assigned, centers = ivf_assign(emb, n_cells=n_cells, vec_col=vec_col, seed=seed)
-    spark = emb.sparkSession
-    cent = spark.createDataFrame(
-        [(i, c) for i, c in enumerate(centers)], "ivf_cell int, center array<double>"
+    assigned, centers = ivf_assign(
+        emb, n_cells=n_cells, vec_col=vec_col, id_col=id_col, seed=seed
     )
+    spark = emb.sparkSession
+    cent = spark.createDataFrame(centers, "ivf_cell int, center array<double>")
     q = assigned.filter(F.col(id_col) == query_id).select(F.col(vec_col).alias("__q"))
     # nprobe closest centroids to the query - a top-k over n_cells rows.
     probe_cells = top_k(

@@ -125,8 +125,40 @@ ROUND4_CHECKED = frozenset(
     }
 )
 
+#: Keys of CORRECTNESS_r05.json - the 50 queries the driver
+#: verified in round 5.
+ROUND5_CHECKED = frozenset(
+    {
+        "asof_cogroup_pandas", "bigram_logprob_docs",
+        "bloom_decontam_contract", "bpe_encode_by_source",
+        "bpe_pair_merges", "bpe_train_rounds", "collated_lang_counts",
+        "corpus_ingest_incremental", "cusum_daily_changepoint",
+        "epoch_shuffle_order", "event_pattern_counts",
+        "event_type_transitions", "ewma_user_purchase_value",
+        "group_kfold_sources", "hard_negative_mining",
+        "hopping_window_event_counts", "interval_attribution_counts",
+        "kcore_peel_rounds", "kmeans_embedding_clusters",
+        "lang_mix_by_source", "linreg_value_on_hour",
+        "neardup_split_leakage", "ohlc_hourly_user_value",
+        "pipe_syntax_type_stats", "prefix_containment_pairs",
+        "pyds_ticker_feed", "pyds_ticker_roundtrip", "q1_pricing_summary",
+        "quality_topfrac_by_source", "reactive_ticker_meta_stream",
+        "recursive_cte_bfs", "retention_weekly_cohorts",
+        "retrieve_rerank_cell", "scd2_stream_dim", "scd2_user_tier_dim",
+        "semdedup_cluster_pairs", "split_leakage_audit",
+        "sql_api_nation_revenue", "statestore_inspect_counts",
+        "stream_join_attribution_outer", "streaming_neardup_contract",
+        "training_data_pipeline", "training_data_pipeline_v2",
+        "triangle_count_copurchase", "udtf_trigram_top",
+        "upsert_orders_snapshot", "user_gap_stats_pandas",
+        "variant_props_by_type", "weighted_median_price_by_flag",
+        "xml_roundtrip_by_type",
+    }
+)
+
 PRIOR_ROUNDS_CHECKED = (
     ROUND1_CHECKED | ROUND2_CHECKED | ROUND3_CHECKED | ROUND4_CHECKED
+    | ROUND5_CHECKED
 )
 
 _ROOT = Path(__file__).resolve().parent.parent
@@ -141,6 +173,7 @@ def test_frozen_history_matches_correctness_artifacts():
         2: ROUND2_CHECKED,
         3: ROUND3_CHECKED,
         4: ROUND4_CHECKED,
+        5: ROUND5_CHECKED,
     }
     for r, names in frozen.items():
         path = _ROOT / f"CORRECTNESS_r0{r}.json"
@@ -161,12 +194,16 @@ def test_priority_head_is_the_registration_prefix():
 
 
 def test_head_rotates_to_unchecked_queries():
-    """>= 45 of the checked window must be queries with NO prior-round
-    driver row (the judge's rotation directive); the remainder are
-    deliberate canaries."""
-    head = list(QUERIES)[:CHECKED_WINDOW]
-    fresh = [n for n in head if n not in PRIOR_ROUNDS_CHECKED]
-    assert len(fresh) >= 45, f"only {len(fresh)} newly-checked queries in the window"
+    """Round-6 closure (verdict #1): the never-checked pool is down to
+    22, so the window must contain ALL of them - after this round every
+    catalog query has a driver row at least once (cumulative 228/228).
+    The other 28 slots are canaries + re-checks of queries whose
+    machinery changed this round (IVF quantizer, recall floors, pyds
+    sink staging) and their oracle twins."""
+    head = set(list(QUERIES)[:CHECKED_WINDOW])
+    never_checked = set(QUERIES) - PRIOR_ROUNDS_CHECKED
+    left_out = never_checked - head
+    assert not left_out, f"never-driver-checked queries not in the window: {sorted(left_out)}"
 
 
 def test_cumulative_checked_set_spans_every_family():
@@ -201,11 +238,19 @@ def test_cumulative_checked_set_spans_every_family():
 
 
 def test_priority_head_fully_oracle_checked():
-    """Rows-only entries get only the weak check - the rotated window
-    spends every slot on value-hash-checkable queries."""
+    """Rows-only entries get only the weak check, so window slots go to
+    value-hash-checkable queries - EXCEPT the round-6 closure round,
+    which deliberately spends 4 slots driving the last
+    rows-only-by-construction entries (each justified in CATALOG.md's
+    "why rows-only" section; 4 of the original 8 were hardened into
+    oracle contracts instead) so cumulative coverage reaches 228/228."""
     head = list(QUERIES)[:CHECKED_WINDOW]
-    rows_only = [n for n in head if QUERIES[n].oracle is None]
-    assert not rows_only, rows_only
+    rows_only = {n for n in head if QUERIES[n].oracle is None}
+    allowed = {
+        "simhash_near_pairs", "embedding_neardup_lsh",
+        "mm_resize", "mm_frame_sample",
+    }
+    assert rows_only <= allowed, sorted(rows_only - allowed)
 
 
 def test_doc_counts_match_registry():

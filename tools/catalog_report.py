@@ -12,8 +12,44 @@ sys.path.insert(0, "/root/repo")
 
 from reactive_data_pipeline_spark.queries import QUERIES  # noqa: E402
 
+#: Every rows-only (oracle=None) entry needs a one-line justification
+#: here (round-6 verdict #2); the assertion below keeps the set exact,
+#: so a new rows-only registration without a reason fails this report.
+ROWS_ONLY_WHY: dict[str, str] = {
+    "simhash_near_pairs": (
+        "raw 64-bit-SimHash pair set; recall is only 0.6-0.75 vs the "
+        "trigram-Jaccard truth (a DIFFERENT estimator, not a bound), so no "
+        "exact pair-level oracle exists - `simhash_recall_contract` "
+        "hash-checks the quality floors instead"
+    ),
+    "embedding_neardup_lsh": (
+        "banded sign-LSH pair set; recall floor is 0.7 (collision "
+        "probability), so the pair set is not oracle-predictable - "
+        "`embedding_recall_contract` hash-checks zero-false-positives + "
+        "recall vs the all-pairs exact twin `embedding_neardup_pairs`"
+    ),
+    "mm_resize": (
+        "binary payload digests are engine-/library-specific by "
+        "construction (deterministic fake decode in-sandbox); the plumbing "
+        "(schema, batch shape, row counts) is what the check pins - "
+        "`mm_resize_digest` hash-checks the digest arithmetic itself"
+    ),
+    "mm_frame_sample": (
+        "1->N frame explosion over opaque binary payloads; per-frame "
+        "digests are engine-specific like mm_resize - row counts pin the "
+        "sampling contract, tests pin the digest recurrence"
+    ),
+}
+
 
 def main() -> None:
+    rows_only = {n for n, q in QUERIES.items() if q.oracle is None}
+    if rows_only != set(ROWS_ONLY_WHY):
+        raise RuntimeError(
+            f"rows-only set changed: missing justification for "
+            f"{sorted(rows_only - set(ROWS_ONLY_WHY))}, stale entries "
+            f"{sorted(set(ROWS_ONLY_WHY) - rows_only)}"
+        )
     n_oracle = sum(1 for q in QUERIES.values() if q.oracle is not None)
     print("# CATALOG — every registered query (auto-generated)\n")
     print(
@@ -21,6 +57,10 @@ def main() -> None:
         f"{len(QUERIES) - n_oracle} rows-only (hash-/sketch-/UDF-specific). "
         "Regenerate with `python tools/catalog_report.py > CATALOG.md`.\n"
     )
+    print("## Why the rows-only entries are rows-only\n")
+    for name, why in ROWS_ONLY_WHY.items():
+        print(f"- `{name}` — {why}")
+    print()
     print("| query | check | bench | tags | summary |")
     print("|---|---|---|---|---|")
     for name, q in QUERIES.items():

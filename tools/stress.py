@@ -462,6 +462,155 @@ def spill_catalog() -> dict:
     return out
 
 
+def _cluster_session(app: str):
+    """A REAL multi-process cluster: local-cluster[2,2,1536] launches
+    two standalone workers, each with its own executor JVM, heap, and
+    shuffle directory - so killing an executor process actually loses
+    its shuffle files and map outputs (in local[n] everything shares
+    one JVM and 'executor loss' cannot be staged). AQE left on: its
+    shuffle-read planning must also survive the FetchFailed replans."""
+    from pyspark.sql import SparkSession
+
+    spark = (
+        SparkSession.builder.appName(app)
+        .master("local-cluster[2,2,1536]")
+        .config("spark.sql.shuffle.partitions", "16")
+        .config("spark.ui.showConsoleProgress", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    return spark
+
+
+def _executor_pids() -> list[int]:
+    out = subprocess.run(
+        ["bash", "-c", "ps -eo pid,args | grep [C]oarseGrainedExecutorBackend"],
+        capture_output=True,
+        text=True,
+    )
+    return [int(ln.split()[0]) for ln in out.stdout.splitlines()]
+
+
+def _kill_one_executor_after(delay_sec: float) -> list[float]:
+    """Background killer: waits, then SIGKILLs one executor JVM.
+    Returns a list that receives the kill wall-clock time (empty if no
+    executor was found) - callers assert the kill landed INSIDE the
+    timed region, otherwise the 'survived a kill' claim is vacuous."""
+    import signal
+    import threading
+
+    killed_at: list[float] = []
+
+    def job():
+        time.sleep(delay_sec)
+        pids = _executor_pids()
+        if pids:
+            os.kill(pids[0], signal.SIGKILL)
+            killed_at.append(time.time())
+
+    threading.Thread(target=job, daemon=True).start()
+    return killed_at
+
+
+def executor_loss() -> dict:
+    """Round-6 scenario 8: lose an executor JVM mid-query and mid-stream
+    (STRESS.md's missing fault axis - the task-retry story was pinned
+    at task granularity by the local[2,2] test; this stages real
+    process death). Batch: the 12M-fixture fact-dim join + group agg
+    runs once undisturbed for ground truth, then re-runs with one
+    executor SIGKILLed mid-flight - the dead executor's shuffle map
+    outputs are gone, so the driver must FetchFailed-replan (stage
+    resubmission) while the standalone master relaunches the executor.
+    Streaming: the same aggregation as an availableNow file stream
+    (one file per micro-batch), killed between triggers. PASS = both
+    perturbed runs return EXACTLY the ground-truth rows (count +
+    checksum), i.e. recovery changes time, never answers."""
+    from pyspark.sql import functions as F
+
+    def agg_frame(spark):
+        facts = spark.read.parquet(f"{FIXTURE_DIR}/facts.parquet")
+        dim = spark.read.parquet(f"{FIXTURE_DIR}/dim.parquet")
+        return (
+            facts.join(dim, "key")
+            .groupBy("attr")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(F.col("v") * F.col("weight")).alias("wv"),
+            )
+        )
+
+    def checksum(rows) -> tuple[int, int]:
+        return (len(rows), sum(hash((r["attr"], r["n"], r["wv"])) for r in rows))
+
+    out: dict = {}
+
+    # --- ground truth + timing baseline (undisturbed, same cluster) ---
+    spark = _cluster_session("stress-exec-loss-truth")
+    t0 = time.time()
+    truth = checksum(agg_frame(spark).collect())
+    base_sec = time.time() - t0
+    out["batch_base_sec"] = round(base_sec, 1)
+    spark.stop()
+    time.sleep(2)  # let the old workers/executors exit
+
+    # --- batch run with an executor killed mid-query ---
+    spark = _cluster_session("stress-exec-loss-batch")
+    # Warm TWICE and time the second: codegen + page cache make the
+    # steady-state run ~4x faster than the cold one, and a kill delay
+    # scaled to a slower estimate fires after the timed query already
+    # finished and proves nothing.
+    agg_frame(spark).count()
+    t0 = time.time()
+    agg_frame(spark).count()
+    warm_sec = time.time() - t0
+    out["batch_warm_sec"] = round(warm_sec, 1)
+    n_before = len(_executor_pids())
+    killed_at = _kill_one_executor_after(max(0.3, warm_sec * 0.4))
+    t0 = time.time()
+    got = checksum(agg_frame(spark).collect())
+    t_end = time.time()
+    out["batch_killed_sec"] = round(t_end - t0, 1)
+    out["batch_executors_before"] = n_before
+    out["batch_kill_landed_in_query"] = bool(killed_at) and killed_at[0] < t_end
+    out["batch_match"] = got == truth
+    spark.stop()
+    time.sleep(2)
+
+    # --- streaming run, executor killed mid-stream ---
+    spark = _cluster_session("stress-exec-loss-stream")
+    facts_schema = spark.read.parquet(f"{FIXTURE_DIR}/facts.parquet").schema
+    dim = spark.read.parquet(f"{FIXTURE_DIR}/dim.parquet")
+    stream = (
+        spark.readStream.schema(facts_schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(f"{FIXTURE_DIR}/facts.parquet")
+        .join(dim, "key")
+        .groupBy("attr")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("v") * F.col("weight")).alias("wv"),
+        )
+    )
+    killed_s = _kill_one_executor_after(max(0.5, base_sec * 0.5))
+    t0 = time.time()
+    q = (
+        stream.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("exec_loss_totals")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(600)
+    t_end = time.time()
+    out["stream_killed_sec"] = round(t_end - t0, 1)
+    out["stream_kill_landed_in_query"] = bool(killed_s) and killed_s[0] < t_end
+    got_s = checksum(spark.sql("SELECT * FROM exec_loss_totals").collect())
+    out["stream_match"] = got_s == truth
+    out["executors_after"] = len(_executor_pids())
+    spark.stop()
+    return out
+
+
 SCENARIOS = {
     "fixture": build_fixture,
     "skew_join": skew_join,
@@ -470,6 +619,7 @@ SCENARIOS = {
     "registry_merge": registry_merge,
     "spill_fixture": spill_fixture,
     "spill_catalog": spill_catalog,
+    "executor_loss": executor_loss,
 }
 
 
