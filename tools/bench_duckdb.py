@@ -5,7 +5,15 @@ the denominator of BENCH_NOTES.md's ratio table.
     SPARK_GRAFT_CPUS=32 python tools/bench_duckdb.py [sf_dir]
 
 Prints one JSON line mirroring bench.py's shape. Queries without an
-oracle (engine-specific LSH/minhash paths) are reported as null.
+oracle (engine-specific LSH/minhash paths) are reported as null, as
+are queries whose oracle is an exact O(N^2) ground-truth twin of an
+approximately-linear Spark path (BENCH_ORACLE_UNFAIR below): the
+oracle exists for CORRECTNESS - it recomputes the all-pairs truth the
+LSH pipeline must match - but timing it as the ratio denominator
+would charge DuckDB quadratic work against Spark's linear plan
+(flattering our ratio ~100x for free AND taking minutes at sf0.1).
+The ratio contract stays on queries where both engines do comparable
+work.
 """
 
 from __future__ import annotations
@@ -23,6 +31,11 @@ from reactive_data_pipeline_spark.queries import QUERIES  # noqa: E402
 
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
 
+#: bench-tagged queries whose oracle is the exact all-pairs ground
+#: truth of an approximate linear path (round-6 hardening) - timed as
+#: null, see the module docstring.
+BENCH_ORACLE_UNFAIR = {"minhash_neardup_pairs"}
+
 
 def main():
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else os.environ.get(
@@ -39,7 +52,7 @@ def main():
     for name, q in QUERIES.items():
         if not q.bench:
             continue
-        if q.oracle is None:
+        if q.oracle is None or name in BENCH_ORACLE_UNFAIR:
             times[name] = None
             continue
         con.sql(q.oracle).fetchall()  # warm (IO cache + plan)
