@@ -298,3 +298,23 @@ def test_plan_audit_covers_registry():
     assert cols[names_row.index("rowpy")] == "0", (
         "row-at-a-time BatchEvalPython appeared"
     )
+
+
+def test_bench_oracle_unfair_set_is_consistent():
+    """tools/bench_duckdb.py reports some benched queries' oracles as
+    null because the oracle is an exact O(N^2) ground-truth twin of an
+    approximately-linear Spark path (round-6: minhash_neardup_pairs) -
+    timing it would charge DuckDB quadratic work. Guard the set: every
+    name must exist, be bench-tagged, and HAVE an oracle (otherwise
+    it's already null and the entry is stale)."""
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "bench_duckdb", _ROOT / "tools" / "bench_duckdb.py"
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    for name in mod.BENCH_ORACLE_UNFAIR:
+        assert name in QUERIES, name
+        assert QUERIES[name].bench, f"{name} is not benched - stale entry"
+        assert QUERIES[name].oracle, f"{name} has no oracle - already null"

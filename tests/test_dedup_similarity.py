@@ -115,6 +115,30 @@ def test_knn_ivf_partial_probe_recall(spark):
     assert len(exact & set(approx)) >= 4
 
 
+def test_knn_ivf_deterministic_under_repartitioning(spark):
+    """Round-6 regression guard: the IVF quantizer must produce
+    IDENTICAL results under any input partitioning - pyspark.ml
+    KMeans (the previous quantizer) aggregated float partial sums, so
+    the same seed gave different centroids under local[8] vs local[16]
+    and the knn_ivf_cosine oracle contract red/greened with
+    parallelism. The decimal-exact Lloyd loop is order-independent;
+    1-partition and 16-partition inputs must agree bit-for-bit."""
+    from reactive_data_pipeline_spark.similarity import knn_ivf
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    runs = [
+        [
+            (r.vec_id, r.cos_sim)
+            for r in knn_ivf(
+                emb.repartition(p), query_id=0, k=10, n_cells=16, nprobe=4
+            ).collect()
+        ]
+        for p in (1, 16)
+    ]
+    assert runs[0] == runs[1]
+    assert len(runs[0]) == 10
+
+
 def test_connected_components_chain_star_singleton(spark):
     from reactive_data_pipeline_spark.dedup import connected_components
 
