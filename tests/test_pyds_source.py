@@ -276,6 +276,42 @@ def test_stream_sink_commit_sweeps_losing_attempts(monkeypatch):
         assert fh.read().splitlines() == ["AAA,0,9,9,9"]
 
 
+def test_sink_sweep_is_scoped_to_own_job(monkeypatch):
+    """The round-5 advisor finding, as a protocol-level pin: commit's
+    stale-staging sweep must be scoped to THIS writer's job uuid - an
+    unscoped `_tmp-*` glob would delete a CONCURRENT job's in-flight
+    staged files from the same directory, turning that job's later
+    os.replace into FileNotFoundError. Simulate: job B has a staged
+    (uncommitted) file when job A commits; B's file must survive A's
+    sweep and B's own commit must then succeed."""
+    import os
+
+    from reactive_data_pipeline_spark.sources.pyds import TickerStoreWriter
+
+    class _Ctx:
+        @staticmethod
+        def partitionId():
+            return 0
+
+    monkeypatch.setattr("pyspark.TaskContext.get", staticmethod(lambda: _Ctx))
+
+    out = tempfile.mkdtemp(prefix="store_twojobs_")
+    a = TickerStoreWriter({"path": out})
+    b = TickerStoreWriter({"path": out})
+    assert a.job_uuid != b.job_uuid
+    b_msg = b.write(iter([("BBB", 1, 4, 5, 6)]))
+    a_msg = a.write(iter([("AAA", 0, 1, 2, 3)]))
+    a.commit([a_msg])
+    assert os.path.exists(b_msg.tmp_path), "A's sweep deleted B's staging"
+    b.commit([b_msg])  # would raise FileNotFoundError before the fix
+    # Both jobs committed partition 0; last-writer-wins on the final
+    # name, which is the pre-existing semantics for same-path jobs -
+    # the contract pinned HERE is only that neither commit blows up on
+    # the other's staging.
+    with open(os.path.join(out, "part-00000.csv")) as fh:
+        assert fh.read().splitlines() == ["BBB,1,4,5,6"]
+
+
 def test_sink_survives_real_task_retry():
     """End-to-end twin of the simulated-attempt pins above: a REAL
     injected task failure under ``local[2,2]`` (task retries enabled).
