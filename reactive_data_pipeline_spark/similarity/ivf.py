@@ -48,6 +48,7 @@ def ivf_assign(
     id_col: str = "vec_id",
     seed: int = DEFAULT_SEED,
     iters: int = 2,
+    fit_mod: int | None = None,
 ) -> tuple[DataFrame, list[tuple[int, list[float]]]]:
     """Fit the coarse quantizer and assign every row to a cell.
 
@@ -61,11 +62,28 @@ def ivf_assign(
     map-combined min_by exchange), join back. ``localCheckpoint`` after
     each update truncates the iterative lineage - fixed-size state, the
     same shape as kmeans_embedding_clusters.
+
+    ``fit_mod``: the at-scale knob. At 100 TB nobody runs Lloyd over
+    the full corpus - the quantizer is fit on a sample and only the
+    final ASSIGNMENT pass touches every row. ``fit_mod=m`` fits on the
+    deterministic 1/m hash-slice ``xxhash64(id, seed+1) % m == 0``
+    (reproducible under any partitioning, unlike ``DataFrame.sample``),
+    cutting the iterative posexplode/argmax cost by ~m while the full
+    table still gets exactly one broadcast-codebook assignment. Default
+    ``None`` fits on everything (the small-corpus / catalog behavior,
+    bit-for-bit unchanged).
     """
     from .centroid import label_centroids, nearest_centroid
 
     emb = ensure_parallelism(emb)
-    cells = emb.withColumn(
+    fit = (
+        emb
+        if fit_mod is None
+        else emb.filter(
+            F.pmod(F.xxhash64(F.col(id_col), F.lit(seed + 1)), F.lit(fit_mod)) == 0
+        )
+    )
+    cells = fit.withColumn(
         "__cell",
         F.pmod(F.xxhash64(F.col(id_col), F.lit(seed)), F.lit(n_cells)).cast("int"),
     )
@@ -77,8 +95,18 @@ def ivf_assign(
         assigned = nearest_centroid(
             cells, cents, id_col=id_col, label_col="__cell", vec_col=vec_col
         )
-        cells = emb.join(
+        cells = fit.join(
             assigned.select(id_col, F.col("assigned_label").alias("__cell")), id_col
+        )
+    if fit_mod is not None:
+        # One full-table assignment against the fitted codebook (the
+        # loop above only ever touched the fit slice).
+        full = emb.withColumn("__cell", F.lit(0))
+        fa = nearest_centroid(
+            full, cents, id_col=id_col, label_col="__cell", vec_col=vec_col
+        )
+        cells = emb.join(
+            fa.select(id_col, F.col("assigned_label").alias("__cell")), id_col
         )
     centers = [
         (int(r["label"]), [float(x) for x in r["centroid"]])

@@ -268,3 +268,28 @@ def test_duplicated_ngram_spans_plan_shape(spark):
     assert "CartesianProduct" not in plan
     assert "Exchange SinglePartition" not in plan, plan
     assert plan.count("Exchange hashpartitioning") <= 4, plan
+
+
+def test_ivf_sampled_fit_assigns_everything_deterministically(spark):
+    """The at-scale quantizer knob: fit_mod=m fits Lloyd on the 1/m
+    hash-slice but the final assignment pass must still cover EVERY
+    row, cells must come from the fitted codebook, and the whole build
+    must stay deterministic under repartitioning (the round-6
+    invariant). Catalog behavior (fit_mod=None) is pinned unchanged by
+    test_knn_ivf_deterministic_under_repartitioning."""
+    from reactive_data_pipeline_spark.similarity import ivf_assign
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    n = emb.count()
+    runs = []
+    for p in (1, 16):
+        assigned, centers = ivf_assign(
+            emb.repartition(p), n_cells=8, fit_mod=4, iters=2
+        )
+        rows = sorted((r.vec_id, r.ivf_cell) for r in assigned.collect())
+        runs.append((rows, centers))
+    assert runs[0] == runs[1]
+    rows, centers = runs[0]
+    assert len(rows) == n  # every row assigned, not just the fit slice
+    valid_cells = {c for c, _ in centers}
+    assert {c for _, c in rows} <= valid_cells
