@@ -75,6 +75,18 @@ def get_spark(
     if master:
         builder = builder.master(master)
     conf = dict(ENGINE_CONF)
+    if master and master.startswith("local"):
+        # Local mode: the driver JVM IS the executor, and its default
+        # -Xmx is 1g regardless of machine size - measured at 10x bench
+        # volume, accumulated broadcast/shuffle state across queries
+        # OOMs a 1g heap ("Not enough memory to build and broadcast")
+        # while the host sits on >100 GiB free. Size the heap like a
+        # real executor; only effective at JVM launch (getOrCreate
+        # reuse and cluster submits are untouched), and explicit
+        # extra_conf/env still wins.
+        conf.setdefault(
+            "spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g")
+        )
     if shuffle_partitions is not None:
         conf["spark.sql.shuffle.partitions"] = str(shuffle_partitions)
     elif master and master.startswith("local["):
