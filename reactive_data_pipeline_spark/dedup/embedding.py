@@ -59,6 +59,7 @@ def embedding_neardup_lsh(
     vec_col: str = "embedding",
     seed: int = DEFAULT_SEED,
     dim: int = 64,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Banded sign-LSH near-dup pairs: same output contract as
     ``embedding_neardup_pairs`` (vec_a < vec_b, exact cosine >=
@@ -86,6 +87,28 @@ def embedding_neardup_lsh(
     NO planted duplicates, the worst case for any geometric blocking -
     giving ~0.85 recall at ~7x candidate reduction
     (tests/test_dedup_similarity.py pins both regimes).
+
+    SCALE GUARDS (measured, round 6 - the 40x-volume bench): a band has
+    only ``2^bits_per_band`` buckets, so once N outgrows the key space
+    every bucket holds ~N/2^bits members and step 2 degenerates to
+    ~num_bands * N^2 / 2^bits candidate rows ON ANY DATA - at 80k
+    vectors the uncapped (8, 32) regime built ~10^9 candidate rows and
+    filled 70 GB of disk with sort spill. Two levers:
+
+    * Size ``bits_per_band`` ~ log2(N/target_bucket) so expected bucket
+      occupancy stays O(1) - the deployment-owned sizing rule (raising
+      bits lowers per-band true-pair collision p^b, so ``num_bands``
+      must rise to hold recall at 1-(1-p^b)^B; at loose thresholds the
+      p-gap between true and random pairs is narrow and this gets
+      expensive - tight-threshold dedup (~0.9) is what sign-LSH is for).
+    * ``max_bucket`` - drop (band, bucket) groups larger than this
+      before the self-join, bounding candidates by ~N*B*max_bucket/2
+      regardless of N. Oversized buckets on high-entropy data are
+      low-information bands; true near-dup cliques bigger than the cap
+      (mirror corpora) should be collapsed by exact/fingerprint dedup
+      BEFORE geometric blocking, same composition rule as the minhash
+      pipeline's dedup-before-LSH. None (default) preserves exhaustive
+      banding for the contract/recall paths at check scales.
     """
     rng = np.random.RandomState(seed)
     planes = rng.standard_normal((num_bands * bits_per_band, dim))
@@ -113,6 +136,18 @@ def embedding_neardup_lsh(
     buckets = sides.select(
         "id", F.explode(band_keys(F.col("v").cast("array<double>"))).alias("bk")
     ).persist(StorageLevel.MEMORY_AND_DISK)
+    if max_bucket is not None:
+        # One bk-keyed window pass - the same shuffle key the self-join
+        # needs anyway, and no broadcast whose size would track the
+        # bucket-key space (num_bands * 2^bits grows with auto-sized
+        # bits; a bk partition is never larger than the hottest bucket).
+        from pyspark.sql import Window
+
+        buckets = (
+            buckets.withColumn("__bn", F.count(F.lit(1)).over(Window.partitionBy("bk")))
+            .filter(F.col("__bn") <= max_bucket)
+            .drop("__bn")
+        )
     a, b = buckets.alias("a"), buckets.alias("b")
     cand = (
         a.join(b, (F.col("a.bk") == F.col("b.bk")) & (F.col("a.id") < F.col("b.id")))

@@ -670,8 +670,17 @@ def embedding_neardup_lsh_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     positive, recall pinned vs the all-pairs twin in
     tests/test_dedup_similarity.py. Rows-only check: recall is the LSH
     collision probability, so the exact twin embedding_neardup_pairs
-    carries the SQL oracle."""
-    return embedding_neardup_lsh(_emb(spark, sf_dir), threshold=0.5)
+    carries the SQL oracle.
+
+    ``max_bucket=64`` is the round-6 scale guard: at the check/bench
+    SFs every (band, bucket) group is far below the cap so the output
+    is bit-identical to exhaustive banding (pinned in
+    tests/test_dedup_similarity.py), while at 10-40x volume - where the
+    8-bit key space saturates and uncapped banding degenerates to ~N^2
+    candidates (measured: 70 GB of sort spill at 80k vectors) - the
+    cap bounds candidates at ~N*bands*cap/2. See the operator docstring
+    for the bits~log2(N) deployment sizing rule."""
+    return embedding_neardup_lsh(_emb(spark, sf_dir), threshold=0.5, max_bucket=64)
 
 
 # ---------------------------------------------------------------------------

@@ -201,6 +201,35 @@ def test_embedding_lsh_recall_and_precision_vs_exact(spark):
     assert len(approx) / len(exact) >= 0.5    # measured ~0.6+ at b=8,B=32
 
 
+def test_embedding_lsh_bucket_cap_identity_and_bound(spark):
+    """The round-6 scale guard: ``max_bucket`` must be a no-op at check
+    scale (every bucket far below the cap -> bit-identical output,
+    which is what lets the benched query carry it), and on a planted
+    hot bucket it must actually drop the saturated groups - the
+    uncapped candidate blow-up measured 70 GB of sort spill at 40x
+    bench volume."""
+    import numpy as np
+
+    from reactive_data_pipeline_spark.dedup import embedding_neardup_lsh
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    un = sorted(map(tuple, embedding_neardup_lsh(emb, threshold=0.5).collect()))
+    ca = sorted(map(tuple, embedding_neardup_lsh(emb, threshold=0.5, max_bucket=64).collect()))
+    assert un == ca and len(ca) >= 1
+
+    # 300 near-identical vectors saturate their buckets in every band;
+    # with the cap at 64 every one of those groups exceeds the cap, so
+    # the quadratic 300-clique (44,850 pairs) must NOT be emitted.
+    rng = np.random.RandomState(11)
+    v = rng.standard_normal(64)
+    rows = [(i, [float(x) for x in v + rng.normal(scale=1e-3, size=64)]) for i in range(300)]
+    hot = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    capped = embedding_neardup_lsh(hot, threshold=0.9, max_bucket=64).count()
+    uncapped = embedding_neardup_lsh(hot, threshold=0.9).count()
+    assert uncapped == 300 * 299 // 2
+    assert capped == 0
+
+
 def test_quantization_error_bounded_by_half_step(spark):
     """Round-to-nearest symmetric quantization can never err more than
     half a quantization step; the scale must cover the max element."""
