@@ -111,7 +111,18 @@ def main() -> None:
         sf = float(os.path.basename(sf_dir.rstrip("/")).removeprefix("sf"))
     except ValueError:
         sf = None
-    spark = get_spark("bench", master=f"local[{cpus}]", shuffle_partitions=int(cpus))
+    # The driver parses this process's stdout for the one JSON line;
+    # the JVM's unified logging (e.g. "[gc,alloc] Retried waiting for
+    # GCLocker..." under heap pressure) writes to the SAME stdout and
+    # has been observed landing after the JSON, corrupting the
+    # artifact. Spark's own logging goes through log4j/stderr, so
+    # disabling Xlog output costs nothing the bench needs.
+    spark = get_spark(
+        "bench",
+        master=f"local[{cpus}]",
+        shuffle_partitions=int(cpus),
+        extra_conf={"spark.driver.extraJavaOptions": "-Xlog:disable"},
+    )
     spark.sparkContext.setLogLevel("ERROR")
 
     # Warm the JVM (codegen, shuffle machinery, whole-stage compile) and
