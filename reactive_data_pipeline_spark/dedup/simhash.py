@@ -56,15 +56,34 @@ def simhash_near_pairs(
 
     Exact for max_hamming <= 3 by the pigeonhole band argument; larger
     radii would need more/permuted bands.
+
+    SCALE SHAPE (round 6, the embedding-LSH saturation lesson applied
+    to its fixed-band sibling): banding per DOCUMENT lets an
+    exact-duplicate mass - m documents sharing one fingerprint, the
+    most common real-corpus dup structure - multiply the band
+    self-join by m^2 across all four bands before dedup. So the
+    blocking here runs on DISTINCT fingerprints (dedup-before-blocking
+    moved inside the operator): the banded join's input is the
+    fingerprint vocabulary, same-fingerprint document cliques are
+    emitted directly (they ARE the hamming-0 output, bounded by true
+    output size), and cross-fingerprint pairs expand through two
+    fingerprint-keyed joins, also output-bounded. Output is identical
+    to per-document banding (pinned in tests/test_dedup_similarity.py).
+    Remaining saturation edge: the 16-bit band space holds 65,536
+    buckets, so at >>10^5 DISTINCT fingerprints the cross-fp candidate
+    join grows ~bands * F^2 / 2^16 - at that scale use the
+    permuted-table decomposition (Manku et al., WWW'07) with more
+    tables over wider prefixes; the band constants live at the top of
+    this module.
     """
     # Both sides of the banded self-join re-execute this subtree (explode +
     # 63 bit-vote aggregation); persist the tiny (id, hash) relation.
     sh = simhash_docs(docs, text_col=text_col, id_col=id_col).persist(
         StorageLevel.MEMORY_AND_DISK
     )
-    bands = sh.select(
-        F.col("doc_id").alias("doc"),
-        F.col("simhash"),
+    fps = sh.select("simhash").distinct().persist(StorageLevel.MEMORY_AND_DISK)
+    fbands = fps.select(
+        "simhash",
         F.explode(
             F.array(
                 *[
@@ -78,22 +97,39 @@ def simhash_near_pairs(
                 ]
             )
         ).alias("bk"),
-    ).select("doc", "simhash", "bk.band", "bk.bv")
-    a, b = bands.alias("a"), bands.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bv") == F.col("b.bv"))
-            & (F.col("a.doc") < F.col("b.doc")),
-        )
-        .select(
-            F.col("a.doc").alias("doc_a"),
-            F.col("b.doc").alias("doc_b"),
-            F.col("a.simhash").alias("sh_a"),
-            F.col("b.simhash").alias("sh_b"),
-        )
-        .distinct()
-    )
+    ).select("simhash", "bk.band", "bk.bv")
+    fa, fb = fbands.alias("fa"), fbands.alias("fb")
     ham = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
-    return cand.filter(ham <= max_hamming).select("doc_a", "doc_b", ham.alias("hamming"))
+    near_fp = (
+        fa.join(
+            fb,
+            (F.col("fa.band") == F.col("fb.band"))
+            & (F.col("fa.bv") == F.col("fb.bv"))
+            & (F.col("fa.simhash") < F.col("fb.simhash")),
+        )
+        .select(F.col("fa.simhash").alias("sh_a"), F.col("fb.simhash").alias("sh_b"))
+        .distinct()
+        .filter(ham <= max_hamming)
+    )
+    da = sh.select(F.col("simhash").alias("sh_a"), F.col("doc_id").alias("da"))
+    db = sh.select(F.col("simhash").alias("sh_b"), F.col("doc_id").alias("db"))
+    cross = (
+        near_fp.join(da, "sh_a")
+        .join(db, "sh_b")
+        .select(
+            F.least("da", "db").alias("doc_a"),
+            F.greatest("da", "db").alias("doc_b"),
+            ham.alias("hamming"),
+        )
+    )
+    wa, wb = sh.alias("wa"), sh.alias("wb")
+    within = wa.join(
+        wb,
+        (F.col("wa.simhash") == F.col("wb.simhash"))
+        & (F.col("wa.doc_id") < F.col("wb.doc_id")),
+    ).select(
+        F.col("wa.doc_id").alias("doc_a"),
+        F.col("wb.doc_id").alias("doc_b"),
+        F.lit(0).cast("integer").alias("hamming"),
+    )
+    return cross.unionByName(within)

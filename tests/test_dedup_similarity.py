@@ -230,6 +230,38 @@ def test_embedding_lsh_bucket_cap_identity_and_bound(spark):
     assert capped == 0
 
 
+def test_simhash_fingerprint_distinct_blocking_output_identical(spark):
+    """The round-6 rework bands on DISTINCT fingerprints (so an
+    exact-dup fingerprint mass can't multiply the band self-join) -
+    output must stay exactly the per-document banding result, i.e. the
+    brute-force hamming<=3 pair set, including the clique pairs of
+    replicated documents at hamming 0."""
+    from pyspark.sql import functions as F
+
+    from reactive_data_pipeline_spark.dedup.simhash import simhash_docs, simhash_near_pairs
+
+    base = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(40)
+    # plant an exact-dup mass: 5 copies of each doc under distinct ids
+    docs = base
+    for c in range(1, 5):
+        docs = docs.unionByName(
+            base.withColumn("doc_id", F.col("doc_id") + F.lit(c * 10_000_000))
+        )
+    got = sorted(tuple(r) for r in simhash_near_pairs(docs).collect())
+    sh = {r.doc_id: r.simhash for r in simhash_docs(docs).collect()}
+    ids = sorted(sh)
+    exp = sorted(
+        (a, b, bin(sh[a] ^ sh[b]).count("1"))
+        for i, a in enumerate(ids)
+        for b in ids[i + 1:]
+        if bin(sh[a] ^ sh[b]).count("1") <= 3
+    )
+    assert got == exp
+    # the dup mass makes hamming-0 cliques: every base doc contributes
+    # at least C(5,2)=10 same-fingerprint pairs
+    assert sum(1 for _, _, h in got if h == 0) >= 40 * 10
+
+
 def test_quantization_error_bounded_by_half_step(spark):
     """Round-to-nearest symmetric quantization can never err more than
     half a quantization step; the scale must cover the max element."""
