@@ -92,3 +92,25 @@ def test_copy0_identity_and_copies_perturbed(scaled_dir):
         SELECT count(*)>0 FROM '{scaled_dir}/embeddings.parquet' s
         JOIN '{SF_DIR}/embeddings.parquet' o ON s.vec_id = o.vec_id + {STRIDE}
         WHERE s.embedding <> o.embedding""")
+
+
+def test_cross_copy_embeddings_decorrelated(scaled_dir):
+    """Cross-copy cosine must NOT cluster near 1.0: a weak perturbation
+    gave every vector K-1 near-duplicates at cos~0.987 and the banded
+    near-dup queries hit quadratic pair mass (70 GB of sort spill at
+    K=40). The cyclic shift keeps copies as distinct directions."""
+    con = duckdb.connect()
+    dot = ("list_reduce(list_prepend(0.0, [CAST(a.e[i] AS DOUBLE) * CAST(b.e[i] AS DOUBLE)"
+           " FOR i IN generate_series(1, len(a.e))]), (x, y) -> x + y)")
+    nrm = ("sqrt(list_reduce(list_prepend(0.0, [CAST({v}.e[i] AS DOUBLE) ** 2"
+           " FOR i IN generate_series(1, len({v}.e))]), (x, y) -> x + y))")
+    mean_cos, max_cos = con.sql(f"""
+        WITH a AS (SELECT vec_id, embedding e FROM '{scaled_dir}/embeddings.parquet'
+                   WHERE vec_id < {STRIDE}),
+             b AS (SELECT vec_id - {STRIDE} AS vec_id, embedding e
+                   FROM '{scaled_dir}/embeddings.parquet'
+                   WHERE vec_id >= {STRIDE} AND vec_id < 2 * {STRIDE})
+        SELECT avg(cos), max(cos) FROM (
+          SELECT {dot} / ({nrm.format(v='a')} * {nrm.format(v='b')}) AS cos
+          FROM a JOIN b USING (vec_id))""").fetchone()
+    assert abs(mean_cos) < 0.2 and max_cos < 0.9, (mean_cos, max_cos)

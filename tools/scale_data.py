@@ -90,7 +90,21 @@ def _one_copy(df: DataFrame, table: str, copy: int) -> DataFrame:
             rotated = _ROT[r:] + _ROT[:r]
             out = out.withColumn("text", F.translate("text", _ROT, rotated))
     if table == "embeddings":
+        # A small additive perturbation alone leaves cross-copy cosine
+        # ~0.987 (measured), i.e. every vector gets K-1 near-duplicates
+        # and the banded near-dup queries face quadratic pair mass the
+        # real corpus wouldn't have (this exact construction filled the
+        # disk with 70 GB of sort spill at K=40). Cyclic-shift by
+        # 17*c mod dim first - 17 is coprime with the 64-dim vectors,
+        # so all copies get distinct directions - then perturb.
         out = out.withColumn(
+            "embedding",
+            F.expr(
+                f"concat(slice(embedding, pmod({copy} * 17, size(embedding)) + 1,"
+                f" size(embedding) - pmod({copy} * 17, size(embedding))),"
+                f" slice(embedding, 1, pmod({copy} * 17, size(embedding))))"
+            ),
+        ).withColumn(
             "embedding",
             F.transform(
                 "embedding",
