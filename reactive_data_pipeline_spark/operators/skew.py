@@ -19,6 +19,8 @@ from collections.abc import Callable, Sequence
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from .relational import combine_digit_sums, split_digits
+
 
 def salted_agg(
     df: DataFrame,
@@ -85,18 +87,30 @@ def salted_sum_count(
     df: DataFrame, keys: Sequence[str], value_col: Column | str, n_salts: int = 16,
     salt_on: str | None = None,
 ) -> DataFrame:
-    """Common case: per-key decimal-exact sum + count, salt-split."""
+    """Common case: per-key decimal-exact sum + count, salt-split.
+
+    The sum rides the radix-split long digits (operators.relational
+    .split_digits) through both stages - long partials merge as longs,
+    so neither stage pays the BigDecimal aggregation buffer - and is
+    rebuilt into the exact decimal total only once per output key."""
     v = F.col(value_col) if isinstance(value_col, str) else value_col
-    return salted_agg(
+    hi, mid, lo = split_digits(v)
+    out = salted_agg(
         df,
         keys,
         {
-            "value_total": (
-                F.sum(v.cast("decimal(18,6)")),
-                lambda p: F.sum(p).cast("double"),
-            ),
+            "__hi": (F.sum(hi), F.sum),
+            "__mid": (F.sum(mid), F.sum),
+            "__lo": (F.sum(lo), F.sum),
             "n_rows": (F.count(F.lit(1)), F.sum),
         },
         n_salts=n_salts,
         salt_on=salt_on,
+    )
+    return out.select(
+        *keys,
+        combine_digit_sums(F.col("__hi"), F.col("__mid"), F.col("__lo"))
+        .cast("double")
+        .alias("value_total"),
+        "n_rows",
     )

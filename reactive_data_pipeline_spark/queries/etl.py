@@ -14,7 +14,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..operators.relational import exact_sum
+from ..operators.relational import combine_digit_sums, exact_sum, split_digits
 from ..sources import read_table
 from . import register
 
@@ -184,13 +184,20 @@ def reagg_daily_to_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
     downstream re-read.
     """
     ev = read_table(spark, sf_dir, "events")
+    # The mergeable state is the radix-split digit sums (long monoids):
+    # both aggregation levels run on longs, and the exact decimal total
+    # is rebuilt once per weekly output row.
+    hi, mid, lo = split_digits("value")
     daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
         F.count(F.lit(1)).alias("n"),
-        F.sum(F.col("value").cast("decimal(18,6)")).alias("s"),
+        F.sum(hi).alias("__hi"),
+        F.sum(mid).alias("__mid"),
+        F.sum(lo).alias("__lo"),
     )
+    sd = combine_digit_sums(F.sum("__hi"), F.sum("__mid"), F.sum("__lo"))
     return (
         daily.groupBy(F.trunc("day", "week").alias("week"))
-        .agg(F.sum("n").alias("n_events"), F.sum("s").alias("sd"))
+        .agg(F.sum("n").alias("n_events"), sd.alias("sd"))
         .select(
             "week",
             "n_events",

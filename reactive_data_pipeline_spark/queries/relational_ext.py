@@ -692,7 +692,7 @@ def salted_join_segment_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         salt_on="o_orderkey", n_salts=16,
     )
     return joined.groupBy("c_mktsegment").agg(
-        F.sum(F.col("o_totalprice").cast("decimal(18,6)")).cast("double").alias("revenue"),
+        exact_sum("o_totalprice").alias("revenue"),
         F.count(F.lit(1)).alias("n_orders"),
     )
 

@@ -20,7 +20,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..operators.relational import ensure_parallelism, exact_sum
+from ..operators.relational import (
+    combine_digit_sums,
+    ensure_parallelism,
+    exact_sum,
+    split_digits,
+)
 from ..sources import read_table
 from . import register
 
@@ -301,11 +306,19 @@ def window_range_30d_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("o_orderdate").cast("timestamp").cast("long"))
         .rangeBetween(-30 * 86400, 0)
     )
+    hi, mid, lo = split_digits("o_totalprice")
     return o.select(
         "o_custkey",
         "o_orderkey",
         F.to_date("o_orderdate").alias("o_orderdate"),
-        F.sum(F.col("o_totalprice").cast("decimal(18,6)")).over(w).cast("double").alias("sum_30d"),
+        # Decimal-exact rolling sum on radix-split long digits: the
+        # sliding-frame add/remove updates are long arithmetic instead
+        # of a BigDecimal window buffer (same value, cheaper per row).
+        combine_digit_sums(
+            F.sum(hi).over(w), F.sum(mid).over(w), F.sum(lo).over(w)
+        )
+        .cast("double")
+        .alias("sum_30d"),
         F.count(F.lit(1)).over(w).alias("cnt_30d"),
     )
 

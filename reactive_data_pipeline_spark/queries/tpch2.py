@@ -17,7 +17,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..operators.relational import exact_sum
+from ..operators.relational import exact_sum, exact_sum_dec
 from ..sources import read_table
 from . import register
 
@@ -233,11 +233,7 @@ def q17_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = read_table(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#3")
     avg_q = li.groupBy(F.col("l_partkey").alias("__pk")).agg(
         (
-            F.lit(0.2)
-            * (
-                F.sum(F.col("l_quantity").cast("decimal(18,6)")).cast("double")
-                / F.count(F.lit(1))
-            )
+            F.lit(0.2) * (exact_sum("l_quantity") / F.count(F.lit(1)))
         ).alias("__thresh")
     )
     return (
@@ -272,7 +268,7 @@ def q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = read_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
     o = read_table(spark, sf_dir, "orders")
     li = read_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
-    qty = F.sum(F.col("l_quantity").cast("decimal(18,6)"))
+    qty = exact_sum_dec("l_quantity")
     return (
         li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
         .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
@@ -354,7 +350,7 @@ def q20_promo_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     heavy = (
         li.join(F.broadcast(p.select("p_partkey")), F.col("l_partkey") == F.col("p_partkey"))
         .groupBy("l_suppkey")
-        .agg(F.sum(F.col("l_quantity").cast("decimal(18,6)")).alias("__q"))
+        .agg(exact_sum_dec("l_quantity").alias("__q"))
         .filter(F.col("__q") > 100)
         .select("l_suppkey")
     )

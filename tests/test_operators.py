@@ -30,6 +30,36 @@ def test_exact_sum_is_order_insensitive(spark):
     assert total == 1.0  # a plain double sum of this ordering drifts
 
 
+def test_exact_sum_matches_decimal_sum_bitwise(spark):
+    """The split-long formulation must reproduce Spark's decimal SUM bit
+    for bit: same HALF_UP rounding, same exact accumulation - including
+    negatives (floor-division radix decomposition), NULLs (skipped by all
+    three digit sums alike), and all-NULL groups (NULL out)."""
+    import random
+
+    rng = random.Random(20260815)
+    rows = [
+        ("g%d" % (i % 5), rng.uniform(-1e6, 1e6) if i % 11 else None)
+        for i in range(2000)
+    ]
+    rows += [("empty", None), ("edge", 0.0000005), ("edge", -0.0000005)]
+    df = spark.createDataFrame(rows, "g string, v double").repartition(7)
+    got = {
+        r.g: r.s
+        for r in df.groupBy("g").agg(exact_sum("v").alias("s")).collect()
+    }
+    want = {
+        r.g: r.s
+        for r in df.groupBy("g")
+        .agg(F.sum(F.col("v").cast("decimal(18,6)")).cast("double").alias("s"))
+        .collect()
+    }
+    assert got.keys() == want.keys()
+    for g in want:
+        assert repr(got[g]) == repr(want[g]), (g, got[g], want[g])
+    assert got["empty"] is None
+
+
 def test_semi_anti_partition_left(spark):
     left = spark.createDataFrame([(1, "a"), (2, "b"), (3, "c")], "k long, s string")
     right = spark.createDataFrame([(1,), (3,), (3,)], "k long")
