@@ -18,6 +18,15 @@ Scale notes (targeting a multi-executor cluster even though we test on
 * Parquet filter pushdown + vectorized reads stay enabled - the operators
   in this package are written declaratively precisely so Catalyst can use
   them.
+* Runtime Bloom-filter join reduction (``spark.sql.optimizer.runtime.
+  bloomFilter.*``) is left at defaults: it only engages when the
+  application-side scan exceeds 10 GiB, i.e. never at test scale but
+  automatically on the 100 TB deployment, where it prunes the probe side
+  of large joins (e.g. lineitem rows whose orderkey misses the filtered
+  orders set) before the shuffle. Verified to fire and stay correct with
+  the threshold lowered at a 24M-row fixture; not lowered by default
+  because local same-JVM shuffles are memory-speed and the measured local
+  gain is noise.
 * ``spark.sql.legacy.parquet.nanosAsLong`` is required because the driver
   testdata's ``events.ts`` column is parquet TIMESTAMP(NANOS), which Spark
   otherwise refuses to read; :mod:`reactive_data_pipeline_spark.sources`
