@@ -146,6 +146,38 @@ def exact_avg(col: Column | str, scale: int = 6, precision: int = 18) -> Column:
     return exact_sum(c, scale, precision) / F.count(c)
 
 
+def evaluate_once(df: DataFrame, cols: dict[str, Column]) -> DataFrame:
+    """Attach expensive expression columns so each is evaluated exactly
+    once per row, even under a downstream filter.
+
+    Catalyst pushes deterministic filter predicates back through
+    projections (substituting the alias's defining expression into the
+    condition) and does NOT run subexpression elimination inside Filter
+    predicates - so ``df.select(expr.alias("c")).filter(c > x)``
+    re-evaluates ``expr``'s whole tree once per reference. For
+    expression families that share a heavy subtree (the text-quality /
+    language-ID scores each re-tokenize the document), that multiplies
+    the dominant cost: the quality+language filter measured 3.66 s at
+    49k docs vs 0.7 s per score in a projection.
+
+    Routing the expressions through a one-element
+    ``explode(array(struct(...)))`` inserts a Generate node: generated
+    outputs cannot be pushed through, the struct is built once per row
+    inside whole-stage codegen (subexpression elimination applies), and
+    the plan stays fully pipelined - no materialization, no shuffle,
+    usable in streaming plans. Same filter: 1.45 s. (A localCheckpoint
+    barrier is marginally faster locally but materializes the whole
+    input - wrong trade at the 100 TB design point.)
+    """
+    packed = F.explode(
+        F.array(F.struct(*[c.alias(k) for k, c in cols.items()]))
+    ).alias("__once")
+    out = df.select("*", packed)
+    return out.select(
+        *df.columns, *[F.col(f"__once.{k}").alias(k) for k in cols]
+    )
+
+
 def top_k(df: DataFrame, order: list[Column], k: int) -> DataFrame:
     """O1 (``resources.py:31``): ORDER BY ... LIMIT k.
 

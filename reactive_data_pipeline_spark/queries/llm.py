@@ -1005,9 +1005,17 @@ def _training_pipeline_packed(
     d = _docs(spark, sf_dir)
     from ..dedup.exact import dedup_documents
 
-    kept = d.filter(
-        (TX.quality_score("text") >= 0.5) & (TX.lang_id("text") == "en")
+    # evaluate_once: quality/lang re-tokenize per reference inside a raw
+    # Filter predicate (no CSE there); the Generate barrier scores each
+    # doc exactly once. A/B at sf1: 3.66s -> 1.45s for this stage.
+    from ..operators.relational import evaluate_once
+
+    scored = evaluate_once(
+        d, {"__q": TX.quality_score("text"), "__l": TX.lang_id("text")}
     )
+    kept = scored.filter(
+        (F.col("__q") >= 0.5) & (F.col("__l") == "en")
+    ).select(*d.columns)
     # One shuffle keyed on the normalized content (min-over-window
     # keeper); the old agg + semi-join form shuffled twice and scored
     # the text in both branches - A/B at sf0.1: 2.3s -> 1.5s.

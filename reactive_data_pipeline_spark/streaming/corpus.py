@@ -33,6 +33,7 @@ from pyspark.sql.streaming import StreamingQuery
 
 from ..functions.text import fingerprint_md5, lang_id, quality_score
 from ..functions.chunking import chunk_documents, pack_bins
+from ..operators.relational import evaluate_once
 from ..sources.registry import read_stream
 from .merge_util import existing_or_empty
 
@@ -73,9 +74,15 @@ def ingest_batch(
         # passes (fingerprints not yet registered), and the shard dir is
         # simply rewritten. Registry-first would make that replay a
         # silent no-op with the shards never written.
-        kept = fresh.filter(
-            (quality_score("text") >= min_quality) & (lang_id("text") == lang)
+        # evaluate_once barrier: one scoring pass per doc (Filter
+        # predicates get no subexpression elimination); Generate is
+        # foreachBatch/streaming-safe.
+        scored = evaluate_once(
+            fresh, {"__q": quality_score("text"), "__l": lang_id("text")}
         )
+        kept = scored.filter(
+            (F.col("__q") >= min_quality) & (F.col("__l") == lang)
+        ).select(*fresh.columns)
         chunks = chunk_documents(kept, chunk_tokens=32, overlap=8).drop("chunk_text")
         packed = pack_bins(chunks, bin_tokens=128)
         packed.write.mode("overwrite").parquet(

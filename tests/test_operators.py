@@ -160,3 +160,38 @@ def test_salted_join_equals_plain_join(spark):
     plain = f.join(d, f["k"] == d["dk"])
     assert out.exceptAll(plain).count() == 0
     assert plain.exceptAll(out).count() == 0
+
+
+def test_evaluate_once_values_and_barrier(spark):
+    """evaluate_once must (a) add the named columns with exactly the
+    values of the raw expressions, (b) leave the input columns intact,
+    and (c) put a Generate between a downstream filter and the scan so
+    the filter cannot be substituted back into the expression trees."""
+    from reactive_data_pipeline_spark.operators.relational import evaluate_once
+
+    df = spark.createDataFrame(
+        [(1, "aa bb"), (2, "cc"), (3, "")], "id long, txt string"
+    )
+    out = evaluate_once(
+        df,
+        {
+            "n_words": F.size(F.split(F.col("txt"), " ")),
+            "upper": F.upper(F.col("txt")),
+        },
+    )
+    assert out.columns == ["id", "txt", "n_words", "upper"]
+    rows = {r.id: r for r in out.collect()}
+    assert rows[1].n_words == 2 and rows[1].upper == "AA BB"
+    assert rows[3].n_words == 1  # split("", " ") -> [""]
+
+    filtered = out.filter(F.col("n_words") >= 2)
+    assert [r.id for r in filtered.collect()] == [1]
+    filtered.collect()
+    plan = filtered._jdf.queryExecution().executedPlan().toString()
+    plan = plan.split("== Initial Plan ==")[0]
+    assert "Generate" in plan, plan
+    # the filter must sit ABOVE the Generate (on the generated struct),
+    # not be pushed into the scan
+    gen_pos = plan.index("Generate")
+    filt_pos = plan.index("Filter")
+    assert filt_pos < gen_pos, plan

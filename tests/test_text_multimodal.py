@@ -260,3 +260,27 @@ def test_pack_bins_bucketed_matches_global_rule_per_bucket(spark):
             run += n
         got = {(r.doc_id, r.chunk_idx): r.bin_id for r in packed if r.doc_id % 8 == b}
         assert got == expect
+
+
+def test_tokens_direct_split_identity(spark):
+    """tokens() is one split on \\s+; it must stay token-for-token equal
+    to the old normalize_ws + split(" ") form, INCLUDING the ""-sentinel
+    edges: trim() strips only ASCII spaces, so leading/trailing tab or
+    newline survives into an empty first/last token either way."""
+    cases = [
+        "plain words here",
+        "  Hello   WORLD  ",
+        "tab\tseparated\twords",
+        "\tleading tab",
+        "trailing newline\n",
+        "mixed \t\n whitespace nbsp",  # NBSP is NOT \s in Java regex
+        "",
+        "   ",
+        "one",
+    ]
+    df = spark.createDataFrame([(c,) for c in cases], "t string")
+    old = F.split(F.regexp_replace(F.lower(F.trim(F.col("t"))), r"\s+", " "), " ")
+    mismatch = df.select(
+        (TX.tokens("t") == old).alias("eq"), "t"
+    ).filter(~F.col("eq"))
+    assert mismatch.count() == 0, mismatch.collect()
