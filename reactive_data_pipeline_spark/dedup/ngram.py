@@ -1,20 +1,25 @@
 """N-gram Jaccard near-duplicate detection (exact, inverted-index form).
 
-The classic exact near-dup algorithm: explode each document's distinct
-token n-grams, self-join on the gram (an inverted-index join), count
-shared grams per pair, compute Jaccard. This is the *exact* counterpart
-that MinHash+LSH approximates; at web scale you run LSH first and this
-only on candidates (dedup.minhash does exactly that).
+The exact near-dup algorithm, in its scalable form: a PREFIX-FILTERED
+set-similarity self-join (AllPairs/PPJoin, Bayardo et al. 2007 "Scaling
+Up All Pairs Similarity Search") - index only each document's
+rarest-first prefix grams, join on those, verify every candidate with
+the full intersection. Exact output (the prefix theorem guarantees no
+qualifying pair is pruned); candidates scale with rare-gram document
+frequencies instead of the full inverted-index fanout. This is the
+exact counterpart that MinHash+LSH approximates; at web scale you run
+LSH first and this only on candidates (dedup.minhash does exactly that).
 
-Scale notes: the gram join shuffles on the gram value; very frequent
-grams (stopword-only n-grams) create skew and quadratic pair blowup, so
-production runs drop grams above a document-frequency cap - exposed as
-``max_doc_freq``.
+Scale notes: the candidate join shuffles on prefix grams; the
+rarest-first order makes those the lowest-fanout keys. The worst case
+(every doc's grams all near-ubiquitous) remains inherently quadratic -
+``max_doc_freq`` stays exposed as the approximation lever for that
+regime.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
@@ -47,31 +52,93 @@ def ngram_jaccard_pairs(
 
     Columns: doc_a, doc_b, jaccard (rounded to 6dp).
     """
-    # Persisted: the inverted-index self-join re-executes this subtree for
-    # both aliases; one shingle pass instead of two.
-    grams = (
+    # Prefix-filtered candidate generation (AllPairs / PPJoin family,
+    # Bayardo et al. 2007; Xiao et al. 2008): under any global total
+    # order on grams, two sets with J(a,b) >= t must share a gram within
+    # each set's first |s| - ceil(t*|s|) + 1 grams (J >= t implies
+    # overlap >= ceil(t*|s|) for BOTH sets, and an overlap that large
+    # cannot hide entirely in a suffix shorter than itself). Ordering
+    # grams rarest-first makes those prefixes the lowest-fanout index
+    # keys, so the self-join touches only rare grams - this is what
+    # turns the tiny-vocabulary unigram case from quadratic-in-df
+    # (timed out at 10x volume) into seconds, with EXACT output: the
+    # prefix filter only prunes candidates, and every candidate is
+    # verified with the full intersection.
+    base = (
         ensure_parallelism(docs)
         .select(F.col(id_col).alias("doc"), token_ngrams(text_col, n).alias("g"))
-        .select("doc", F.size("g").alias("n_grams"), F.explode("g").alias("gram"))
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    ex = base.select("doc", F.explode("g").alias("gram"))
+    df_tbl = ex.groupBy("gram").agg(F.count(F.lit(1)).alias("df"))
     if max_doc_freq is not None:
-        df_w = Window.partitionBy("gram")
-        grams = grams.withColumn("__df", F.count(F.lit(1)).over(df_w)).filter(
-            F.col("__df") <= max_doc_freq
-        ).drop("__df")
-    a, b = grams.alias("a"), grams.alias("b")
-    pairs = (
-        a.join(b, (F.col("a.gram") == F.col("b.gram")) & (F.col("a.doc") < F.col("b.doc")))
-        .groupBy(
-            F.col("a.doc").alias("doc_a"),
-            F.col("b.doc").alias("doc_b"),
-            F.col("a.n_grams").alias("na"),
-            F.col("b.n_grams").alias("nb"),
-        )
-        .agg(F.count(F.lit(1)).alias("shared"))
+        df_tbl = df_tbl.filter(F.col("df") <= max_doc_freq)
+    # Rarest-first global order = (df, gram): deterministic, total.
+    ordered = (
+        ex.join(df_tbl, "gram")
+        .groupBy("doc")
+        .agg(F.array_sort(F.collect_list(F.struct("df", "gram"))).alias("sg"))
     )
-    jac = F.col("shared").cast("double") / (F.col("na") + F.col("nb") - F.col("shared"))
-    return pairs.filter(jac >= threshold).select(
-        "doc_a", "doc_b", F.round(jac, 6).alias("jaccard")
+    # floor() instead of the theorem's ceil(): FP-safe in the conservative
+    # direction - a too-long prefix only adds candidates, never drops one.
+    plen = F.greatest(
+        F.size("sg") - F.floor(F.lit(threshold) * F.size("sg")).cast("int") + 1,
+        F.lit(1),
+    )
+    prefix = ordered.select(
+        "doc",
+        F.size("sg").alias("nidx"),
+        F.explode(F.transform(F.slice("sg", F.lit(1), plen), lambda s: s["gram"])).alias(
+            "gram"
+        ),
+    )
+    a, b = prefix.alias("a"), prefix.alias("b")
+    # Length filter (the AllPairs companion prune): J >= t forces
+    # min(|a|,|b|) >= t*max(|a|,|b|); checked loosely (+1 slack) so FP
+    # rounding can only ADMIT extra candidates - the verify stays exact.
+    len_ok = (
+        F.least(F.col("a.nidx"), F.col("b.nidx")) + 1
+        >= F.lit(threshold) * F.greatest(F.col("a.nidx"), F.col("b.nidx"))
+    )
+    cand = (
+        a.join(
+            b,
+            (F.col("a.gram") == F.col("b.gram"))
+            & (F.col("a.doc") < F.col("b.doc"))
+            & len_ok,
+        )
+        .select(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
+        .distinct()
+    )
+    # Exact verification on the full distinct-gram sets. With
+    # max_doc_freq set, capped grams are excluded from the index AND the
+    # intersection (the candidate-control approximation the cap buys)
+    # while |a|,|b| stay the true set sizes - same contract as the old
+    # inverted-index form.
+    if max_doc_freq is not None:
+        idx_grams = (
+            ex.join(df_tbl, "gram")
+            .groupBy("doc")
+            .agg(F.collect_set("gram").alias("gi"))
+        )
+        sides = base.join(idx_grams, "doc", "left").select(
+            "doc",
+            F.size("g").alias("n_grams"),
+            F.coalesce("gi", F.array().cast("array<string>")).alias("gv"),
+        )
+    else:
+        sides = base.select("doc", F.size("g").alias("n_grams"), F.col("g").alias("gv"))
+    va = sides.select(
+        F.col("doc").alias("doc_a"), F.col("n_grams").alias("na"), F.col("gv").alias("ga")
+    )
+    vb = sides.select(
+        F.col("doc").alias("doc_b"), F.col("n_grams").alias("nb"), F.col("gv").alias("gb")
+    )
+    shared = F.size(F.array_intersect("ga", "gb"))
+    jac = shared.cast("double") / (F.col("na") + F.col("nb") - shared)
+    return (
+        cand.join(va, "doc_a")
+        .join(vb, "doc_b")
+        .filter(jac >= threshold)
+        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
     )

@@ -1011,12 +1011,19 @@ def triangle_count_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     count plus a vertex-id-sum checksum so the oracle verifies the
     triangle SET, not just its size.
 
-    Scale: this is the standard edge-orientation optimization - the
-    join fan-out is bounded by per-vertex out-degree in the
-    DIRECTED-by-id orientation (max out-degree <= max co-purchase set),
-    and both joins partition on a vertex key. Degree-ordered
-    orientation (low-degree vertex first) drops the bound further on
-    skewed graphs; id-orientation keeps the oracle trivially portable.
+    Scale: DEGREE-ORDERED edge orientation (the Chiba-Nishizeki /
+    rank-based construction every production triangle counter uses):
+    every edge is directed from its lower-(degree, id) endpoint to the
+    higher, a strict total order, so each triangle is counted exactly
+    once from its rank-lowest vertex and the wedge-join fan-out is
+    bounded by the ORIENTED out-degree, O(sqrt(E)) on any graph -
+    instead of the raw degree, which grows linearly when a fixed part
+    catalog densifies under order volume (id-orientation timed out at
+    10x volume on exactly that; degree orientation runs it in seconds).
+    Both joins partition on a vertex key. The emitted count and
+    vertex-id-sum checksum are orientation-INVARIANT (a triangle's
+    vertex set does not depend on edge direction), so the id-oriented
+    SQL oracle pins the same values.
     """
     li = read_table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_partkey"
@@ -1030,12 +1037,41 @@ def triangle_count_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(F.col("a.l_partkey").alias("pa"), F.col("b.l_partkey").alias("pb"))
         .distinct()
+    )
+    deg = (
+        pairs.select(F.col("pa").alias("v"))
+        .unionByName(pairs.select(F.col("pb").alias("v")))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    da = deg.select(F.col("v").alias("pa"), F.col("d").alias("da"))
+    db = deg.select(F.col("v").alias("pb"), F.col("d").alias("db"))
+    lower_first = (F.col("da") < F.col("db")) | (
+        (F.col("da") == F.col("db")) & (F.col("pa") < F.col("pb"))
+    )
+    oriented = (
+        pairs.join(da, "pa")
+        .join(db, "pb")
+        .select(
+            F.when(lower_first, F.col("pa")).otherwise(F.col("pb")).alias("src"),
+            F.when(lower_first, F.col("pb")).otherwise(F.col("pa")).alias("dst"),
+            F.when(lower_first, F.col("db")).otherwise(F.col("da")).alias("ddst"),
+        )
         .localCheckpoint(eager=False)
     )
-    e1 = pairs.select(F.col("pa").alias("x"), F.col("pb").alias("y"))
-    e2 = pairs.select(F.col("pa").alias("y"), F.col("pb").alias("z"))
-    e3 = pairs.select(F.col("pa").alias("x"), F.col("pb").alias("z"))
-    tri = e1.join(e2, "y").join(e3, ["x", "z"])
+    # Wedge from the rank-lowest vertex x: out-edges x->y, x->z with
+    # rank(y) < rank(z); the closing edge is then oriented y->z.
+    e1 = oriented.select(
+        F.col("src").alias("x"), F.col("dst").alias("y"), F.col("ddst").alias("dy")
+    )
+    e2 = oriented.select(
+        F.col("src").alias("x"), F.col("dst").alias("z"), F.col("ddst").alias("dz")
+    )
+    rank_lt = (F.col("dy") < F.col("dz")) | (
+        (F.col("dy") == F.col("dz")) & (F.col("y") < F.col("z"))
+    )
+    e3 = oriented.select(F.col("src").alias("y"), F.col("dst").alias("z"))
+    tri = e1.join(e2, "x").filter(rank_lt).join(e3, ["y", "z"])
     return tri.agg(
         F.count(F.lit(1)).cast("long").alias("n_triangles"),
         F.coalesce(F.sum(F.col("x") + F.col("y") + F.col("z")), F.lit(0))
@@ -1270,8 +1306,18 @@ def kcore_peel_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint(eager=True)
     )
     stats = []
+    # One edge-scale aggregate per round: the post-peel degree frame (at
+    # most one row per vertex, checkpointed) IS every stat this round
+    # reports - n_nodes = its row count, n_directed = sum of degrees,
+    # node_id_sum = sum of its keys - AND the peel set for the next
+    # round. The old form paid a degree aggregate + a distinct + two
+    # aggregates per round over the full edge list; on the densified
+    # 10x-volume co-purchase graph that was ~4 edge-scale passes x 8
+    # rounds. Values are identical (same degree definition).
+    deg = cur.groupBy("u").agg(F.count(F.lit(1)).alias("d")).localCheckpoint(
+        eager=True
+    )
     for i in range(1, _KCORE_ROUNDS + 1):
-        deg = cur.groupBy("u").agg(F.count(F.lit(1)).alias("d"))
         keep = deg.filter(F.col("d") >= _KCORE_K).select("u")
         cur = (
             cur.join(keep, "u")
@@ -1279,17 +1325,15 @@ def kcore_peel_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("u", "v")
             .localCheckpoint(eager=True)
         )
-        node_stats = (
-            cur.select("u")
-            .distinct()
-            .agg(
-                F.count(F.lit(1)).cast("long").alias("n_nodes"),
-                F.coalesce(F.sum("u"), F.lit(0)).cast("long").alias("node_id_sum"),
-            )
+        deg = cur.groupBy("u").agg(F.count(F.lit(1)).alias("d")).localCheckpoint(
+            eager=True
         )
-        edge_stats = cur.agg(F.count(F.lit(1)).cast("long").alias("n_directed"))
         stats.append(
-            node_stats.crossJoin(F.broadcast(edge_stats)).select(
+            deg.agg(
+                F.count(F.lit(1)).cast("long").alias("n_nodes"),
+                F.coalesce(F.sum("d"), F.lit(0)).cast("long").alias("n_directed"),
+                F.coalesce(F.sum("u"), F.lit(0)).cast("long").alias("node_id_sum"),
+            ).select(
                 F.lit(i).cast("long").alias("round"),
                 "n_nodes",
                 "n_directed",

@@ -1,0 +1,109 @@
+"""Volume smoke: run every catalog query Spark-side at 10x/40x volume.
+
+The oracle parity sweep proves CORRECTNESS at sf0.01; the bench set
+proves THROUGHPUT at volume for 25 queries. This tool covers the gap
+the round-6 volume axis exposed: volume-dependent DEFECTS (heap
+exhaustion, key-space saturation, spill blowups) in the ~200 catalog
+queries that are neither benched nor oracle-run at scale. It executes
+every registered query against a scaled fixture (tools/scale_data.py
+output), drains it with a count-style collect, and reports
+seconds/rows per query - failures and timeouts are the findings.
+
+No DuckDB side: most oracles are intentionally unscalable twins
+(exact all-pairs ground truth of linear paths) and correctness at
+volume is pinned by determinism + the sf0.01 sweep; this measures
+that the SPARK plans survive the volume.
+
+Skips (by design, each a check-scale-only construction):
+
+* the brute-force/recall-contract legs - their ground-truth side is
+  O(N^2) on purpose (`*_recall_contract`, `embedding_neardup_pairs`,
+  `ann_recall_contract`);
+* `semdedup_cluster_pairs` - O(N^2/k) with k fixed at the check-scale
+  value; deployments scale k ~ N (see similarity/centroid.py).
+
+A watchdog cancels a query's job group after --timeout seconds
+(default 120) so one runaway cannot eat the sweep; a timeout is
+reported as TIMEOUT, which at 10x volume is itself a scale defect to
+investigate.
+
+Usage: python tools/volume_smoke.py [sf_dir] [--timeout N] [name ...]
+"""
+
+from __future__ import annotations
+
+import sys
+import threading
+import time
+
+sys.path.insert(0, "/root/repo")
+
+from reactive_data_pipeline_spark import get_spark  # noqa: E402
+from reactive_data_pipeline_spark.queries import QUERIES  # noqa: E402
+
+#: check-scale-only constructions (quadratic by design), with reasons.
+SKIP: dict[str, str] = {
+    "embedding_neardup_pairs": "exact all-pairs ground truth (O(N^2) by design)",
+    "ann_recall_contract": "brute-force exact-top-k ground-truth leg",
+    "minhash_recall_contract": "exact all-pairs Jaccard ground-truth leg",
+    "simhash_recall_contract": "exact all-pairs hamming ground-truth leg",
+    "embedding_recall_contract": "exact all-pairs cosine ground-truth leg",
+    "semdedup_cluster_pairs": "O(N^2/k) with check-scale fixed k; deployments scale k ~ N",
+}
+
+
+def run(sf_dir: str, names: list[str], timeout: float) -> int:
+    spark = get_spark()
+    sc = spark.sparkContext
+    failures = 0
+    for i, name in enumerate(names):
+        if name in SKIP:
+            print(f"skip {name}: {SKIP[name]}")
+            continue
+        group = f"smoke-{name}"
+        sc.setJobGroup(group, name, interruptOnCancel=True)
+        done = threading.Event()
+
+        def watchdog() -> None:
+            if not done.wait(timeout):
+                sc.cancelJobGroup(group)
+
+        w = threading.Thread(target=watchdog, daemon=True)
+        w.start()
+        t0 = time.time()
+        try:
+            df = QUERIES[name].build(spark, sf_dir)
+            n = df.count()
+            dt = time.time() - t0
+            flag = " SLOW" if dt > timeout / 2 else ""
+            print(f"ok   {name}: {n} rows ({dt:.1f}s){flag} [{i + 1}/{len(names)}]")
+        except Exception as e:  # noqa: BLE001 - report and continue
+            dt = time.time() - t0
+            kind = "TIMEOUT" if dt >= timeout else "FAIL"
+            first = str(e).splitlines()[0][:160] if str(e) else type(e).__name__
+            print(f"{kind} {name} ({dt:.1f}s): {first}")
+            failures += 1
+        finally:
+            done.set()
+            # reset the group (PySpark has no clearJobGroup)
+            sc.setJobGroup("smoke-idle", "between queries")
+    return failures
+
+
+def main() -> None:
+    args = [a for a in sys.argv[1:]]
+    timeout = 120.0
+    if "--timeout" in args:
+        i = args.index("--timeout")
+        timeout = float(args[i + 1])
+        del args[i : i + 2]
+    sf_dir = args[0] if args else "/tmp/spark_graft_scale/sf1"
+    names = args[1:] or list(QUERIES)
+    failures = run(sf_dir, names, timeout)
+    print(f"\n{len(names) - failures}/{len(names)} completed "
+          f"(skipped {sum(1 for n in names if n in SKIP)})")
+    sys.exit(1 if failures else 0)
+
+
+if __name__ == "__main__":
+    main()
