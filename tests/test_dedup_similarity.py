@@ -354,3 +354,37 @@ def test_ivf_sampled_fit_assigns_everything_deterministically(spark):
     assert len(rows) == n  # every row assigned, not just the fit slice
     valid_cells = {c for c, _ in centers}
     assert {c for _, c in rows} <= valid_cells
+
+
+def test_ngram_jaccard_prefix_filter_matches_brute_force(spark):
+    """The prefix-filtered set-similarity join must emit EXACTLY the
+    brute-force pair set at several thresholds - the prefix theorem
+    says no qualifying pair can be pruned, and the verify step kills
+    every false candidate. Randomized docs over a small vocabulary so
+    gram document-frequencies span rare->ubiquitous (the regime the
+    rarest-first order must handle)."""
+    import itertools
+    import random
+
+    rng = random.Random(20260815)
+    vocab = [f"w{i}" for i in range(30)]
+    rows = [
+        (i, " ".join(rng.choices(vocab, k=rng.randint(1, 25))))
+        for i in range(60)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    sets = {i: frozenset(t.split()) for i, t in rows}
+    for threshold in (0.3, 0.5, 0.9):
+        want = {}
+        for a, b in itertools.combinations(sorted(sets), 2):
+            inter = len(sets[a] & sets[b])
+            union = len(sets[a] | sets[b])
+            j = inter / union if union else 0.0
+            if j >= threshold:
+                want[(a, b)] = round(j, 6)
+        got = {
+            (r.doc_a, r.doc_b): r.jaccard
+            for r in ngram_jaccard_pairs(docs, n=1, threshold=threshold).collect()
+        }
+        assert got == want, (threshold, got.keys() ^ want.keys())
