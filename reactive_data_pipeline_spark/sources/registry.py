@@ -18,10 +18,16 @@ conversion exact (a double division would lose precision above 2^53 ns).
 
 from __future__ import annotations
 
+from weakref import WeakKeyDictionary
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .. import schemas
+
+#: Per-session memo of normalized table scans; weak keys so a stopped
+#: session's entries die with it (a fresh session re-infers).
+_SCAN_CACHE: WeakKeyDictionary = WeakKeyDictionary()
 
 
 def table_path(sf_dir: str, name: str) -> str:
@@ -53,10 +59,25 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     (shingling, hashing, vector math, regex batteries) opt in explicitly
     via :func:`operators.relational.ensure_parallelism`, where the same
     repartition wins 10-30x on a degenerate single-file layout.
+
+    Scans are memoized per (session, sf_dir, table): ``read.parquet``
+    runs a schema-inference job against the footers on EVERY call
+    (~0.1-0.2 s), which repeated query builds would pay again and again
+    for the same immutable table - the metadata caching every
+    catalog-backed engine does. The driver tables are fixtures that
+    never change within a session; code that mutates a parquet path it
+    then re-reads must use ``spark.read`` directly (the streaming/merge
+    paths already do).
     """
-    df = spark.read.parquet(table_path(sf_dir, name))
-    norm = _NORMALIZERS.get(name)
-    return norm(df) if norm else df
+    per_session = _SCAN_CACHE.setdefault(spark, {})
+    key = (sf_dir, name)
+    got = per_session.get(key)
+    if got is None:
+        df = spark.read.parquet(table_path(sf_dir, name))
+        norm = _NORMALIZERS.get(name)
+        got = norm(df) if norm else df
+        per_session[key] = got
+    return got
 
 
 def read_stream(

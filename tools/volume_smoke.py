@@ -52,9 +52,13 @@ SKIP: dict[str, str] = {
 }
 
 
-def run(sf_dir: str, names: list[str], timeout: float) -> int:
+def _fresh_session():
     spark = get_spark()
-    sc = spark.sparkContext
+    return spark, spark.sparkContext
+
+
+def run(sf_dir: str, names: list[str], timeout: float) -> int:
+    spark, sc = _fresh_session()
     failures = 0
     for i, name in enumerate(names):
         if name in SKIP:
@@ -64,7 +68,7 @@ def run(sf_dir: str, names: list[str], timeout: float) -> int:
         sc.setJobGroup(group, name, interruptOnCancel=True)
         done = threading.Event()
 
-        def watchdog() -> None:
+        def watchdog(sc=sc, group=group) -> None:
             if not done.wait(timeout):
                 sc.cancelJobGroup(group)
 
@@ -83,10 +87,27 @@ def run(sf_dir: str, names: list[str], timeout: float) -> int:
             first = str(e).splitlines()[0][:160] if str(e) else type(e).__name__
             print(f"{kind} {name} ({dt:.1f}s): {first}")
             failures += 1
+            done.set()
+            # A query that dies hard (OOM, GC-locker death) can take the
+            # whole JVM with it, turning every later query into an
+            # instant false FAIL on the dead context - probe and restart
+            # so one casualty cannot poison the sweep.
+            try:
+                spark.range(1).count()
+            except Exception:
+                print("     (SparkContext dead - restarting session)")
+                try:
+                    spark.stop()
+                except Exception:
+                    pass
+                spark, sc = _fresh_session()
         finally:
             done.set()
-            # reset the group (PySpark has no clearJobGroup)
-            sc.setJobGroup("smoke-idle", "between queries")
+            try:
+                # reset the group (PySpark has no clearJobGroup)
+                sc.setJobGroup("smoke-idle", "between queries")
+            except Exception:
+                pass
     return failures
 
 
