@@ -129,12 +129,18 @@ CHECK_PRIORITY: tuple[str, ...] = (
     "embedding_neardup_lsh",
     "mm_resize",
     "mm_frame_sample",
-    # --- re-checks: this round's changed machinery + oracle twins ---
+    # --- re-checks: this round's changed machinery + oracle twins.
+    # Round-6 continuations rewrote: the exact-sum radix digits (q1/q6/
+    # sessionize/events_daily/salted/reagg ride them), the score-once
+    # barrier in pipelines v1/v2 + corpus ingest, tokens() (udtf/ngram
+    # consumers), the prefix-filtered ngram join (+ its CC consumer),
+    # degree-oriented triangles, the kcore loop, the 30d window revert,
+    # and the pyds sink staging (earlier in round 6). ---
     "ann_recall_contract",
     "knn_brute_cosine",
-    "kmeans_embedding_clusters",
-    "retrieve_rerank_cell",
-    "semdedup_cluster_pairs",
+    "ngram_jaccard_pairs",
+    "triangle_count_copurchase",
+    "kcore_peel_rounds",
     "minhash_recall_contract",
     "simhash_recall_contract",
     "embedding_recall_contract",
@@ -148,10 +154,10 @@ CHECK_PRIORITY: tuple[str, ...] = (
     "scd2_stream_dim",
     "corpus_ingest_incremental",
     "streaming_neardup_contract",
-    "bpe_train_rounds",
-    "recursive_cte_bfs",
+    "salted_user_totals",
+    "reagg_daily_to_weekly",
     "udtf_trigram_top",
-    "pagerank_copurchase",
+    "window_range_30d_totals",
     "q6_forecast_revenue",
     "sessionize_events",
     "events_daily_activity",
