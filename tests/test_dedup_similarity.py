@@ -388,3 +388,66 @@ def test_ngram_jaccard_prefix_filter_matches_brute_force(spark):
             for r in ngram_jaccard_pairs(docs, n=1, threshold=threshold).collect()
         }
         assert got == want, (threshold, got.keys() ^ want.keys())
+
+
+def test_connected_components_randomized_vs_union_find(spark):
+    """Round-7 rewrite guard (large-star/small-star): random graphs vs
+    a plain python union-find — labels must be the min reachable id."""
+    import random
+
+    from reactive_data_pipeline_spark.dedup import connected_components
+
+    rng = random.Random(71)
+    for trial, (n, m) in enumerate([(40, 25), (60, 90), (30, 0), (50, 200)]):
+        nodes = spark.createDataFrame([(i,) for i in range(n)], "id long")
+        pairs = {(rng.randrange(n), rng.randrange(n)) for _ in range(m)}
+        pairs = [(a, b) for a, b in pairs if a != b]
+        parent = list(range(n))
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in pairs:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        want = {i: find(i) for i in range(n)}
+        edges = spark.createDataFrame(pairs or [(0, 0)], "a long, b long")
+        got = {
+            r.id: r.component
+            for r in connected_components(nodes, edges).collect()
+        }
+        assert got == want, f"trial {trial}"
+
+
+def test_connected_components_frontier_shrinks(spark):
+    """The at-scale property the round-7 rewrite exists for: the live
+    edge set COLLAPSES as stars form (a k-clique's k(k-1)/2 edges
+    become k-1 after one round), so late rounds shuffle only the
+    unconverged frontier — and the round count is far below the
+    O(diameter) of label propagation."""
+    import itertools
+
+    from reactive_data_pipeline_spark.dedup import connected_components
+
+    clique = list(itertools.combinations(range(30), 2))  # 435 edges
+    chain = [(i, i + 1) for i in range(100, 164)]  # diameter 64
+    nodes = spark.createDataFrame(
+        [(i,) for i in range(30)] + [(i,) for i in range(100, 165)], "id long"
+    )
+    edges = spark.createDataFrame(clique + chain, "a long, b long")
+    stats: list = []
+    got = connected_components(nodes, edges, stats_out=stats).collect()
+    comps = {r.id: r.component for r in got}
+    assert all(comps[i] == 0 for i in range(30))
+    assert all(comps[i] == 100 for i in range(100, 165))
+    counts = [s["edges"] for s in stats]
+    # clique collapsed in round 1: 435+64 edges -> ~29+64 live
+    assert counts[0] <= 29 + 64
+    # monotone non-increasing live set (the frontier never grows)
+    assert all(a >= b for a, b in zip(counts, counts[1:])), counts
+    # O(log^2) rounds, not O(diameter)=64
+    assert len(counts) <= 12, counts
