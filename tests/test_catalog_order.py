@@ -1,19 +1,39 @@
 """The external gate hash-checks a prefix of the catalog (the first 50
-registrations). Each round rotates the window onto queries with no
-prior driver row, keeping a few canaries. These tests pin the rotation
-contract: the head stays the registration prefix, spends its slots on
-oracle-paired queries, is mostly NEW (>= 45 without a prior driver
-row), and the CUMULATIVE checked set across rounds still spans every
-operator family. Per-round history is frozen here as literals (the key
-sets of the committed CORRECTNESS_r0N.json artifacts) and cross-checked
-against those files so the accounting cannot drift."""
+registrations). Rounds 1-6 rotated the window for COVERAGE (the
+never-checked pool hit 0 in round 6: cumulative 228/228). From round 7
+the window follows the STEADY-STATE staleness-clock policy (round-6
+verdict #1), derived mechanically by ``derive_check_window`` — no
+hand-picked list can pass:
+
+1. canaries — the flagship pipelines, the relational anchor, and the
+   reactive stream, re-checked every round;
+2. this round's changed machinery — ``queries.ROUND_CHANGED`` declares
+   every catalog query whose operators were rewritten in-round;
+3. the rows-only entries — value-hash-uncheckable by construction, so
+   the weaker rows-check itself must keep executing;
+4. stale-fill — the remaining slots go to the queries whose last green
+   driver row is OLDEST (ties broken by name), so evidence age is
+   bounded by ~(catalog / window) rounds for every query.
+
+Per-round history is frozen here as literals (the key sets of the
+committed CORRECTNESS_r0N.json artifacts) and cross-checked against
+those files so the accounting cannot drift."""
 
 import json
 from pathlib import Path
 
-from reactive_data_pipeline_spark.queries import CHECK_PRIORITY, QUERIES
+from reactive_data_pipeline_spark.queries import CHECK_PRIORITY, QUERIES, ROUND_CHANGED
 
 CHECKED_WINDOW = 50
+
+#: Re-checked every round: the composed flagships (most machinery per
+#: query), the relational anchor, and the streaming path.
+CANARIES = (
+    "training_data_pipeline",
+    "q1_pricing_summary",
+    "reactive_ticker_meta_stream",
+    "training_data_pipeline_v2",
+)
 
 #: Keys of CORRECTNESS_r01.json - the 50 queries the driver
 #: verified in round 1.
@@ -156,10 +176,72 @@ ROUND5_CHECKED = frozenset(
     }
 )
 
-PRIOR_ROUNDS_CHECKED = (
-    ROUND1_CHECKED | ROUND2_CHECKED | ROUND3_CHECKED | ROUND4_CHECKED
-    | ROUND5_CHECKED
+#: Keys of CORRECTNESS_r06.json - the 50 queries the driver
+#: verified in round 6 (the closure round: cumulative 228/228).
+ROUND6_CHECKED = frozenset(
+    {
+        "ann_recall_contract", "arrow_char_lengths",
+        "corpus_ingest_incremental", "cross_source_dup_matrix",
+        "customer_rfm_segments", "dedup_rate_by_source",
+        "dup_ngram_coverage", "embedding_dim_moments",
+        "embedding_neardup_lsh", "embedding_neardup_pairs",
+        "embedding_recall_contract", "event_gap_log_histogram",
+        "events_daily_activity", "events_dow_hour_heatmap",
+        "kcore_peel_rounds", "knn_brute_cosine", "knn_ivf_cosine",
+        "knn_lsh_cosine", "minhash_dedup_groups",
+        "minhash_neardup_pairs", "minhash_recall_contract",
+        "mm_frame_sample", "mm_resize", "neardup_groups_connected",
+        "nearest_centroid_confusion", "ngram3_jaccard_pairs",
+        "ngram_jaccard_pairs", "pyds_ticker_feed",
+        "pyds_ticker_roundtrip", "q1_pricing_summary",
+        "q6_forecast_revenue", "reactive_ticker_meta_stream",
+        "reagg_daily_to_weekly", "salted_user_totals",
+        "scd2_stream_dim", "sessionize_events", "simhash_near_pairs",
+        "simhash_recall_contract", "source_vocab_jaccard",
+        "streaming_neardup_contract", "temperature_mix_rates",
+        "token_cooccurrence_top", "training_data_pipeline",
+        "training_data_pipeline_v2", "training_shards_manifest",
+        "triangle_count_copurchase", "udtf_trigram_top",
+        "user_activity_freq_spectrum", "window_range_30d_totals",
+        "winsorized_quantity_stats",
+    }
 )
+
+#: round -> frozen driver-checked key set; the staleness clock.
+ROUND_HISTORY: dict[int, frozenset] = {
+    1: ROUND1_CHECKED,
+    2: ROUND2_CHECKED,
+    3: ROUND3_CHECKED,
+    4: ROUND4_CHECKED,
+    5: ROUND5_CHECKED,
+    6: ROUND6_CHECKED,
+}
+
+PRIOR_ROUNDS_CHECKED = frozenset().union(*ROUND_HISTORY.values())
+
+
+def last_green_round(name: str) -> int:
+    """The most recent round whose driver window included ``name``
+    (0 = never; impossible since the round-6 closure)."""
+    return max((r for r, s in ROUND_HISTORY.items() if name in s), default=0)
+
+
+def derive_check_window(window: int = CHECKED_WINDOW) -> tuple[str, ...]:
+    """The steady-state check window, derived mechanically: canaries +
+    this round's changed machinery + the rows-only entries + the
+    longest-unchecked queries (oldest last-green first, name tiebreak)."""
+    rows_only = sorted(n for n in QUERIES if QUERIES[n].oracle is None)
+    head: list[str] = []
+    for section in (CANARIES, ROUND_CHANGED, rows_only):
+        head.extend(n for n in section if n not in head)
+    assert len(head) <= window, "pinned sections alone overflow the window"
+    stale = sorted(
+        (n for n in QUERIES if n not in head),
+        key=lambda n: (last_green_round(n), n),
+    )
+    head.extend(stale[: window - len(head)])
+    return tuple(head)
+
 
 _ROOT = Path(__file__).resolve().parent.parent
 
@@ -168,13 +250,7 @@ def test_frozen_history_matches_correctness_artifacts():
     """The frozen per-round sets must equal the committed driver
     artifacts - if a round's CORRECTNESS file exists but is not frozen
     here, every rotation count downstream is wrong."""
-    frozen = {
-        1: ROUND1_CHECKED,
-        2: ROUND2_CHECKED,
-        3: ROUND3_CHECKED,
-        4: ROUND4_CHECKED,
-        5: ROUND5_CHECKED,
-    }
+    frozen = ROUND_HISTORY
     for r, names in frozen.items():
         path = _ROOT / f"CORRECTNESS_r0{r}.json"
         assert set(json.load(path.open())) == set(names), f"round {r} drifted"
@@ -193,17 +269,43 @@ def test_priority_head_is_the_registration_prefix():
     assert len(CHECK_PRIORITY) <= CHECKED_WINDOW
 
 
-def test_head_rotates_to_unchecked_queries():
-    """Round-6 closure (verdict #1): the never-checked pool is down to
-    22, so the window must contain ALL of them - after this round every
-    catalog query has a driver row at least once (cumulative 228/228).
-    The other 28 slots are canaries + re-checks of queries whose
-    machinery changed this round (IVF quantizer, recall floors, pyds
-    sink staging) and their oracle twins."""
+def test_window_matches_staleness_policy():
+    """Round-7+ steady state (round-6 verdict #1): the window is not a
+    hand-picked list - it must EQUAL the mechanically derived one
+    (canaries + ROUND_CHANGED + rows-only + oldest-last-green fill)."""
+    assert tuple(CHECK_PRIORITY) == derive_check_window(), (
+        "CHECK_PRIORITY drifted from the staleness policy - regenerate "
+        "with `python tools/next_cohort.py --emit` and paste into "
+        "queries/__init__.py"
+    )
+
+
+def test_round_changed_names_are_registered():
+    """ROUND_CHANGED is this round's declaration of rewritten machinery;
+    a stale/typo'd name would silently burn a window slot."""
+    unknown = [n for n in ROUND_CHANGED if n not in QUERIES]
+    assert not unknown, unknown
+
+
+def test_evidence_age_is_bounded():
+    """The point of the staleness clock: with ~228 queries, a 50-slot
+    window and ~10 pinned slots, every query's last green driver row
+    stays within ~6 rounds of the current one. Guard the arithmetic:
+    after THIS window runs, no query's evidence may be older than 6
+    rounds (pinned sections cannot starve the stale fill)."""
+    this_round = max(ROUND_HISTORY) + 1
     head = set(list(QUERIES)[:CHECKED_WINDOW])
-    never_checked = set(QUERIES) - PRIOR_ROUNDS_CHECKED
-    left_out = never_checked - head
-    assert not left_out, f"never-driver-checked queries not in the window: {sorted(left_out)}"
+    worst = min(
+        (n for n in QUERIES if n not in head), key=last_green_round, default=None
+    )
+    oldest = min(
+        (last_green_round(n) for n in QUERIES if n not in head),
+        default=this_round,
+    )
+    assert this_round - oldest <= 6, (
+        f"stale tail too old (last green r{oldest}, e.g. {worst}): "
+        "the window is not keeping up - shrink pinned sections"
+    )
 
 
 def test_cumulative_checked_set_spans_every_family():
@@ -238,12 +340,10 @@ def test_cumulative_checked_set_spans_every_family():
 
 
 def test_priority_head_fully_oracle_checked():
-    """Rows-only entries get only the weak check, so window slots go to
-    value-hash-checkable queries - EXCEPT the round-6 closure round,
-    which deliberately spends 4 slots driving the last
+    """The steady-state window deliberately pins the 4
     rows-only-by-construction entries (each justified in CATALOG.md's
-    "why rows-only" section; 4 of the original 8 were hardened into
-    oracle contracts instead) so cumulative coverage reaches 228/228."""
+    "why rows-only" section) so the driver's weaker rows-check keeps
+    executing every round; every OTHER slot must be oracle-paired."""
     head = list(QUERIES)[:CHECKED_WINDOW]
     rows_only = {n for n in head if QUERIES[n].oracle is None}
     allowed = {
