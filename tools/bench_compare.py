@@ -1,0 +1,114 @@
+"""Bench-regression comparator (round-6 verdict #4): compare two bench
+artifacts with probe normalization and enforce the >1.5x-needs-a-
+plan-diff rule that BENCH_NOTES.md previously applied by hand.
+
+    python tools/bench_compare.py BENCH_r06.json BENCH_r07.json
+
+Per query present in both artifacts it prints old/new seconds and the
+probe-normalized ratio (each time divided by its window's probe_sec,
+so host-state drift between windows cancels to first order). Entries
+over --threshold (default 1.5x) with a runtime above --floor (default
+0.4 s - below that, local scheduling jitter dominates and a ratio is
+noise) REQUIRE an annotation line in BENCH_NOTES.md of the form
+
+    plan_changed[<query>]: <one-line reason>
+
+otherwise the tool exits 1. An annotation for a query that is NOT
+flagged is reported as stale (but not fatal) so the notes file cannot
+accrete dead waivers.
+"""
+
+from __future__ import annotations
+
+import json
+import re
+import sys
+from pathlib import Path
+
+_ROOT = Path(__file__).resolve().parent.parent
+
+
+def load(path_arg: str) -> dict:
+    p = Path(path_arg)
+    if not p.exists() and not path_arg.endswith(".json"):
+        p = _ROOT / f"{path_arg}.json"
+    if not p.exists():
+        p = _ROOT / path_arg
+    data = json.loads(p.read_text())
+    parsed = data.get("parsed", data)  # driver artifact wraps the JSON line
+    if "queries" not in parsed:
+        raise SystemExit(f"{p}: no 'queries' payload")
+    return parsed
+
+
+def annotations() -> dict[str, str]:
+    notes = _ROOT / "BENCH_NOTES.md"
+    if not notes.exists():
+        return {}
+    out: dict[str, str] = {}
+    for m in re.finditer(
+        r"^\s*plan_changed\[([a-z0-9_]+)\]:\s*(.+)$", notes.read_text(), re.M
+    ):
+        out[m.group(1)] = m.group(2).strip()
+    return out
+
+
+def main() -> None:
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    opts = {a.split("=")[0]: a.split("=", 1)[1] for a in sys.argv[1:] if "=" in a}
+    threshold = float(opts.get("--threshold", 1.5))
+    floor = float(opts.get("--floor", 0.4))
+    if len(args) != 2:
+        raise SystemExit(__doc__)
+    old, new = load(args[0]), load(args[1])
+    po, pn = old.get("probe_sec"), new.get("probe_sec")
+    norm = (pn / po) if po and pn else 1.0
+    print(f"probe_sec: {po} -> {pn}  (normalizer {norm:.3f}); "
+          f"threshold {threshold}x above {floor}s")
+    notes = annotations()
+    flagged: list[str] = []
+    common = [q for q in old["queries"] if q in new["queries"]]
+    print(f"\n| query | old s | new s | norm ratio | |")
+    print("|---|---|---|---|---|")
+    rows = []
+    for q in common:
+        a, b = old["queries"][q], new["queries"][q]
+        ratio = (b / a) / norm if a else float("inf")
+        rows.append((ratio, q, a, b))
+    for ratio, q, a, b in sorted(rows, reverse=True):
+        mark = ""
+        if ratio > threshold and max(a, b) >= floor:
+            mark = f"ANNOTATED: {notes[q]}" if q in notes else "**REGRESSION**"
+            if q not in notes:
+                flagged.append(q)
+        print(f"| {q} | {a:.3f} | {b:.3f} | {ratio:.2f}x | {mark} |")
+    only_old = sorted(set(old["queries"]) - set(new["queries"]))
+    only_new = sorted(set(new["queries"]) - set(old["queries"]))
+    if only_old:
+        print(f"\ndropped from bench set: {only_old}")
+    if only_new:
+        print(f"added to bench set: {only_new}")
+    stale = sorted(
+        q for q in notes
+        if q in new["queries"]
+        and not any(q == r[1] and r[0] > threshold and max(r[2], r[3]) >= floor
+                    for r in rows)
+    )
+    if stale:
+        print(f"\nstale plan_changed annotations (query no longer flagged): {stale}")
+    tot_o = sum(old["queries"][q] for q in common)
+    tot_n = sum(new["queries"][q] for q in common)
+    print(f"\ncommon-set total: {tot_o:.2f}s -> {tot_n:.2f}s "
+          f"(norm ratio {(tot_n / tot_o) / norm:.2f}x over {len(common)} queries)")
+    if flagged:
+        print(
+            f"\nFAIL: {len(flagged)} unannotated >{threshold}x entries: {flagged}\n"
+            "add `plan_changed[<query>]: reason` lines to BENCH_NOTES.md "
+            "(only for genuine plan restatements - fix real regressions instead)"
+        )
+        sys.exit(1)
+    print("\nOK: no unannotated regressions")
+
+
+if __name__ == "__main__":
+    main()
