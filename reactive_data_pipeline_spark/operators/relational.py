@@ -100,6 +100,14 @@ def exact_sum(col: Column | str, scale: int = 6, precision: int = 18) -> Column:
 
     ``precision > 18`` falls back to the decimal buffer (unscaled value
     would not fit a long).
+
+    Overflow bound: a digit accumulator exceeds a long past ~4.4e12
+    non-null rows per group. The failure is LOUD, not a wrap - Spark 4
+    runs ANSI by default (this repo never disables it), where long-sum
+    overflow raises ARITHMETIC_OVERFLOW; pinned by
+    tests/test_engine_assumptions.py::test_radix_digit_overflow_fails_loudly.
+    Mega-group aggregations beyond that bound should pass
+    ``precision=19+`` to route through the decimal buffer.
     """
     return exact_sum_dec(col, scale, precision).cast("double")
 

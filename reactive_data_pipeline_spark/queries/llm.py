@@ -566,6 +566,15 @@ def _knn_rank_contract(
     )
 
 
+# FIXTURE COUPLING (ADVICE r6): this oracle hardcodes n_approx=10 and
+# TRUE overlap floors, and the minhash_neardup_pairs/_dedup_groups
+# oracles assume LSH recall EXACTLY 1.0 at the check SFs - all
+# empirical pins MEASURED on the current /root/testdata fixtures
+# (floors: ivf>=5@10, 3@5; lsh>=7@10, 4@5). A regenerated testdata set,
+# changed ANN parameters, or a new check SF must re-measure and update
+# these in the SAME change: run knn_{{ivf,lsh}}_cosine +
+# minhash_recall_contract at both check SFs and transcribe the observed
+# overlaps/recall (deliberate tight gates, not spec bounds).
 _KNN_CONTRACT_SQL = f"""
     WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
     exact AS (

@@ -204,6 +204,11 @@ def register_ticker_feed(spark) -> None:
 # Write path: a custom Python sink with two-phase commit
 # ---------------------------------------------------------------------------
 
+#: Staging files older than this are orphans of crashed/zombie jobs
+#: (their uuid-scoped sweep never ran) and are reaped at the next
+#: commit regardless of job uuid. Generous vs any real job duration.
+_ORPHAN_TTL_SEC = 3600.0
+
 
 class _TickerCommit(WriterCommitMessage):
     """Commit message: the temp file a task staged (picklable)."""
@@ -291,6 +296,21 @@ class TickerStoreWriter(DataSourceWriter):
                 os.remove(stale)
             except OSError:
                 pass  # a zombie may still hold it; next commit sweeps
+        # Orphan sweep (ADVICE r6): staging from CRASHED jobs carries a
+        # dead uuid no future commit will ever match, so a directory
+        # written repeatedly would accrete _tmp litter unboundedly. Any
+        # _tmp file older than the TTL cannot belong to a live job
+        # (tasks stage and commit within one run), so age makes it
+        # safe to reap across job uuids.
+        import time
+
+        cutoff = time.time() - _ORPHAN_TTL_SEC
+        for orphan in glob.glob(os.path.join(self.path, "_tmp-*.csv")):
+            try:
+                if os.path.getmtime(orphan) < cutoff:
+                    os.remove(orphan)
+            except OSError:
+                pass
         with open(os.path.join(self.path, "_SUCCESS"), "w") as fh:
             fh.write("")
 
@@ -390,6 +410,18 @@ class TickerStoreStreamWriter(DataSourceStreamWriter):
                 os.remove(stale)
             except OSError:
                 pass  # a zombie may still hold it; next batch sweeps
+        # Orphan sweep: litter from DEAD writers (crashed stream/batch
+        # jobs whose uuid-scoped sweep never ran) - reaped by age, see
+        # _ORPHAN_TTL_SEC.
+        import time
+
+        cutoff = time.time() - _ORPHAN_TTL_SEC
+        for orphan in glob.glob(os.path.join(self.path, "_tmp-*.csv")):
+            try:
+                if os.path.getmtime(orphan) < cutoff:
+                    os.remove(orphan)
+            except OSError:
+                pass
 
     def abort(self, messages, batchId: int) -> None:
         import os

@@ -18,6 +18,7 @@ conversion exact (a double division would lose precision above 2^53 ns).
 
 from __future__ import annotations
 
+import threading
 from weakref import WeakKeyDictionary
 
 from pyspark.sql import DataFrame, SparkSession
@@ -26,8 +27,41 @@ from pyspark.sql import functions as F
 from .. import schemas
 
 #: Per-session memo of normalized table scans; weak keys so a stopped
-#: session's entries die with it (a fresh session re-infers).
+#: session's entries die with it (a fresh session re-infers). Guarded
+#: by ``_SCAN_LOCK``: catalog builds may run from multiple driver
+#: threads against one session.
 _SCAN_CACHE: WeakKeyDictionary = WeakKeyDictionary()
+
+_SCAN_LOCK = threading.Lock()
+
+
+def invalidate_scan_cache(
+    spark: SparkSession | None = None,
+    sf_dir: str | None = None,
+    name: str | None = None,
+) -> None:
+    """Drop memoized scans: all of them, one session's, or one table's.
+
+    The cache's contract is that fixture tables are immutable within a
+    session; anything that rewrites a parquet path and re-reads it via
+    ``read_table`` must call this first (or read with
+    ``use_cache=False``) - otherwise the stale footer metadata serves a
+    silently old frame."""
+    with _SCAN_LOCK:
+        if spark is None:
+            _SCAN_CACHE.clear()
+            return
+        per_session = _SCAN_CACHE.get(spark)
+        if per_session is None:
+            return
+        if sf_dir is None:
+            per_session.clear()
+            return
+        if name is None:
+            for k in [k for k in per_session if k[0] == sf_dir]:
+                del per_session[k]
+        else:
+            per_session.pop((sf_dir, name), None)
 
 
 def table_path(sf_dir: str, name: str) -> str:
@@ -46,7 +80,9 @@ def _normalize_events(df: DataFrame) -> DataFrame:
 _NORMALIZERS = {"events": _normalize_events}
 
 
-def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+def read_table(
+    spark: SparkSession, sf_dir: str, name: str, use_cache: bool = True
+) -> DataFrame:
     """Batch scan of one driver table (S3). Filter/column pruning are left
     to Catalyst - callers express predicates declaratively and the parquet
     scan receives them as PushedFilters.
@@ -66,17 +102,23 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     for the same immutable table - the metadata caching every
     catalog-backed engine does. The driver tables are fixtures that
     never change within a session; code that mutates a parquet path it
-    then re-reads must use ``spark.read`` directly (the streaming/merge
-    paths already do).
+    then re-reads must pass ``use_cache=False``, call
+    :func:`invalidate_scan_cache`, or use ``spark.read`` directly (the
+    streaming/merge paths already do). The cache dict is lock-guarded
+    for multi-threaded driver use.
     """
-    per_session = _SCAN_CACHE.setdefault(spark, {})
     key = (sf_dir, name)
-    got = per_session.get(key)
-    if got is None:
-        df = spark.read.parquet(table_path(sf_dir, name))
-        norm = _NORMALIZERS.get(name)
-        got = norm(df) if norm else df
-        per_session[key] = got
+    if use_cache:
+        with _SCAN_LOCK:
+            got = _SCAN_CACHE.setdefault(spark, {}).get(key)
+        if got is not None:
+            return got
+    df = spark.read.parquet(table_path(sf_dir, name))
+    norm = _NORMALIZERS.get(name)
+    got = norm(df) if norm else df
+    if use_cache:
+        with _SCAN_LOCK:
+            _SCAN_CACHE.setdefault(spark, {})[key] = got
     return got
 
 

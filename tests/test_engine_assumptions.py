@@ -160,3 +160,22 @@ def test_exact_sum_radix_path_and_decimal_fallback(spark):
         "digit radix changed - re-derive the per-group row bound in "
         "operators/relational.py and ADVICE's overflow note"
     )
+
+
+def test_radix_digit_overflow_fails_loudly(spark):
+    """ADVICE r6: past ~4.4e12 non-null rows per group the 21-bit digit
+    accumulators exceed a long. That bound must fail DETECTABLY, not
+    wrap: under ANSI (Spark 4's default, set nowhere to false in this
+    repo) a long SUM overflow raises ARITHMETIC_OVERFLOW. Pin both the
+    default and the failure mode - if a future session config turns
+    ANSI off, exact_sum needs an explicit guard before that ships."""
+    import pytest
+
+    assert spark.conf.get("spark.sql.ansi.enabled") == "true", (
+        "ANSI off: radix digit sums in exact_sum would WRAP SILENTLY "
+        "past ~4.4e12 rows/group - add a runtime guard or route through "
+        "the decimal-buffer fallback before disabling ANSI"
+    )
+    df = spark.createDataFrame([(2**62,), (2**62,), (2**62,)], "v long")
+    with pytest.raises(Exception, match="ARITHMETIC_OVERFLOW|overflow"):
+        df.agg(F.sum("v")).collect()

@@ -379,3 +379,36 @@ def test_sink_survives_real_task_retry():
     assert got == {
         "parts": 2, "tmps": 0, "rows": 10, "success": True, "retried": True
     }
+
+
+def test_sink_commit_reaps_aged_orphans(monkeypatch):
+    """ADVICE r6: uuid-scoping the sweep left crashed jobs' staging
+    (`_tmp-<dead-uuid>-*`) unreaped forever. Commit now also removes
+    _tmp files older than the TTL regardless of uuid - while a FRESH
+    foreign staging file (a live concurrent job) still survives."""
+    import os
+    import time
+
+    from reactive_data_pipeline_spark.sources import pyds
+    from reactive_data_pipeline_spark.sources.pyds import TickerStoreWriter
+
+    class _Ctx:
+        @staticmethod
+        def partitionId():
+            return 0
+
+    monkeypatch.setattr("pyspark.TaskContext.get", staticmethod(lambda: _Ctx))
+
+    out = tempfile.mkdtemp(prefix="store_orphans_")
+    dead = os.path.join(out, "_tmp-deadbeef-cafe-part-00007.csv")
+    live = os.path.join(out, "_tmp-feedface-beef-part-00008.csv")
+    for p in (dead, live):
+        with open(p, "w") as fh:
+            fh.write("x\n")
+    old = time.time() - pyds._ORPHAN_TTL_SEC - 60
+    os.utime(dead, (old, old))
+
+    w = TickerStoreWriter({"path": out})
+    w.commit([w.write(iter([("AAA", 0, 1, 2, 3)]))])
+    assert not os.path.exists(dead), "aged orphan not reaped"
+    assert os.path.exists(live), "fresh foreign staging must survive"

@@ -226,3 +226,29 @@ def test_streaming_jdbc_sink_matches_batch(spark, tmp_path):
     q2.awaitTermination(120)
     assert not q2.isActive
     assert read_jdbc(spark, url, "events_sink").count() == events.count()
+
+
+def test_scan_cache_contract_and_invalidation(spark, tmp_path):
+    """ADVICE r6: the scan memo's immutability contract, pinned. A
+    cached read_table result survives a path rewrite (that IS the
+    contract - fixtures are immutable per session); mutating callers
+    must bypass with use_cache=False or call invalidate_scan_cache."""
+    from reactive_data_pipeline_spark.sources.registry import (
+        invalidate_scan_cache,
+        read_table,
+    )
+
+    sf = str(tmp_path)
+    spark.createDataFrame([(1,)], "region_key long").write.parquet(
+        f"{sf}/region.parquet"
+    )
+    assert read_table(spark, sf, "region").count() == 1
+    # rewrite the path: the cached scan still serves the OLD metadata
+    spark.createDataFrame([(1,), (2,)], "region_key long").write.mode(
+        "overwrite"
+    ).parquet(f"{sf}/region.parquet")
+    # bypass sees the new data without touching the cache
+    assert read_table(spark, sf, "region", use_cache=False).count() == 2
+    # targeted invalidation refreshes the cached entry
+    invalidate_scan_cache(spark, sf, "region")
+    assert read_table(spark, sf, "region").count() == 2
