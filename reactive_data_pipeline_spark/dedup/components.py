@@ -26,9 +26,11 @@ unconverged frontier instead of the full label frame every round.
 (Near-dup graphs are exactly the dense-clique case: the sf4 volume
 fixture's 174M-edge dup graph was the motivating single-box bound.)
 
-Each star step is ONE hash-partition shuffle (a partition-window min),
-no join; convergence is detected by an order-insensitive
-(count, xxhash64-sum) checksum of the checkpointed edge set.
+Each star step is a min-neighbor hash aggregate (map-side partial,
+node-bounded result) joined back onto the adjacency (AQE broadcasts it
+at dup-graph node counts; picks a shuffle join at billion-node scale)
+plus a sized dedup; convergence is detected by an order-insensitive
+(count, bit_xor(xxhash64)) checksum of the checkpointed edge set.
 
 Exact and deterministic given deterministic edges -> oracle-checked via
 a DuckDB recursive CTE in the catalog (oracle unchanged across the
@@ -38,18 +40,52 @@ min-label propagation).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+#: Target rows per task inside the star loop: bounds the reduce-side
+#: aggregate maps; ~1M two-long rows keeps each well under 100 MB
+#: however many cores run concurrently. (The conf-sized version OOM'd
+#: the 40x volume fixture: 174M edges / 32 partitions = 5.4M-key hash
+#: maps x 32 concurrent tasks in one JVM.)
+_ROWS_PER_TASK = 1_000_000
+
+
+def _sized(n_rows: int, base: int = 32, cap: int = 4096) -> int:
+    return int(min(cap, max(base, -(-n_rows // _ROWS_PER_TASK))))
+
+
+def _min_neighbors(adj: DataFrame) -> DataFrame:
+    """(u, __m) with __m = min neighbor of u. A hash aggregate, NOT a
+    partition window: the window form sorts the full adjacency per
+    round and holds the sort buffers concurrently with the dedup
+    aggregate's hash maps - the combination exhausted one 16 GiB JVM at
+    the 40x volume fixture (174M edges). The aggregate's map-side
+    partials are tiny (one long per distinct u per task), its shuffle
+    carries partials only, and the result frame is node-bounded - small
+    enough that AQE broadcasts the join back onto the adjacency, which
+    then never shuffles at all (at cluster scale with billions of
+    nodes, AQE picks a shuffle join instead; both are the right plan
+    for their regime)."""
+    return adj.groupBy("u").agg(F.min("v").alias("__m"))
+
+
 def _large_star(edges: DataFrame) -> DataFrame:
-    """(v, m) for every adjacency row (u, v) with v > u, m = min(N(u)+{u})."""
+    """(v, m) for every adjacency row (u, v) with v > u, m = min(N(u)+{u}).
+
+    ``distinct`` keeps its partial aggregate - on clique-heavy dup
+    graphs clique members re-emit the same ``(v, min)`` edges, so the
+    map side collapses much of the shuffle; cross-task duplicates
+    collapse on the (small, post-dedup) reduce side."""
     adj = edges.union(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
-    w = Window.partitionBy("u")
+    m = _min_neighbors(adj).select(
+        "u", F.least(F.col("__m"), F.col("u")).alias("__m")
+    )
     return (
-        adj.withColumn("m", F.least(F.min("v").over(w), F.col("u")))
+        adj.join(m, "u")
         .where(F.col("v") > F.col("u"))
-        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        .select(F.col("v").alias("u"), F.col("__m").alias("v"))
         .distinct()
     )
 
@@ -57,11 +93,11 @@ def _large_star(edges: DataFrame) -> DataFrame:
 def _small_star(edges: DataFrame) -> DataFrame:
     """Input edges all point large->small (large-star output). Re-point
     every neighbor and the center itself at the minimum neighbor."""
-    w = Window.partitionBy("u")
-    withm = edges.withColumn("m", F.min("v").over(w))
+    m = _min_neighbors(edges)  # all neighbors are < u here
     return (
-        withm.select(F.col("v").alias("u"), F.col("m").alias("v"))
-        .union(withm.select(F.col("u"), F.col("m").alias("v")))
+        edges.join(m, "u")
+        .select(F.col("v").alias("u"), F.col("__m").alias("v"))
+        .union(m.select("u", F.col("__m").alias("v")))
         .where(F.col("u") != F.col("v"))
         .distinct()
     )
@@ -90,31 +126,63 @@ def connected_components(
     # localCheckpoint (not persist): an iterative loop's lineage doubles
     # per round — checkpointing truncates it to the materialized
     # partitions, the required discipline for looped DataFrame work.
+    # No entry dedup: the star steps tolerate duplicate edges and round
+    # 1's sized distinct removes them anyway — an unsized dedup of a
+    # 174M-row unique pair set was itself an OOM (5.4M-key hash maps at
+    # conf-32 partitions x 32 concurrent tasks in one JVM).
     live = (
         edges.select(F.col(src_col).alias("u"), F.col(dst_col).alias("v"))
         .where(F.col("u") != F.col("v"))
-        .distinct()
         .localCheckpoint()
     )
+    spark = live.sparkSession
+    n_live = live.count()
     prev_sig: tuple[int, int] | None = None
-    for i in range(max_iter):
-        live = _small_star(_large_star(live)).localCheckpoint()
-        # bit_xor is order-insensitive and cannot overflow under ANSI
-        # (a SUM of xxhash64 longs does); the edge set is distinct, so
-        # XOR-cancellation of duplicates cannot occur.
-        row = live.agg(
-            F.count(F.lit(1)).alias("n"),
-            F.coalesce(F.bit_xor(F.xxhash64("u", "v")), F.lit(0)).alias("h"),
-        ).collect()[0]
-        sig = (row.n, row.h)
-        if stats_out is not None:
-            stats_out.append({"round": i + 1, "edges": row.n})
-        if sig == prev_sig or row.n == 0:
-            break
-        prev_sig = sig
-    else:
-        raise RuntimeError(
-            f"connected_components: no star fixpoint within {max_iter} rounds"
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    prev_coalesce = spark.conf.get(
+        "spark.sql.adaptive.coalescePartitions.enabled", "true"
+    )
+    try:
+        # AQE partition coalescing merges exchanges back to ~64 MB of
+        # SHUFFLE BYTES per task - but a hash-aggregate's memory is
+        # keys x ~48 B, ~3x its 16 B/row shuffle footprint, so byte-
+        # targeted coalescing rebuilds exactly the multi-million-key
+        # maps the row-count sizing exists to prevent (observed: 40x
+        # fixture, UNABLE_TO_ACQUIRE_MEMORY with 32 concurrent sized-
+        # then-coalesced tasks). Off inside the loop, restored after.
+        spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+        for i in range(max_iter):
+            # Size EVERY exchange this round plans (the min-neighbor
+            # aggregate and the dedup's reduce side) by the measured
+            # live edge count: per-task state stays ~_ROWS_PER_TASK rows
+            # however large the frontier. Conf is captured at planning
+            # time; restored after the loop.
+            spark.conf.set(
+                "spark.sql.shuffle.partitions", str(_sized(2 * n_live))
+            )
+            live = _small_star(_large_star(live)).localCheckpoint()
+            # bit_xor is order-insensitive and cannot overflow under ANSI
+            # (a SUM of xxhash64 longs does); the edge set is distinct, so
+            # XOR-cancellation of duplicates cannot occur.
+            row = live.agg(
+                F.count(F.lit(1)).alias("n"),
+                F.coalesce(F.bit_xor(F.xxhash64("u", "v")), F.lit(0)).alias("h"),
+            ).collect()[0]
+            sig = (row.n, row.h)
+            if stats_out is not None:
+                stats_out.append({"round": i + 1, "edges": row.n})
+            if sig == prev_sig or row.n == 0:
+                break
+            prev_sig = sig
+            n_live = row.n
+        else:
+            raise RuntimeError(
+                f"connected_components: no star fixpoint within {max_iter} rounds"
+            )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+        spark.conf.set(
+            "spark.sql.adaptive.coalescePartitions.enabled", prev_coalesce
         )
     # Fixpoint edge set is one (node, component-root) edge per non-root
     # node; roots and isolated nodes label themselves.
