@@ -123,18 +123,25 @@ def connected_components(
     unconverged labeling must fail loudly, not return quietly-wrong
     groups.
     """
-    # localCheckpoint (not persist): an iterative loop's lineage doubles
-    # per round — checkpointing truncates it to the materialized
-    # partitions, the required discipline for looped DataFrame work.
+    # Entry materialization is DISK_ONLY, not localCheckpoint: the edge
+    # producer is often a heavy pipeline (the exact ngram join emits
+    # 174M pairs at the 40x fixture), and checkpoint's deserialized
+    # MEMORY_AND_DISK blocks squeeze the execution pool WHILE that
+    # pipeline's final stages still shuffle - the spill storm exhausted
+    # the process file-descriptor limit. DISK_ONLY leaves execution
+    # memory to the producer and streams back in for round 1.
     # No entry dedup: the star steps tolerate duplicate edges and round
     # 1's sized distinct removes them anyway — an unsized dedup of a
     # 174M-row unique pair set was itself an OOM (5.4M-key hash maps at
     # conf-32 partitions x 32 concurrent tasks in one JVM).
-    live = (
+    from pyspark.storagelevel import StorageLevel
+
+    entry = (
         edges.select(F.col(src_col).alias("u"), F.col(dst_col).alias("v"))
         .where(F.col("u") != F.col("v"))
-        .localCheckpoint()
+        .persist(StorageLevel.DISK_ONLY)
     )
+    live = entry
     spark = live.sparkSession
     n_live = live.count()
     prev_sig: tuple[int, int] | None = None
@@ -160,6 +167,9 @@ def connected_components(
             spark.conf.set(
                 "spark.sql.shuffle.partitions", str(_sized(2 * n_live))
             )
+            # localCheckpoint per round: an iterative loop's lineage
+            # doubles per round — checkpointing truncates it to the
+            # materialized partitions (node-bounded after round 1).
             live = _small_star(_large_star(live)).localCheckpoint()
             # bit_xor is order-insensitive and cannot overflow under ANSI
             # (a SUM of xxhash64 longs does); the edge set is distinct, so
@@ -184,6 +194,7 @@ def connected_components(
         spark.conf.set(
             "spark.sql.adaptive.coalescePartitions.enabled", prev_coalesce
         )
+        entry.unpersist()
     # Fixpoint edge set is one (node, component-root) edge per non-root
     # node; roots and isolated nodes label themselves.
     roots = live.groupBy(F.col("u").alias("id")).agg(F.min("v").alias("_comp"))
