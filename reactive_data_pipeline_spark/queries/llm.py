@@ -326,9 +326,9 @@ def ngram3_jaccard_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def neardup_groups_connected(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The dedup deliverable: connected components over exact-Jaccard
-    near-dup pairs (iterative min-label propagation, dedup.components)
-    vs a DuckDB recursive CTE - a distributed iterative graph algorithm
-    held to a value-hash oracle."""
+    near-dup pairs (alternating large-star/small-star contraction,
+    dedup.components) vs a DuckDB recursive CTE - a distributed
+    iterative graph algorithm held to a value-hash oracle."""
     from ..dedup import neardup_groups
 
     docs = _docs(spark, sf_dir)

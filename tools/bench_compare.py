@@ -4,14 +4,26 @@ plan-diff rule that BENCH_NOTES.md previously applied by hand.
 
     python tools/bench_compare.py BENCH_r06.json BENCH_r07.json
 
-Per query present in both artifacts it prints old/new seconds and the
-probe-normalized ratio (each time divided by its window's probe_sec,
-so host-state drift between windows cancels to first order). Entries
-over --threshold (default 1.5x) with a runtime above --floor (default
-0.4 s - below that, local scheduling jitter dominates and a ratio is
-noise) REQUIRE an annotation line in BENCH_NOTES.md of the form
+Per query present in both artifacts it prints old/new seconds, the raw
+ratio, and the probe-normalized ratio (each time divided by its
+window's probe_sec). Neither ratio alone is trustworthy across
+dissimilar windows: if the old window was busy (high probe), raw
+ratios flatter the new run; linear probe normalization over-corrects
+in exactly that case (probe measures scheduling state, which does not
+scale query times linearly - observed: a 0.268->0.178 probe drift
+turned a 1.18x raw total into a fictitious 1.78x normalized one while
+the same-window DuckDB pair was unchanged at 0.97x). A GENUINE
+regression shows in BOTH, so the flag fires on min(raw, normalized).
+Entries over --threshold (default 1.5x) with a runtime above --floor
+(default 0.4 s - below that, local scheduling jitter dominates and a
+ratio is noise) REQUIRE an annotation line in BENCH_NOTES.md of the
+form
 
-    plan_changed[<query>]: <one-line reason>
+    plan_changed[<query>]: <one-line reason>   # a genuine plan restatement
+    flag_ok[<query>]: <one-line reason>        # investigated; not a plan
+                                               # change (e.g. the old value
+                                               # was an outlier vs the
+                                               # query's artifact history)
 
 otherwise the tool exits 1. An annotation for a query that is NOT
 flagged is reported as stale (but not fatal) so the notes file cannot
@@ -47,9 +59,10 @@ def annotations() -> dict[str, str]:
         return {}
     out: dict[str, str] = {}
     for m in re.finditer(
-        r"^\s*plan_changed\[([a-z0-9_]+)\]:\s*(.+)$", notes.read_text(), re.M
+        r"^\s*(plan_changed|flag_ok)\[([a-z0-9_]+)\]:\s*(.+)$",
+        notes.read_text(), re.M,
     ):
-        out[m.group(1)] = m.group(2).strip()
+        out[m.group(2)] = f"{m.group(1)}: {m.group(3).strip()}"
     return out
 
 
@@ -68,20 +81,22 @@ def main() -> None:
     notes = annotations()
     flagged: list[str] = []
     common = [q for q in old["queries"] if q in new["queries"]]
-    print(f"\n| query | old s | new s | norm ratio | |")
-    print("|---|---|---|---|---|")
+    print("\n| query | old s | new s | raw | norm | |")
+    print("|---|---|---|---|---|---|")
     rows = []
     for q in common:
         a, b = old["queries"][q], new["queries"][q]
-        ratio = (b / a) / norm if a else float("inf")
-        rows.append((ratio, q, a, b))
-    for ratio, q, a, b in sorted(rows, reverse=True):
+        raw = b / a if a else float("inf")
+        rows.append((min(raw, raw / norm), q, a, b, raw))
+    for ratio, q, a, b, raw in sorted(rows, reverse=True):
         mark = ""
         if ratio > threshold and max(a, b) >= floor:
             mark = f"ANNOTATED: {notes[q]}" if q in notes else "**REGRESSION**"
             if q not in notes:
                 flagged.append(q)
-        print(f"| {q} | {a:.3f} | {b:.3f} | {ratio:.2f}x | {mark} |")
+        print(
+            f"| {q} | {a:.3f} | {b:.3f} | {raw:.2f}x | {raw / norm:.2f}x | {mark} |"
+        )
     only_old = sorted(set(old["queries"]) - set(new["queries"]))
     only_new = sorted(set(new["queries"]) - set(old["queries"]))
     if only_old:
@@ -98,8 +113,8 @@ def main() -> None:
         print(f"\nstale plan_changed annotations (query no longer flagged): {stale}")
     tot_o = sum(old["queries"][q] for q in common)
     tot_n = sum(new["queries"][q] for q in common)
-    print(f"\ncommon-set total: {tot_o:.2f}s -> {tot_n:.2f}s "
-          f"(norm ratio {(tot_n / tot_o) / norm:.2f}x over {len(common)} queries)")
+    print(f"\ncommon-set total: {tot_o:.2f}s -> {tot_n:.2f}s over {len(common)} "
+          f"queries (raw {tot_n / tot_o:.2f}x, norm {(tot_n / tot_o) / norm:.2f}x)")
     if flagged:
         print(
             f"\nFAIL: {len(flagged)} unannotated >{threshold}x entries: {flagged}\n"
