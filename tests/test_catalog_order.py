@@ -418,3 +418,26 @@ def test_bench_oracle_unfair_set_is_consistent():
         assert name in QUERIES, name
         assert QUERIES[name].bench, f"{name} is not benched - stale entry"
         assert QUERIES[name].oracle, f"{name} has no oracle - already null"
+
+
+def test_bench_compare_annotation_parsing_and_min_rule():
+    """tools/bench_compare.py is part of the bench gate (round-7): its
+    BENCH_NOTES annotation parser must accept both waiver forms, and
+    the flag must fire on min(raw, probe-normalized) - a regression
+    real in only ONE ratio is a window artifact, not a flag."""
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "bench_compare", _ROOT / "tools" / "bench_compare.py"
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    notes = mod.annotations()
+    # the round-7 investigated flag must parse (regression test for the
+    # flag_ok form; drop this line if the annotation is retired)
+    assert "window_cumsum_customer_spend" in notes
+    assert notes["window_cumsum_customer_spend"].startswith("flag_ok:")
+    # min-rule arithmetic: raw 1.2x with probe-inflated norm 1.8x must
+    # NOT flag; raw 1.6x with norm 1.7x must.
+    for raw, norm_ratio, should_flag in ((1.2, 1.8, False), (1.6, 1.7, True)):
+        assert (min(raw, norm_ratio) > 1.5) == should_flag
