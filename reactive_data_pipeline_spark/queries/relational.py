@@ -296,13 +296,18 @@ def topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """3-way join -> agg -> top-k. customer is the small filtered side:
     AQE converts it to broadcast at runtime; lineitem never shuffles for
-    the customer join."""
+    the customer join. The shipdate filter leaves lineitem the far
+    smaller side of the orderkey join, so it carries a ``shuffle_hash``
+    hint (per-task hash build on the filtered side beats sorting the
+    orders shuffle; same rationale and scale note as q5)."""
     cust = read_table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
     orders = read_table(spark, sf_dir, "orders").filter(
         F.col("o_orderdate") < _ts("1998-06-30 00:00:00")
     )
-    li = read_table(spark, sf_dir, "lineitem").filter(
-        F.col("l_shipdate") > _ts("1998-06-30 00:00:00")
+    li = (
+        read_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_shipdate") > _ts("1998-06-30 00:00:00"))
+        .hint("shuffle_hash")
     )
     rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     joined = li.join(orders, li.l_orderkey == orders.o_orderkey).join(
@@ -340,15 +345,31 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """6-way star join. region/nation are broadcast explicitly (fixed-size
-    dims); supplier and the filtered orders side are left to AQE. The only
-    large shuffle is lineitem<->orders on orderkey."""
+    dims); supplier is left to AQE. The only large shuffle is
+    lineitem<->orders on orderkey.
+
+    The filtered orders and customer sides carry a ``shuffle_hash``
+    hint: the default sort-merge join sorts the FULL 60M-row lineitem
+    shuffle output before merging, while a shuffled hash join builds
+    its per-task map on the hinted (date-filtered, ~15%) side and
+    streams lineitem unsorted - measured 4.5s -> 3.1s at 100x volume,
+    values identical. Scale note: SHJ's per-task build is
+    side_bytes/shuffle_partitions of the SMALLER, pre-filtered side
+    (uniform orderkey/custkey, AQE skew split applies), which is the
+    standard safe case; the hint is deliberately NOT on any unfiltered
+    fact side (q10 measured SMJ faster there - a 15M-row build map
+    costs more than the sort)."""
     region = read_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
     nation = read_table(spark, sf_dir, "nation")
     supplier = read_table(spark, sf_dir, "supplier")
-    customer = read_table(spark, sf_dir, "customer")
-    orders = read_table(spark, sf_dir, "orders").filter(
-        (F.col("o_orderdate") >= _ts("1996-01-01 00:00:00"))
-        & (F.col("o_orderdate") < _ts("1997-01-01 00:00:00"))
+    customer = read_table(spark, sf_dir, "customer").hint("shuffle_hash")
+    orders = (
+        read_table(spark, sf_dir, "orders")
+        .filter(
+            (F.col("o_orderdate") >= _ts("1996-01-01 00:00:00"))
+            & (F.col("o_orderdate") < _ts("1997-01-01 00:00:00"))
+        )
+        .hint("shuffle_hash")
     )
     li = read_table(spark, sf_dir, "lineitem")
     rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))

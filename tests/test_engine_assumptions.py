@@ -162,6 +162,54 @@ def test_exact_sum_radix_path_and_decimal_fallback(spark):
     )
 
 
+def test_fast_quantization_routing_and_domain(spark):
+    """Assumption 4b: the unscaled-long quantization runs BigDecimal-free
+    (pure double ``sign*floor(|y|+0.5)``) below 2^52 scaled magnitude and
+    routes through the exact decimal cast at/above it - the split that
+    removed the q1-family's 12x-vs-DuckDB gap at 100x volume without
+    narrowing the decimal(18,s) domain.
+
+    Pins: (a) both branches produce the decimal cast's value across the
+    fast/slow boundary and deep into the slow domain - using ≤6-decimal
+    values, the domain where the fast path is PROVABLY exact (the
+    ``_FAST_QUANT_BOUND`` error analysis; full-precision doubles near
+    the bound legitimately midpoint-drift between conventions); (b)
+    exact ties at the 6th decimal round HALF-AWAY-FROM-ZERO on both
+    sides of zero; (c) the decimal fallback expression is really in
+    the plan (a future 'simplification' that drops the WHEN would
+    silently shrink the exact domain to |x| < ~1.1e9)."""
+    from reactive_data_pipeline_spark.operators.relational import exact_sum
+
+    bound = float(1 << 50) / 1e6  # ~1.1e9: fast/slow routing boundary
+    vals = [
+        0.0000005,      # exact tie at the 6th decimal, fast branch
+        -0.0000005,
+        123.456789,
+        round(bound * 0.99, 2),  # just inside the fast branch, 2dp-exact
+        round(bound * 1.01, 2),  # just inside the slow branch
+        123456789012.25,  # deep slow domain (decimal(18,6) still fits)
+        -123456789012.25,
+    ]
+    df = spark.createDataFrame([(i, v) for i, v in enumerate(vals)], "g long, v double")
+    got = {r.g: r.s for r in df.groupBy("g").agg(exact_sum("v").alias("s")).collect()}
+    want = {
+        r.g: r.s
+        for r in df.groupBy("g")
+        .agg(F.sum(F.col("v").cast("decimal(18,6)")).cast("double").alias("s"))
+        .collect()
+    }
+    for g, v in enumerate(vals):
+        assert repr(got[g]) == repr(want[g]), (v, got[g], want[g])
+    # ties round away from zero (the C round() convention)
+    assert got[0] == 0.000001 and got[1] == -0.000001
+    # the decimal fallback must still be reachable in the expression
+    expr = str(exact_sum("v")).lower()
+    assert "decimal(18,6)" in expr and "floor" in expr, (
+        "quantization lost its fast path or its decimal fallback - "
+        "see _unscaled_long in operators/relational.py"
+    )
+
+
 def test_radix_digit_overflow_fails_loudly(spark):
     """ADVICE r6: past ~4.4e12 non-null rows per group the 21-bit digit
     accumulators exceed a long. That bound must fail DETECTABLY, not

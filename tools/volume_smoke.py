@@ -51,6 +51,17 @@ SKIP: dict[str, str] = {
     "semdedup_cluster_pairs": "O(N^2/k) with check-scale fixed k; deployments scale k ~ N",
 }
 
+#: Known output-bound heavies: queries whose sf1 runtime is dominated
+#: by a LEGITIMATELY huge result (not a plan defect) and sits too close
+#: to the default watchdog to survive a long sweep's accumulated-JVM
+#: drag (measured: ngram_jaccard_pairs emits 11.58M real pairs in
+#: 87-106 s idle/fresh but hit 120.1 s inside a 228-query session).
+#: Values are per-query watchdogs, maxed with --timeout so a larger
+#: CLI value still wins.
+HEAVY_TIMEOUT: dict[str, float] = {
+    "ngram_jaccard_pairs": 300.0,
+}
+
 
 def _fresh_session():
     spark = get_spark()
@@ -67,9 +78,10 @@ def run(sf_dir: str, names: list[str], timeout: float) -> int:
         group = f"smoke-{name}"
         sc.setJobGroup(group, name, interruptOnCancel=True)
         done = threading.Event()
+        q_timeout = max(timeout, HEAVY_TIMEOUT.get(name, 0.0))
 
-        def watchdog(sc=sc, group=group) -> None:
-            if not done.wait(timeout):
+        def watchdog(sc=sc, group=group, q_timeout=q_timeout) -> None:
+            if not done.wait(q_timeout):
                 sc.cancelJobGroup(group)
 
         w = threading.Thread(target=watchdog, daemon=True)
@@ -79,11 +91,11 @@ def run(sf_dir: str, names: list[str], timeout: float) -> int:
             df = QUERIES[name].build(spark, sf_dir)
             n = df.count()
             dt = time.time() - t0
-            flag = " SLOW" if dt > timeout / 2 else ""
+            flag = " SLOW" if dt > q_timeout / 2 else ""
             print(f"ok   {name}: {n} rows ({dt:.1f}s){flag} [{i + 1}/{len(names)}]")
         except Exception as e:  # noqa: BLE001 - report and continue
             dt = time.time() - t0
-            kind = "TIMEOUT" if dt >= timeout else "FAIL"
+            kind = "TIMEOUT" if dt >= q_timeout else "FAIL"
             first = str(e).splitlines()[0][:160] if str(e) else type(e).__name__
             print(f"{kind} {name} ({dt:.1f}s): {first}")
             failures += 1
