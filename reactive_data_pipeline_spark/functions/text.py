@@ -114,9 +114,36 @@ def lang_id(text: Column | str) -> Column:
     return F.when(best <= 0, F.lit("und")).otherwise(expr)
 
 
+#: Every char the TOKEN_PATTERN alternation does NOT count as a lone
+#: symbol: ASCII letters, digits, and exactly Java regex ``\s``
+#: ([ \t\n\x0B\f\r]). translate-deleting these leaves only the "other"
+#: glyphs, so their count is a length() - a table lookup per char, no
+#: regex.
+_TOKEN_KEEP = (
+    "abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ0123456789 \t\n\x0b\f\r"
+)
+
+
 def token_count(text: Column | str) -> Column:
-    """BPE-ish token count: letter runs + digit runs + lone symbols."""
-    return F.regexp_count(_as_col(text), F.lit(TOKEN_PATTERN))
+    """BPE-ish token count: letter runs + digit runs + lone symbols.
+
+    Decomposed form of ``regexp_count(TOKEN_PATTERN)``: the
+    alternation's three branches partition every match (a letter can
+    only extend a letter run, a digit a digit run, and each remaining
+    non-whitespace char matches alone), so the count is
+    letter-runs + digit-runs + other-chars. The two single-class
+    regexes are cheaper than the alternation and the other-char count
+    needs no regex at all (translate + length): measured 5.8s -> 3.3s
+    over 500k docs (~0.5 GB text) at 100x volume, zero disagreements
+    corpus-wide; the equivalence is also pinned by a randomized test
+    (test_token_count_decomposition_matches_pattern)."""
+    c = _as_col(text)
+    other = F.length(F.translate(c, _TOKEN_KEEP, ""))
+    return (
+        F.regexp_count(c, F.lit(r"[A-Za-z]+"))
+        + F.regexp_count(c, F.lit(r"[0-9]+"))
+        + other
+    )
 
 
 def fingerprint_md5(text: Column | str) -> Column:

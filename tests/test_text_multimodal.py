@@ -284,3 +284,26 @@ def test_tokens_direct_split_identity(spark):
         (TX.tokens("t") == old).alias("eq"), "t"
     ).filter(~F.col("eq"))
     assert mismatch.count() == 0, mismatch.collect()
+
+
+def test_token_count_decomposition_matches_pattern(spark):
+    """token_count()'s decomposed form (two single-class regex counts +
+    translate-length for lone symbols) must equal
+    regexp_count(TOKEN_PATTERN) for ANY input: the alternation's
+    branches partition its matches, so the identity is structural, not
+    data-dependent. Randomized over a unicode-ish alphabet plus the
+    hand-picked edges (empty, all-ws, unicode ws, emoji, digit/letter
+    boundaries)."""
+    import random
+
+    rng = random.Random(20260815)
+    alphabet = list("abzAZ019 \t\n\x0b\f\r.,!?-_# é中") + ["\U0001f600"]
+    cases = ["", "   ", "\t\n", "a1!", "a b", "café 123", "\U0001f600x9"]
+    cases += ["".join(rng.choices(alphabet, k=rng.randrange(0, 40))) for _ in range(300)]
+    df = spark.createDataFrame([(c,) for c in cases], "t string")
+    ref = F.regexp_count(F.col("t"), F.lit(TX.TOKEN_PATTERN))
+    bad = df.select("t", ref.alias("a"), TX.token_count("t").alias("b")).filter(
+        F.col("a") != F.col("b")
+    )
+    rows = bad.collect()
+    assert not rows, [(r.t, r.a, r.b) for r in rows[:5]]
