@@ -348,21 +348,46 @@ def q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     dims); supplier is left to AQE. The only large shuffle is
     lineitem<->orders on orderkey.
 
-    The filtered orders and customer sides carry a ``shuffle_hash``
-    hint: the default sort-merge join sorts the FULL 60M-row lineitem
-    shuffle output before merging, while a shuffled hash join builds
-    its per-task map on the hinted (date-filtered, ~15%) side and
-    streams lineitem unsorted - measured 4.5s -> 3.1s at 100x volume,
-    values identical. Scale note: SHJ's per-task build is
-    side_bytes/shuffle_partitions of the SMALLER, pre-filtered side
-    (uniform orderkey/custkey, AQE skew split applies), which is the
-    standard safe case; the hint is deliberately NOT on any unfiltered
-    fact side (q10 measured SMJ faster there - a 15M-row build map
-    costs more than the sort)."""
+    The filtered join sides carry ``shuffle_hash`` hints: the default
+    sort-merge join sorts the FULL 60M-row lineitem shuffle output
+    before merging, while a shuffled hash join builds its per-task map
+    on the hinted (filtered) side and streams the fact unsorted -
+    measured 4.5s -> 3.1s at 100x volume, values identical. Scale
+    note: SHJ's per-task build is side_bytes/shuffle_partitions of the
+    SMALLER, pre-filtered side (uniform orderkey/custkey, AQE skew
+    split applies), which is the standard safe case; the hint is
+    deliberately NOT on any unfiltered side (q10 measured SMJ faster
+    there - a 15M-row build map costs more than the sort).
+
+    Round 8 (round-7 advice): the round-7 version hinted the
+    UNFILTERED customer table - customer scales linearly with SF and
+    Spark's SHJ build does not spill, so at deployment scale that
+    build map is an OOM exposure. Instead of dropping the hint (the
+    A/B showed it worth ~15% at 100x volume: orders-only 3.64s vs
+    3.09s), customer now gets the TRANSITIVE region predicate pushed
+    down first: c_nationkey must be an ASIA nation (implied by
+    c_nationkey = s_nationkey = n_nationkey AND r_name = 'ASIA', a
+    closure Catalyst does not derive through the join chain). The
+    broadcast semi-join against the 25-row nation|x|region(ASIA) dim
+    cuts customer to ~1/5 BEFORE its shuffle, making it a genuinely
+    filtered build side (same rationale as orders; per-task build
+    ~= customer_bytes/5/shuffle_partitions) - and faster than either
+    round-7 shape: sf10 3.05s / sf0.1 0.63s vs both-hints 3.09/0.71.
+    The dim subplan reads nation/region uncached (fresh plan IDs) so
+    the outer broadcast joins on the same tables stay unambiguous;
+    the footer re-inference is on 25-row tables."""
     region = read_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
     nation = read_table(spark, sf_dir, "nation")
     supplier = read_table(spark, sf_dir, "supplier")
-    customer = read_table(spark, sf_dir, "customer").hint("shuffle_hash")
+    an = read_table(spark, sf_dir, "nation", use_cache=False)
+    ar = read_table(spark, sf_dir, "region", use_cache=False).filter(F.col("r_name") == "ASIA")
+    asia_keys = an.join(F.broadcast(ar), an.n_regionkey == ar.r_regionkey).select(
+        F.col("n_nationkey").alias("asia_nk")
+    )
+    customer = read_table(spark, sf_dir, "customer")
+    customer = customer.join(
+        F.broadcast(asia_keys), customer.c_nationkey == F.col("asia_nk"), "semi"
+    ).hint("shuffle_hash")
     orders = (
         read_table(spark, sf_dir, "orders")
         .filter(

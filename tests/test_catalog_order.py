@@ -433,10 +433,20 @@ def test_bench_compare_annotation_parsing_and_min_rule():
     mod = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(mod)
     notes = mod.annotations()
-    # the round-7 investigated flag must parse (regression test for the
-    # flag_ok form; drop this line if the annotation is retired)
-    assert "window_cumsum_customer_spend" in notes
-    assert notes["window_cumsum_customer_spend"].startswith("flag_ok:")
+    # the round-8 investigated flag must parse (the round-7 flag_ok for
+    # window_cumsum_customer_spend was retired when it went stale
+    # against the driver artifacts; drop this line when q5's is retired)
+    assert "q5_region_revenue" in notes
+    assert notes["q5_region_revenue"].startswith("plan_changed:")
+    # both waiver forms parse (synthetic, decoupled from the live file)
+    both = "plan_changed[q_a]: reason a\nprose\n flag_ok[q_b]: reason b\n"
+    parsed = {
+        m.group(2): m.group(1)
+        for m in __import__("re").finditer(
+            r"^\s*(plan_changed|flag_ok)\[([a-z0-9_]+)\]:\s*(.+)$", both, __import__("re").M
+        )
+    }
+    assert parsed == {"q_a": "plan_changed", "q_b": "flag_ok"}
     # min-rule arithmetic: raw 1.2x with probe-inflated norm 1.8x must
     # NOT flag; raw 1.6x with norm 1.7x must.
     for raw, norm_ratio, should_flag in ((1.2, 1.8, False), (1.6, 1.7, True)):

@@ -164,7 +164,7 @@ def test_exact_sum_radix_path_and_decimal_fallback(spark):
 
 def test_fast_quantization_routing_and_domain(spark):
     """Assumption 4b: the unscaled-long quantization runs BigDecimal-free
-    (pure double ``sign*floor(|y|+0.5)``) below 2^52 scaled magnitude and
+    (pure double ``sign*floor(|y|+0.5)``) below 2^50 scaled magnitude and
     routes through the exact decimal cast at/above it - the split that
     removed the q1-family's 12x-vs-DuckDB gap at 100x volume without
     narrowing the decimal(18,s) domain.

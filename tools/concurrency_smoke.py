@@ -27,11 +27,12 @@ Exit 1 on any mismatch or error.
 
 from __future__ import annotations
 
+import os
 import sys
 import time
 from concurrent.futures import ThreadPoolExecutor
 
-sys.path.insert(0, "/root/repo")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from reactive_data_pipeline_spark import get_spark  # noqa: E402
 from reactive_data_pipeline_spark.queries import QUERIES  # noqa: E402
