@@ -6,7 +6,7 @@ hash keys, no Python in the hot path - so they scale with executors.
 
 from .exact import exact_dedup_groups, dedup_documents
 from .ngram import token_ngrams, ngram_jaccard_pairs
-from .minhash import minhash_signatures, minhash_lsh_pairs
+from .minhash import minhash_signatures, minhash_lsh_pairs, minhash_neardup_groups
 from .simhash import simhash_docs, simhash_near_pairs
 from .embedding import embedding_neardup_lsh, embedding_neardup_pairs
 from .components import connected_components, neardup_groups
@@ -22,6 +22,7 @@ __all__ = [
     "ngram_jaccard_pairs",
     "minhash_signatures",
     "minhash_lsh_pairs",
+    "minhash_neardup_groups",
     "simhash_docs",
     "simhash_near_pairs",
     "embedding_neardup_lsh",

@@ -133,3 +133,78 @@ def minhash_lsh_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard"))
     )
+
+
+def minhash_neardup_groups(
+    docs: DataFrame,
+    n: int = 1,
+    num_hashes: int = 32,
+    bands: int = 8,
+    threshold: float = 0.9,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Dedup groups (doc_id, group_id, group_size, is_keeper) over the
+    MinHash+LSH edge set - the LINEAR at-scale grouping path.
+
+    Feeding raw LSH pairs into connected components is output-bound on
+    exact-duplicate mass: a cluster of c identical docs emits C(c,2)
+    verified pairs (J=1 collides in EVERY band), so a corpus with heavy
+    dup multiplicity pays quadratic candidate work for edges that carry
+    no grouping information (measured: the sf4 fixture's ~4.4-copy
+    exact-dup classes pushed the naive form past 600 s). This operator
+    first QUOTIENTS the graph by exact n-gram-set equality:
+
+    1. collapse - group docs on their sorted distinct gram array (the
+       exact-dedup shuffle, same shape as dedup.exact; at 100 TB group
+       on xxhash64 of the array to cap shuffle width) -> one
+       representative (min id) per content class;
+    2. LSH + exact-Jaccard verification over REPRESENTATIVES only -
+       candidate mass is now driven by cross-class near-dups, not dup
+       multiplicity;
+    3. large-star/small-star components over the representative graph;
+    4. expand members back through the class map.
+
+    Semantics are EXACTLY those of components over the full J >=
+    threshold graph: same-class docs have J=1 >= threshold (edge
+    implied), and any cross-class edge (J computed on identical token
+    sets) exists between classes iff it exists between any of their
+    members - a quotient graph yields the same partition. Labels are
+    preserved too: each class rep is its min doc id, so the component
+    min over reps IS the min doc id of the whole group.
+    """
+    from .components import connected_components
+
+    keyed = docs.select(
+        F.col(id_col).alias("doc"),
+        F.sort_array(token_ngrams(text_col, n)).alias("__gset"),
+    )
+    classes = keyed.groupBy("__gset").agg(F.min("doc").alias("rep"))
+    members = keyed.join(classes, "__gset").select("doc", "rep")
+    rep_docs = docs.join(
+        classes.select(F.col("rep").alias(id_col)), id_col, "semi"
+    )
+    pairs = minhash_lsh_pairs(
+        rep_docs,
+        n=n,
+        num_hashes=num_hashes,
+        bands=bands,
+        threshold=threshold,
+        text_col=text_col,
+        id_col=id_col,
+    )
+    comp = connected_components(
+        classes.select(F.col("rep").alias("id")),
+        pairs,
+        node_col="id",
+        src_col="doc_a",
+        dst_col="doc_b",
+    )
+    doc_comp = members.join(comp, members.rep == comp.id).select("doc", "component")
+    sizes = doc_comp.groupBy("component").agg(F.count(F.lit(1)).alias("group_size"))
+    return doc_comp.join(sizes, "component").select(
+        F.col("doc").alias(id_col),
+        F.col("component").alias("group_id"),
+        "group_size",
+        (F.col("doc") == F.col("component")).alias("is_keeper"),
+    )

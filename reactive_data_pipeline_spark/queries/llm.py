@@ -337,6 +337,67 @@ def neardup_groups_connected(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "neardup_groups_minhash",
+    oracle=f"""
+    WITH RECURSIVE pairs AS (
+      SELECT doc_a, doc_b FROM (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               CAST(len(list_intersect(a.t, b.t)) AS DOUBLE)
+                 / (len(a.t) + len(b.t) - len(list_intersect(a.t, b.t))) AS jac
+        FROM (SELECT doc_id, list_distinct({_TOKS}) AS t FROM documents) a
+        JOIN (SELECT doc_id, list_distinct({_TOKS}) AS t FROM documents) b
+          ON a.doc_id < b.doc_id
+      ) WHERE jac >= 0.9
+    ),
+    edges AS (SELECT doc_a AS u, doc_b AS v FROM pairs
+              UNION ALL SELECT doc_b, doc_a FROM pairs),
+    reach AS (
+      SELECT doc_id AS id, doc_id AS label FROM documents
+      UNION
+      SELECT e.u AS id, r.label
+      FROM reach r JOIN edges e ON e.v = r.id
+      WHERE r.label < e.u
+    ),
+    comp AS (SELECT id, MIN(label) AS group_id FROM reach GROUP BY id)
+    SELECT id AS doc_id, group_id,
+           COUNT(*) OVER (PARTITION BY group_id) AS group_size,
+           id = group_id AS is_keeper
+    FROM comp
+    """,
+    tags=("dedup", "minhash", "components", "contract"),
+)
+def neardup_groups_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The LINEAR dedup-group path a 100 TB run would actually use
+    (round-7 verdict #5): same group semantics as
+    ``neardup_groups_connected`` (unigram token-set Jaccard >= 0.9,
+    large-star/small-star components, one keeper per group) but built
+    as exact-dup collapse -> banded MinHash LSH over representatives
+    -> components -> member expansion (dedup.minhash_neardup_groups).
+    The exact AllPairs path is output-bound (11.58M real pairs at sf1;
+    ~480 s of the sf4 wall) and raw LSH pairs are quadratic in
+    exact-dup multiplicity (J=1 collides in every band); the collapsed
+    form is O(docs) + O(cross-class candidates), the at-scale shape.
+
+    Banding: 32 hashes as 8 bands x r=4 -> collision probability at
+    J=0.9 is 1-(1-0.9^4)^8 ~ 0.9998 per qualifying cross-class pair;
+    verification is exact Jaccard, so false positives are impossible
+    and the result can differ from the exact twin only by a MISSED
+    cross-class edge. The oracle is the SAME exact recursive-CTE
+    components ground truth as neardup_groups_connected - a value-hash
+    match certifies end-to-end recall 1.0 on the checked corpus
+    (exact-dup edges are collapsed, not LSH'd, so only the rare
+    0.9<=J<1 cross-class edges depend on banding at all). Components
+    also tolerate missed edges inside well-connected clusters (any
+    spanning connection yields the same partition), which is why the
+    group deliverable is the right home for the approximate edge set."""
+    from ..dedup import minhash_neardup_groups
+
+    return minhash_neardup_groups(
+        _docs(spark, sf_dir), n=1, num_hashes=32, bands=8, threshold=0.9
+    )
+
+
+@register(
     "minhash_neardup_pairs",
     oracle=f"""
     WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),

