@@ -198,6 +198,63 @@ def main() -> None:
             }
         )
     )
+    sys.stdout.flush()
+    _emit_duckdb_twin(spark, sf_dir, timings, probe_sec)
+
+
+def _emit_duckdb_twin(spark, sf_dir: str, spark_timings: dict, probe_sec: float) -> None:
+    """Snapshot the DuckDB twin in the SAME window as the Spark bench
+    (round-7 verdict #2): cross-window ratio comparisons needed probe-
+    normalization guesses because BENCH_rN carried only the Spark side.
+    Written to BENCH_DUCKDB_r{N}.json where N-1 is the highest committed
+    BENCH_r artifact (i.e. the round this bench run belongs to); a
+    re-run within the same window overwrites with a fresher same-window
+    pair. Never touches stdout (the driver parses it for the one Spark
+    JSON line); any failure is reported on stderr and swallowed - the
+    Spark artifact must not be lost to a twin problem. Skip with
+    SPARK_GRAFT_NO_DUCKDB=1 (e.g. iterating on one query's timing)."""
+    if os.environ.get("SPARK_GRAFT_NO_DUCKDB"):
+        return
+    try:
+        import glob
+        import re as _re
+
+        here = os.path.dirname(os.path.abspath(__file__))
+        sys.path.insert(0, os.path.join(here, "tools"))
+        from bench_duckdb import run_twin
+
+        # Release the executor threads before timing the twin.
+        spark.stop()
+        threads = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+        twin = run_twin(sf_dir, threads)
+        twin["probe_sec"] = probe_sec  # the Spark-side window probe
+        paired_spark = paired_duck = 0.0
+        for name, dt in twin["queries"].items():
+            if dt is not None and name in spark_timings:
+                paired_duck += dt
+                paired_spark += spark_timings[name]
+        twin["paired_spark_sec"] = round(paired_spark, 3)
+        twin["paired_duckdb_sec"] = round(paired_duck, 3)
+        twin["paired_ratio"] = (
+            round(paired_spark / paired_duck, 3) if paired_duck else None
+        )
+        rounds = [
+            int(m.group(1))
+            for p in glob.glob(os.path.join(here, "BENCH_r*.json"))
+            if (m := _re.match(r"BENCH_r(\d+)\.json$", os.path.basename(p)))
+        ]
+        n = (max(rounds) if rounds else 0) + 1
+        out = os.path.join(here, f"BENCH_DUCKDB_r{n:02d}.json")
+        with open(out, "w") as f:
+            f.write(json.dumps(twin) + "\n")
+        print(
+            f"# duckdb twin -> {os.path.basename(out)}: paired ratio "
+            f"{twin['paired_ratio']} (spark {twin['paired_spark_sec']}s / "
+            f"duckdb {twin['paired_duckdb_sec']}s)",
+            file=sys.stderr,
+        )
+    except Exception as e:  # noqa: BLE001 - twin is best-effort by design
+        print(f"# duckdb twin skipped: {e!r}", file=sys.stderr)
     spark.stop()
 
 

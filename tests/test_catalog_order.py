@@ -207,6 +207,36 @@ ROUND6_CHECKED = frozenset(
     }
 )
 
+#: Keys of CORRECTNESS_r07.json - the 50 queries the driver
+#: verified in round 7 (first steady-state staleness-clock window).
+ROUND7_CHECKED = frozenset(
+    {
+        "agg_orders_status", "anti_customers_no_urgent",
+        "approx_distinct_users", "argmax_order_per_priority",
+        "asof_purchase_before_click", "broadcast_nation_region",
+        "chunk_docs", "conditional_agg_events",
+        "contamination_ngram_overlap", "corr_qty_price_by_flag",
+        "count_distinct_lineitem", "cube_orders_status_priority",
+        "date_math_orders", "dedup_exact_docs", "dedup_keep_one",
+        "distinct_segments", "doc_fingerprints",
+        "embedding_neardup_lsh", "embedding_norm_stats",
+        "epoch_shuffle_order", "event_types_per_user",
+        "events_dedup_stats", "having_heavy_users", "kcore_peel_rounds",
+        "left_join_order_counts", "levenshtein_close_names",
+        "minhash_dedup_groups", "mm_frame_sample", "mm_resize",
+        "moments_price_by_flag", "neardup_groups_connected",
+        "posexplode_embedding_head", "predicate_algebra_parts",
+        "q1_pricing_summary", "q3_shipping_priority",
+        "q5_region_revenue", "reactive_ticker_meta_stream",
+        "reagg_daily_to_weekly", "salted_user_totals",
+        "set_nations_except", "set_nations_union", "simhash_near_pairs",
+        "sliding_window_6h_activity", "string_funcs_parts",
+        "systematic_sample_events", "text_stats",
+        "training_data_pipeline", "training_data_pipeline_v2",
+        "window_cumsum_customer_spend", "window_lag_events",
+    }
+)
+
 #: round -> frozen driver-checked key set; the staleness clock.
 ROUND_HISTORY: dict[int, frozenset] = {
     1: ROUND1_CHECKED,
@@ -215,6 +245,7 @@ ROUND_HISTORY: dict[int, frozenset] = {
     4: ROUND4_CHECKED,
     5: ROUND5_CHECKED,
     6: ROUND6_CHECKED,
+    7: ROUND7_CHECKED,
 }
 
 PRIOR_ROUNDS_CHECKED = frozenset().union(*ROUND_HISTORY.values())

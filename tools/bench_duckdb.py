@@ -37,11 +37,9 @@ TABLES = "region nation customer supplier part orders lineitem events documents 
 BENCH_ORACLE_UNFAIR = {"minhash_neardup_pairs"}
 
 
-def main():
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else os.environ.get(
-        "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"
-    )
-    threads = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+def run_twin(sf_dir: str, threads: int) -> dict:
+    """Time each bench-tagged query's oracle on DuckDB, warm, and return
+    the artifact dict (the same JSON shape main() prints)."""
     con = duckdb.connect()
     con.sql(f"SET threads={threads}")
     for t in TABLES:
@@ -61,15 +59,24 @@ def main():
         dt = round(time.time() - t0, 3)
         times[name] = dt
         total += dt
+    con.close()
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1])
-    print(json.dumps({
+    return {
         "metric": "duckdb_total",
         "value": round(total, 2),
         "unit": "sec",
         "queries": times,
         "sf": sf,
         "threads": threads,
-    }))
+    }
+
+
+def main():
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else os.environ.get(
+        "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"
+    )
+    threads = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    print(json.dumps(run_twin(sf_dir, threads)))
 
 
 if __name__ == "__main__":

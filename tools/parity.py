@@ -115,6 +115,32 @@ def main():
             for idx in cs.index[neq][:3]:
                 print(f"   spark : {cs.loc[idx].to_dict()}")
                 print(f"   oracle: {co.loc[idx].to_dict()}")
+            # Self-diagnose the known convention boundary (round-7
+            # advice): _unscaled_long rounds half-AWAY-FROM-ZERO on the
+            # binary double while DuckDB's decimal cast rounds half-even
+            # on its own representation - values within ~1 ulp of a
+            # scaled half-integer can legitimately differ by exactly one
+            # unit in the 6th decimal. Zero occurrences in the committed
+            # fixtures; if a fixture REGEN ever lands on a midpoint,
+            # this line says so instead of presenting a mystery.
+            try:
+                import numpy as _np
+
+                num = cs.select_dtypes(include=[_np.number])
+                if not num.empty:
+                    delta = (num - co[num.columns]).abs().to_numpy()
+                    mx = float(_np.nanmax(delta)) if delta.size else 0.0
+                    if 0.0 < mx <= 1.000001e-6:
+                        print(
+                            "   note: all numeric diffs <= 1e-6 (one unit in the"
+                            " last scale digit) - likely the quantization-"
+                            "convention midpoint documented at"
+                            " operators/relational.py::_unscaled_long, not a"
+                            " logic bug; re-derive the convention vs the new"
+                            " fixtures per that docstring's recipe"
+                        )
+            except Exception:  # noqa: BLE001 - diagnostic only
+                pass
         else:
             print(f"ok   {name}: {len(spdf)} rows match ({time.time()-t0:.1f}s)")
     scope = "" if not only else f" (of {len(QUERIES)} registered)"
