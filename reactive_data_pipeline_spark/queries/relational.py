@@ -371,16 +371,20 @@ def q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast semi-join against the 25-row nation|x|region(ASIA) dim
     cuts customer to ~1/5 BEFORE its shuffle, making it a genuinely
     filtered build side (same rationale as orders; per-task build
-    ~= customer_bytes/5/shuffle_partitions) - and faster than either
-    round-7 shape: sf10 3.05s / sf0.1 0.63s vs both-hints 3.09/0.71.
-    The dim subplan reads nation/region uncached (fresh plan IDs) so
-    the outer broadcast joins on the same tables stay unambiguous;
-    the footer re-inference is on 25-row tables."""
+    ~= customer_bytes/5/shuffle_partitions). Interleaved same-window
+    medians: sf10 semi 3.05s vs both-hints 3.09 vs orders-only 3.64;
+    sf0.1 semi ~= both-hints (0.74-0.76) with orders-only ~0.18s
+    cheaper there purely from the extra broadcast subjob's scheduling
+    floor - the volume axis and the OOM-exposure removal decide.
+    The dim subplan reads nation/region with ``fresh_plan=True`` -
+    fresh plan IDs so the outer broadcast joins on the same tables stay
+    unambiguous, schema served from the scan memo so no footer
+    re-inference job runs per build."""
     region = read_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
     nation = read_table(spark, sf_dir, "nation")
     supplier = read_table(spark, sf_dir, "supplier")
-    an = read_table(spark, sf_dir, "nation", use_cache=False)
-    ar = read_table(spark, sf_dir, "region", use_cache=False).filter(F.col("r_name") == "ASIA")
+    an = read_table(spark, sf_dir, "nation", fresh_plan=True)
+    ar = read_table(spark, sf_dir, "region", fresh_plan=True).filter(F.col("r_name") == "ASIA")
     asia_keys = an.join(F.broadcast(ar), an.n_regionkey == ar.r_regionkey).select(
         F.col("n_nationkey").alias("asia_nk")
     )

@@ -81,7 +81,8 @@ _NORMALIZERS = {"events": _normalize_events}
 
 
 def read_table(
-    spark: SparkSession, sf_dir: str, name: str, use_cache: bool = True
+    spark: SparkSession, sf_dir: str, name: str, use_cache: bool = True,
+    fresh_plan: bool = False,
 ) -> DataFrame:
     """Batch scan of one driver table (S3). Filter/column pruning are left
     to Catalyst - callers express predicates declaratively and the parquet
@@ -106,8 +107,29 @@ def read_table(
     :func:`invalidate_scan_cache`, or use ``spark.read`` directly (the
     streaming/merge paths already do). The cache dict is lock-guarded
     for multi-threaded driver use.
+
+    ``fresh_plan=True`` returns a NEW scan node (fresh plan/attribute
+    IDs) while still skipping the footer-inference job by reusing the
+    memoized schema: the self-join disambiguation case (a subplan that
+    re-reads a table the outer plan also joins would otherwise trip
+    Spark's ambiguous-self-join check, while ``use_cache=False`` pays
+    re-inference on every build). NOT for mutated paths - the schema is
+    served from the memo; use ``use_cache=False`` there.
     """
     key = (sf_dir, name)
+    if fresh_plan:
+        cached = read_table(spark, sf_dir, name, use_cache=use_cache)
+        df = spark.read.schema(cached.schema).parquet(table_path(sf_dir, name))
+        norm = _NORMALIZERS.get(name)
+        # The memoized frame is already normalized; re-normalizing the
+        # raw re-read keeps both plans identical in shape. Guard: the
+        # events normalizer keys off the RAW dtype, but cached.schema is
+        # the POST-normalization schema, so the raw re-read must be
+        # re-normalized from its own dtypes, not assumed normalized.
+        if norm is not None:
+            raw = spark.read.parquet(table_path(sf_dir, name))
+            return norm(raw)
+        return df
     if use_cache:
         with _SCAN_LOCK:
             got = _SCAN_CACHE.setdefault(spark, {}).get(key)

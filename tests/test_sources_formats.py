@@ -252,3 +252,28 @@ def test_scan_cache_contract_and_invalidation(spark, tmp_path):
     # targeted invalidation refreshes the cached entry
     invalidate_scan_cache(spark, sf, "region")
     assert read_table(spark, sf, "region").count() == 2
+
+
+def test_fresh_plan_disambiguates_self_join_without_inference(spark):
+    """Round-8: ``fresh_plan=True`` returns a NEW scan node (fresh
+    attribute IDs - a subplan can re-read a table the outer plan also
+    joins without tripping the ambiguous-self-join check) while serving
+    the schema from the scan memo (no footer-inference job per build).
+    Guard both halves plus the events normalizer path (fresh_plan must
+    re-normalize from RAW dtypes, not assume the memoized schema)."""
+    from pyspark.sql import functions as F
+
+    cached = read_table(spark, SF_DIR, "nation")
+    fresh = read_table(spark, SF_DIR, "nation", fresh_plan=True)
+    # same data, distinct plan ids: the self-join analyzes and returns n x 1 rows
+    joined = cached.join(
+        fresh.select(F.col("n_nationkey").alias("fk")),
+        cached.n_nationkey == F.col("fk"),
+    )
+    assert joined.count() == cached.count()
+    assert cached.schema == fresh.schema
+    # events goes through its normalizer on the raw dtypes
+    ev_cached = read_table(spark, SF_DIR, "events")
+    ev_fresh = read_table(spark, SF_DIR, "events", fresh_plan=True)
+    assert ev_cached.schema == ev_fresh.schema
+    assert ev_fresh.count() == ev_cached.count()
