@@ -28,6 +28,7 @@ Scale/semantics notes:
 
 from __future__ import annotations
 
+import threading
 from collections.abc import Iterator, Sequence
 
 from pyspark.sql.datasource import (
@@ -197,7 +198,26 @@ def register_ticker_feed(spark) -> None:
     ``spark.read.format("tickerfeed")...load()`` freshly for each
     logical query."""
     spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
-    spark.dataSource.register(TickerFeedDataSource)
+    _register_once(spark, "tickerfeed", TickerFeedDataSource)
+
+
+#: (session -> registered source names) under a lock: registration is
+#: called defensively by every consuming query (the driver supplies a
+#: vanilla session), but ``spark.dataSource.register`` REPLACES the
+#: registry entry, and a replace racing another thread's plan-time
+#: lookup surfaced as DATA_SOURCE_NOT_FOUND in the 8-way concurrency
+#: smoke (round 8). Register once per session; subsequent calls are
+#: lock-ordered no-ops, so a lookup can never observe the swap.
+_REG_LOCK = threading.Lock()
+_REGISTERED: dict = {}
+
+
+def _register_once(spark, name: str, cls) -> None:
+    with _REG_LOCK:
+        names = _REGISTERED.setdefault(spark, set())
+        if name not in names:
+            spark.dataSource.register(cls)
+            names.add(name)
 
 
 # ---------------------------------------------------------------------------
@@ -341,7 +361,7 @@ class TickerStoreDataSource(DataSource):
 
 
 def register_ticker_store(spark) -> None:
-    spark.dataSource.register(TickerStoreDataSource)
+    _register_once(spark, "tickerstore", TickerStoreDataSource)
 
 
 class TickerStoreStreamWriter(DataSourceStreamWriter):
