@@ -6,14 +6,18 @@ Arrow-batched ``mapInPandas`` (the only sanctioned Python hot path in
 the engine - one Python worker per partition, columnar transfer, no
 per-row pickling).
 
-The container has no image/audio codec libraries, so full pixel/sample
-decode is out of reach - but ``decode_media`` is NOT a stub: it takes a
-pluggable per-payload ``decoder`` callable and ships a pure-stdlib
-default (:func:`probe_media_header`) that parses real container headers
-- PNG / GIF / JPEG / BMP dimensions, WAV channel/sample-rate - so the
-operator runs end-to-end everywhere and a PIL/ffmpeg-backed decoder
-drops in without touching the Spark plumbing. ``extract_features``
-similarly computes deterministic byte-level pseudo-features by default.
+The container has no image/audio codec libraries, but PNG/GIF/BMP/WAV
+need none: :mod:`.media_codecs` implements real pixel decode/encode
+for PNG (zlib + the five scanline filters), GIF (LZW + palette) and
+BMP, plus chunk-walking WAV PCM decode - all from the public specs -
+so :func:`stdlib_decoder` returns DECODED-image dimensions/channels
+(palette expansion included) and :func:`pixel_aware_resizer` performs
+an actual nearest-neighbor pixel resize, in every environment.
+``decode_media`` stays pluggable: the header probe
+(:func:`probe_media_header`) covers the one entropy-coded format left
+(JPEG), and a PIL/ffmpeg-backed decoder drops in without touching the
+Spark plumbing. ``extract_features`` similarly computes deterministic
+byte-level pseudo-features by default.
 """
 
 from __future__ import annotations
@@ -153,15 +157,44 @@ def pil_decoder(b: bytes) -> dict:
     return out
 
 
+def stdlib_decoder(b: bytes) -> dict:
+    """Real pixel/sample decode with no codec library (round-7 gap #3):
+    PNG (zlib + scanline unfiltering), GIF (LZW + palette), and BMP
+    payloads are fully decoded (:func:`.media_codecs.decode_pixels`)
+    so width/height/channels come from the DECODED image - palette
+    expansion included, which the header probe cannot see - and WAV
+    payloads get a chunk-walking PCM decode
+    (:func:`.media_codecs.wav_decode`) instead of fixed-offset field
+    reads. Entropy-coded formats (JPEG) and shapes outside the
+    supported envelope (Adam7 PNG, 16-bit depth, RLE BMP) fall back to
+    the header probe rather than mis-decoding.
+    """
+    from . import media_codecs
+
+    out = probe_media_header(b)
+    try:
+        if out["media_type"] in ("image/png", "image/gif", "image/bmp"):
+            out["width"], out["height"], out["channels"], _ = (
+                media_codecs.decode_pixels(b)
+            )
+        elif out["media_type"] == "audio/wav":
+            d = media_codecs.wav_decode(b)
+            out["channels"], out["sample_rate"] = d["channels"], d["sample_rate"]
+    except ValueError:
+        pass  # unsupported envelope: the probe's header fields stand
+    return out
+
+
 def best_decoder():
     """The strongest decoder available in this environment: PIL-backed
-    when importable, else the stdlib header probe."""
+    when importable, else the stdlib pixel decoder (real PNG pixel /
+    WAV sample decode, header probe for entropy-coded formats)."""
     try:
         import PIL  # noqa: F401
 
         return pil_decoder
     except ImportError:
-        return probe_media_header
+        return stdlib_decoder
 
 
 def decode_media(
@@ -244,15 +277,48 @@ FRAME_SCHEMA = T.StructType(
 )
 
 
-def resize_media(docs: DataFrame, width: int, height: int, text_col: str = "text") -> DataFrame:
+def byte_resizer(b: bytes, width: int, height: int) -> bytes:
+    """Deterministic stand-in resizer: truncate/zero-pad the payload to
+    exactly ``width*height`` bytes - same schema, batch shape and Arrow
+    path a real resize takes, defined for ANY payload."""
+    size = width * height
+    return bytes(b[:size]).ljust(size, b"\0")
+
+
+def pixel_aware_resizer(b: bytes, width: int, height: int) -> bytes:
+    """Real resize where the payload allows it: PNG/GIF/BMP payloads go
+    through an actual pixel decode -> nearest-neighbor sample ->
+    re-encode as PNG (:func:`.media_codecs.png_resize_nearest`, pure
+    stdlib+numpy); everything else (and images outside the supported
+    envelope) takes the byte stand-in, keeping the operator total over
+    mixed corpora."""
+    from . import media_codecs
+
+    try:
+        return media_codecs.png_resize_nearest(bytes(b), width, height)
+    except ValueError:
+        return byte_resizer(b, width, height)
+
+
+def resize_media(
+    docs: DataFrame,
+    width: int,
+    height: int,
+    text_col: str = "text",
+    resizer=None,
+    payload_col: str | None = None,
+) -> DataFrame:
     """Resize plumbing: 1 row in -> 1 row out with a bounded payload.
 
-    A real decoder maps (payload, w, h) -> resized pixels; the container
-    has no codecs, so the deterministic stand-in truncates/zero-pads the
-    payload to exactly ``width*height`` bytes - same schema, same batch
-    shape, same Arrow path a real resize takes.
+    ``resizer: (bytes, w, h) -> bytes`` supplies the resize itself.
+    The default stays the deterministic byte stand-in (the driver
+    corpus is text payloads, where "resize" has no pixel meaning);
+    :func:`pixel_aware_resizer` plugs in a REAL pixel resize for PNG/GIF/BMP
+    payloads with no change to the Spark plumbing. ``payload_col``
+    mirrors :func:`decode_media`: binary payloads pass through as-is,
+    otherwise ``text_col`` is lifted via :func:`attach_payload`.
     """
-    size = width * height
+    fn = resizer or byte_resizer
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for batch in batches:
@@ -262,14 +328,17 @@ def resize_media(docs: DataFrame, width: int, height: int, text_col: str = "text
                 {
                     "doc_id": batch["doc_id"],
                     "payload": batch["payload"].map(
-                        lambda b: bytes(b[:size]).ljust(size, b"\0")
+                        lambda b: fn(b, width, height)
                     ),
                     "width": width,
                     "height": height,
                 }
             )
 
-    src = attach_payload(docs, text_col).select("doc_id", "payload")
+    if payload_col is None:
+        src = attach_payload(docs, text_col).select("doc_id", "payload")
+    else:
+        src = docs.select("doc_id", F.col(payload_col).alias("payload"))
     return src.mapInPandas(run, schema=RESIZE_SCHEMA)
 
 

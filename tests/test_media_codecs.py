@@ -1,0 +1,310 @@
+"""Pure-stdlib PNG/GIF/BMP/WAV codecs (media_codecs.py) - the round-7
+gap-#3 closure: real pixel/sample decode with no PIL/ffmpeg in the
+container; only JPEG remains PIL-gated.
+
+The encoder exists partly FOR these tests: filtering (encode) has no
+sequential dependence and is written independently from reconstruction
+(decode), so a pixel-exact round-trip through every filter type / color
+type pair is a real check of the unfiltering math, not a tautology.
+Reference vectors for the filter arithmetic come from the public PNG
+spec (section 6, filter types 0-4) and were cross-checked against PIL
+on a machine that has it; in-container the spec math is the oracle.
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+import pytest
+
+from reactive_data_pipeline_spark import media_codecs as MC
+from reactive_data_pipeline_spark import multimodal
+
+
+def _pixels(h: int, w: int, c: int, seed: int = 7) -> np.ndarray:
+    rng = np.random.RandomState(seed)
+    return rng.randint(0, 256, size=(h, w, c), dtype=np.uint8)
+
+
+@pytest.mark.parametrize("filter_type", [0, 1, 2, 3, 4])
+@pytest.mark.parametrize("channels", [1, 2, 3, 4])
+def test_png_roundtrip_every_filter_and_color_type(filter_type, channels):
+    px = _pixels(13, 9, channels, seed=filter_type * 10 + channels)
+    blob = MC.png_encode(px, filter_type=filter_type)
+    w, h, c, got = MC.png_decode(blob)
+    assert (w, h, c) == (9, 13, channels)
+    np.testing.assert_array_equal(got, px)
+
+
+def test_png_decode_known_vector_sub_filter():
+    """Hand-computed spec vector: a 3px gray row stored with filter 1
+    (Sub) as raw deltas (10, 20, 30) must reconstruct to the prefix
+    sums (10, 30, 60) - pins the filter math to the spec, independent
+    of the encoder."""
+    row = b"\x01" + bytes([10, 20, 30])
+    ihdr = struct.pack(">IIBBBBB", 3, 1, 8, 0, 0, 0, 0)
+    blob = (
+        b"\x89PNG\r\n\x1a\n"
+        + MC._chunk(b"IHDR", ihdr)
+        + MC._chunk(b"IDAT", zlib.compress(row))
+        + MC._chunk(b"IEND", b"")
+    )
+    _, _, _, px = MC.png_decode(blob)
+    assert px.reshape(-1).tolist() == [10, 30, 60]
+
+
+def test_png_palette_expansion_with_and_without_trns():
+    pal = bytes([255, 0, 0, 0, 255, 0, 0, 0, 255])  # R, G, B entries
+    idx_rows = [b"\x00" + bytes([0, 1, 2]), b"\x00" + bytes([2, 2, 0])]
+    ihdr = struct.pack(">IIBBBBB", 3, 2, 8, 3, 0, 0, 0)
+    base = b"\x89PNG\r\n\x1a\n" + MC._chunk(b"IHDR", ihdr) + MC._chunk(b"PLTE", pal)
+    idat = MC._chunk(b"IDAT", zlib.compress(b"".join(idx_rows)))
+    end = MC._chunk(b"IEND", b"")
+
+    w, h, c, px = MC.png_decode(base + idat + end)
+    assert (w, h, c) == (3, 2, 3)
+    assert px[0, 1].tolist() == [0, 255, 0] and px[1, 0].tolist() == [0, 0, 255]
+
+    trns = MC._chunk(b"tRNS", bytes([128]))  # entry 0 translucent
+    w, h, c, px = MC.png_decode(base + trns + idat + end)
+    assert c == 4
+    assert px[0, 0].tolist() == [255, 0, 0, 128]
+    assert px[0, 1].tolist() == [0, 255, 0, 255]
+
+
+def test_png_decode_rejects_unsupported_envelope_loudly():
+    px = _pixels(4, 4, 3)
+    blob = bytearray(MC.png_encode(px))
+    # IHDR data starts at 16: width(4) height(4) depth color comp filt ilace
+    depth_off, interlace_off = 16 + 8, 16 + 12
+
+    bad = bytearray(blob)
+    bad[depth_off] = 16
+    with pytest.raises(ValueError, match="bit depth"):
+        MC.png_decode(bytes(_fix_ihdr_crc(bad)))
+
+    bad = bytearray(blob)
+    bad[interlace_off] = 1
+    with pytest.raises(ValueError, match="interlace"):
+        MC.png_decode(bytes(_fix_ihdr_crc(bad)))
+
+    with pytest.raises(ValueError, match="not a PNG"):
+        MC.png_decode(b"plainly not a png")
+
+
+def _fix_ihdr_crc(blob: bytearray) -> bytearray:
+    crc = zlib.crc32(bytes(blob[12:29])) & 0xFFFFFFFF
+    blob[29:33] = struct.pack(">I", crc)
+    return blob
+
+
+def test_png_resize_nearest_known_mapping():
+    """4x4 -> 2x2 nearest with the pixel-center rule keeps sources
+    (1,1), (1,3), (3,1), (3,3)."""
+    px = np.arange(16, dtype=np.uint8).reshape(4, 4, 1)
+    out = MC.png_resize_nearest(MC.png_encode(px), 2, 2)
+    _, _, _, got = MC.png_decode(out)
+    assert got.reshape(-1).tolist() == [5, 7, 13, 15]
+
+
+def test_png_resize_upscale_replicates():
+    px = np.array([[[10], [200]]], dtype=np.uint8)  # 1x2
+    _, _, _, got = MC.png_decode(MC.png_resize_nearest(MC.png_encode(px), 4, 2))
+    assert got.reshape(2, 4).tolist() == [[10, 10, 200, 200]] * 2
+
+
+@pytest.mark.parametrize("interlace", [False, True])
+def test_gif_roundtrip_lzw_and_interlace(interlace):
+    """Real LZW both ways: the encoder builds its own dictionary, so
+    the round-trip exercises the decoder's table growth and code-size
+    bumps, including on the 4-pass interlaced row order."""
+    rng = np.random.RandomState(3)
+    # 31 distinct colors over a 17x11 image -> plenty of LZW runs
+    pal = rng.randint(0, 256, size=(31, 3), dtype=np.uint8)
+    px = pal[rng.randint(0, 31, size=(17, 11))]
+    w, h, c, got = MC.gif_decode(MC.gif_encode(px, interlace=interlace))
+    assert (w, h, c) == (11, 17, 3)
+    np.testing.assert_array_equal(got, px)
+
+
+def test_gif_decode_transparency_and_code_growth():
+    # enough distinct pixels to force the LZW table past 2^(min+1)
+    rng = np.random.RandomState(9)
+    px = np.repeat(
+        rng.randint(0, 256, size=(64, 64, 1), dtype=np.uint8), 3, axis=2
+    )  # gray ramp noise, <=256 distinct colors by construction
+    blob = MC.gif_encode(px)
+    w, h, c, got = MC.gif_decode(blob)
+    assert (w, h, c) == (64, 64, 3)
+    np.testing.assert_array_equal(got, px)
+
+    # splice a GIF89a graphic-control extension marking index 0
+    # transparent: decode must return 4 channels with alpha 0 exactly
+    # where the palette's first (lowest-sorted) color sits
+    gce = b"\x21\xf9\x04\x01\x00\x00\x00\x00"
+    size_bits = (blob[10] & 0x07) + 1  # GCT follows the 13-byte header
+    gct_end = 13 + 3 * (1 << size_bits)
+    blob89 = b"GIF89a" + blob[6:gct_end] + gce + blob[gct_end:]
+    w, h, c, got = MC.gif_decode(blob89)
+    assert (c, got.shape) == (4, (64, 64, 4))
+    lowest = px.reshape(-1, 3).min(axis=0)  # palette entry 0 (sorted)
+    transparent_mask = (px == lowest).all(axis=2)
+    np.testing.assert_array_equal(got[:, :, 3] == 0, transparent_mask)
+    assert transparent_mask.any()  # the spliced flag actually fired
+
+
+def test_gif_encode_rejects_more_than_256_colors():
+    rng = np.random.RandomState(1)
+    px = rng.randint(0, 256, size=(32, 32, 3), dtype=np.uint8)
+    if len(np.unique(px.reshape(-1, 3), axis=0)) > 256:
+        with pytest.raises(ValueError, match="256"):
+            MC.gif_encode(px)
+
+
+@pytest.mark.parametrize("channels", [3, 4])
+def test_bmp_roundtrip_with_row_padding(channels):
+    # width 3 with 3 channels -> 9-byte rows padded to 12: exercises
+    # the 4-byte stride logic both ways
+    px = _pixels(5, 3, channels, seed=channels)
+    w, h, c, got = MC.bmp_decode(MC.bmp_encode(px))
+    assert (w, h, c) == (3, 5, channels)
+    np.testing.assert_array_equal(got, px)
+
+
+def test_bmp_decode_rejects_compressed():
+    blob = bytearray(MC.bmp_encode(_pixels(2, 2, 3)))
+    blob[30] = 1  # BI_RLE8
+    with pytest.raises(ValueError, match="unsupported BMP"):
+        MC.bmp_decode(bytes(blob))
+
+
+def test_decode_pixels_dispatch_and_jpeg_rejection():
+    px = _pixels(3, 3, 3)
+    for blob in (MC.png_encode(px), MC.gif_encode(px), MC.bmp_encode(px)):
+        w, h, c, got = MC.decode_pixels(blob)
+        assert (w, h, c) == (3, 3, 3)
+        np.testing.assert_array_equal(got, px)
+    with pytest.raises(ValueError, match="no stdlib pixel decoder"):
+        MC.decode_pixels(b"\xff\xd8\xff\xe0fake-jpeg")
+
+
+def test_pixel_resizer_covers_gif_and_bmp():
+    px = np.arange(16, dtype=np.uint8).reshape(4, 4)[:, :, None].repeat(3, axis=2)
+    for blob in (MC.gif_encode(px), MC.bmp_encode(px)):
+        out = multimodal.pixel_aware_resizer(blob, 2, 2)
+        _, _, _, got = MC.png_decode(out)
+        assert got[:, :, 0].reshape(-1).tolist() == [5, 7, 13, 15]
+
+
+def test_wav_decode_walks_chunks_and_decodes_pcm():
+    # 16-bit stereo PCM with a junk chunk BEFORE fmt (the fixed-offset
+    # header probe mis-reads this shape; the chunk walk must not).
+    frames = np.array([[100, -100], [2000, -2000], [32767, -32768]], dtype=np.int16)
+    fmt = struct.pack("<HHIIHH", 1, 2, 8000, 8000 * 4, 4, 16)
+    body = (
+        b"junk" + struct.pack("<I", 3) + b"xyz\x00"  # word-aligned junk chunk
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", frames.nbytes) + frames.tobytes()
+    )
+    blob = b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WAVE" + body
+    d = MC.wav_decode(blob)
+    assert (d["channels"], d["sample_rate"], d["n_samples"]) == (2, 8000, 3)
+    np.testing.assert_array_equal(d["samples"], frames)
+    assert d["duration_sec"] == pytest.approx(3 / 8000)
+
+    with pytest.raises(ValueError, match="PCM"):
+        MC.wav_decode(
+            b"RIFF" + struct.pack("<I", 28) + b"WAVE"
+            + b"fmt " + struct.pack("<I", 16)
+            + struct.pack("<HHIIHH", 3, 1, 8000, 16000, 2, 16)
+            + b"data" + struct.pack("<I", 0)
+        )
+
+
+def test_stdlib_decoder_returns_decoded_not_header_fields():
+    """Palette PNG: the header probe cannot know channels at all; the
+    stdlib decoder reports the EXPANDED channel count - proof the
+    fields come from real pixel decode."""
+    pal = bytes([1, 2, 3] * 4)
+    ihdr = struct.pack(">IIBBBBB", 2, 1, 8, 3, 0, 0, 0)
+    blob = (
+        b"\x89PNG\r\n\x1a\n"
+        + MC._chunk(b"IHDR", ihdr)
+        + MC._chunk(b"PLTE", pal)
+        + MC._chunk(b"IDAT", zlib.compress(b"\x00\x00\x01"))
+        + MC._chunk(b"IEND", b"")
+    )
+    d = multimodal.stdlib_decoder(blob)
+    assert (d["media_type"], d["width"], d["height"], d["channels"]) == (
+        "image/png", 2, 1, 3,
+    )
+    assert multimodal.probe_media_header(blob)["channels"] is None
+
+    # Unsupported envelope (16-bit depth): quiet fallback to the probe.
+    deep = bytearray(MC.png_encode(_pixels(2, 2, 3)))
+    deep[24] = 16
+    d = multimodal.stdlib_decoder(bytes(_fix_ihdr_crc(deep)))
+    assert d["media_type"] == "image/png" and d["channels"] is None
+
+
+def test_best_decoder_is_stdlib_decoder_without_pil():
+    try:
+        import PIL  # noqa: F401
+
+        pytest.skip("PIL installed: best_decoder correctly prefers it")
+    except ImportError:
+        pass
+    assert multimodal.best_decoder() is multimodal.stdlib_decoder
+
+
+def test_decode_media_with_stdlib_decoder_through_spark(spark):
+    """The real-pixel decoder through the full Arrow mapInPandas path:
+    decoded (not header) channel counts land in the DataFrame."""
+    rows = [
+        (1, MC.png_encode(_pixels(5, 4, 4))),
+        (2, b"RIFF" + struct.pack("<I", 36) + b"WAVE"
+            + b"fmt " + struct.pack("<I", 16)
+            + struct.pack("<HHIIHH", 1, 1, 44100, 88200, 2, 16)
+            + b"data" + struct.pack("<I", 4) + b"\x01\x02\x03\x04"),
+        (3, b"plain utf-8 text"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, payload binary")
+    got = {
+        r.doc_id: r
+        for r in multimodal.decode_media(
+            docs, decoder=multimodal.stdlib_decoder, payload_col="payload"
+        ).collect()
+    }
+    assert (got[1].media_type, got[1].width, got[1].height, got[1].channels) == (
+        "image/png", 4, 5, 4,
+    )
+    assert (got[2].media_type, got[2].channels, got[2].sample_rate) == (
+        "audio/wav", 1, 44100,
+    )
+    assert got[3].media_type == "text/plain" and all(
+        got[i].ok for i in (1, 2, 3)
+    )
+
+
+def test_resize_media_png_aware_real_resize_through_spark(spark):
+    """pixel_aware_resizer through resize_media over a MIXED corpus: PNG
+    payloads come back as REAL resized PNGs (decode-verified through
+    the Arrow path), non-PNG payloads keep the byte stand-in - one
+    operator, total over both."""
+    px = np.arange(16, dtype=np.uint8).reshape(4, 4, 1)
+    docs = spark.createDataFrame(
+        [(1, MC.png_encode(px)), (2, b"abc")], "doc_id long, payload binary"
+    )
+    got = {
+        r.doc_id: r
+        for r in multimodal.resize_media(
+            docs, 2, 2, resizer=multimodal.pixel_aware_resizer,
+            payload_col="payload",
+        ).collect()
+    }
+    _, _, _, resized = MC.png_decode(bytes(got[1].payload))
+    assert resized.reshape(-1).tolist() == [5, 7, 13, 15]
+    assert bytes(got[2].payload) == b"abc\x00"  # stand-in pad to 2*2
+    assert (got[1].width, got[1].height) == (2, 2)

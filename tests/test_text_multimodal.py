@@ -115,9 +115,18 @@ def test_pil_decoder_without_pil_matches_header_probe():
     if has_pil:
         assert multimodal.best_decoder() is multimodal.pil_decoder
     else:
-        assert multimodal.best_decoder() is multimodal.probe_media_header
+        # round-8: the no-PIL best is the stdlib PIXEL decoder (real PNG
+        # pixel / WAV chunk-walk decode), no longer just the header probe
+        assert multimodal.best_decoder() is multimodal.stdlib_decoder
         for b in payloads:
             assert multimodal.pil_decoder(b) == multimodal.probe_media_header(b)
+            # on header-probe-shaped canonical payloads the stdlib
+            # decoder agrees on every field the probe can fill
+            probe = multimodal.probe_media_header(b)
+            full = multimodal.stdlib_decoder(b)
+            for k, v in probe.items():
+                if v is not None:
+                    assert full[k] == v
 
 
 def test_decode_media_pil_real_pixels(spark):
