@@ -1,6 +1,7 @@
 """Pure-stdlib media codecs: real PNG/GIF/BMP pixel decode (+ encode,
 for round-trip testing and resize re-encode) and WAV PCM sample
-decode, no PIL/ffmpeg required.
+decode, no PIL/ffmpeg required. Baseline JPEG lives in the sibling
+:mod:`.jpeg` module and is dispatched from :func:`decode_pixels`.
 
 The reference has no media surface (its 522 LoC are a Dagster ticker
 app); this closes the engine's own round-7 gap list item #3 ("PIL pixel
@@ -12,18 +13,17 @@ walk over raw PCM. All are implemented here from the public specs
 (PNG: RFC 2083 / W3C PNG spec section 6 "filter types"; GIF: the
 GIF87a/89a spec's variable-width LZW; WAV: RIFF/WAVE fmt+data chunks),
 so :mod:`..multimodal`'s pluggable ``decoder``/``resizer`` slots get a
-REAL pixel/sample path in every environment. JPEG (DCT + Huffman
-entropy coding) is the one format left to PIL - it raises here, and
-callers fall back to the header probe.
+REAL pixel/sample path in every environment.
 
 Scope per format is the common case, failing loudly otherwise: PNG
 bit depth 8, color types 0/2/3/4/6 with palette+tRNS expansion,
 non-interlaced (Adam7 raises); GIF first frame, global/local palettes,
-interlace, GIF89a transparency; BMP 24/32-bit BI_RGB; WAV PCM 8/16-bit.
-Executors vectorize the filter arithmetic with numpy where the data
-dependence allows (None/Up fully, Sub via a per-byte-lane prefix sum;
-Average/Paeth reconstruct sequentially by spec - each byte needs the
-already-reconstructed left neighbor).
+interlace, GIF89a transparency; BMP 24/32-bit BI_RGB; WAV PCM 8/16-bit;
+JPEG baseline sequential (see :mod:`.jpeg` - progressive/arithmetic/
+12-bit raise). Executors vectorize the filter arithmetic with numpy
+where the data dependence allows (None/Up fully, Sub via a
+per-byte-lane prefix sum; Average/Paeth reconstruct sequentially by
+spec - each byte needs the already-reconstructed left neighbor).
 """
 
 from __future__ import annotations
@@ -520,19 +520,27 @@ def bmp_encode(pixels: np.ndarray) -> bytes:
     return header + data
 
 
+def _jpeg_decode(b: bytes) -> tuple[int, int, int, np.ndarray]:
+    from . import jpeg
+
+    return jpeg.jpeg_decode(b)
+
+
 #: format sniffers -> pixel decoders, in sniff order
 _PIXEL_DECODERS = (
     (lambda b: b[:8] == _PNG_SIG, png_decode),
     (lambda b: b[:6] in (b"GIF87a", b"GIF89a"), gif_decode),
     (lambda b: b[:2] == b"BM", bmp_decode),
+    (lambda b: b[:2] == b"\xff\xd8", _jpeg_decode),
 )
 
 
 def decode_pixels(b: bytes) -> tuple[int, int, int, np.ndarray]:
     """Dispatch to the pure-stdlib pixel decoder for the payload's
-    container (PNG/GIF/BMP). Raises ``ValueError`` for entropy-coded
-    formats (JPEG) or anything unrecognized - callers fall back to the
-    header probe."""
+    container (PNG/GIF/BMP, plus baseline JPEG via :mod:`.jpeg`).
+    Raises ``ValueError`` for unsupported shapes (progressive JPEG,
+    Adam7 PNG, ...) or anything unrecognized - callers fall back to
+    the header probe."""
     raw = bytes(b)
     for sniff, dec in _PIXEL_DECODERS:
         if sniff(raw):

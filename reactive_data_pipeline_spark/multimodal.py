@@ -6,18 +6,20 @@ Arrow-batched ``mapInPandas`` (the only sanctioned Python hot path in
 the engine - one Python worker per partition, columnar transfer, no
 per-row pickling).
 
-The container has no image/audio codec libraries, but PNG/GIF/BMP/WAV
-need none: :mod:`.media_codecs` implements real pixel decode/encode
-for PNG (zlib + the five scanline filters), GIF (LZW + palette) and
-BMP, plus chunk-walking WAV PCM decode - all from the public specs -
-so :func:`stdlib_decoder` returns DECODED-image dimensions/channels
-(palette expansion included) and :func:`pixel_aware_resizer` performs
-an actual nearest-neighbor pixel resize, in every environment.
-``decode_media`` stays pluggable: the header probe
-(:func:`probe_media_header`) covers the one entropy-coded format left
-(JPEG), and a PIL/ffmpeg-backed decoder drops in without touching the
-Spark plumbing. ``extract_features`` similarly computes deterministic
-byte-level pseudo-features by default.
+The container has no image/audio codec libraries, but it doesn't need
+them: :mod:`.media_codecs` + :mod:`.jpeg` implement real pixel decode
+(and encode, for round-trip testing) for PNG (zlib + the five scanline
+filters), GIF (LZW + palette), BMP, and baseline JPEG (Huffman +
+dequant + IDCT), plus chunk-walking WAV PCM decode - all from the
+public specs - so :func:`stdlib_decoder` returns DECODED-image
+dimensions/channels (palette expansion included) and
+:func:`pixel_aware_resizer` performs an actual nearest-neighbor pixel
+resize, in every environment. ``decode_media`` stays pluggable: the
+header probe (:func:`probe_media_header`) covers shapes outside the
+stdlib envelope (progressive JPEG, Adam7 PNG), and a PIL/ffmpeg-backed
+decoder drops in without touching the Spark plumbing.
+``extract_features`` similarly computes deterministic byte-level
+pseudo-features by default.
 """
 
 from __future__ import annotations
@@ -159,21 +161,24 @@ def pil_decoder(b: bytes) -> dict:
 
 def stdlib_decoder(b: bytes) -> dict:
     """Real pixel/sample decode with no codec library (round-7 gap #3):
-    PNG (zlib + scanline unfiltering), GIF (LZW + palette), and BMP
-    payloads are fully decoded (:func:`.media_codecs.decode_pixels`)
+    PNG (zlib + scanline unfiltering), GIF (LZW + palette), BMP, and
+    baseline JPEG (Huffman + dequant + IDCT) payloads are fully
+    decoded (:func:`.media_codecs.decode_pixels`)
     so width/height/channels come from the DECODED image - palette
     expansion included, which the header probe cannot see - and WAV
     payloads get a chunk-walking PCM decode
     (:func:`.media_codecs.wav_decode`) instead of fixed-offset field
-    reads. Entropy-coded formats (JPEG) and shapes outside the
-    supported envelope (Adam7 PNG, 16-bit depth, RLE BMP) fall back to
-    the header probe rather than mis-decoding.
+    reads. Shapes outside the supported envelope (progressive JPEG,
+    Adam7 PNG, 16-bit depth, RLE BMP) fall back to the header probe
+    rather than mis-decoding.
     """
     from . import media_codecs
 
     out = probe_media_header(b)
     try:
-        if out["media_type"] in ("image/png", "image/gif", "image/bmp"):
+        if out["media_type"] in (
+            "image/png", "image/gif", "image/bmp", "image/jpeg",
+        ):
             out["width"], out["height"], out["channels"], _ = (
                 media_codecs.decode_pixels(b)
             )
@@ -187,8 +192,9 @@ def stdlib_decoder(b: bytes) -> dict:
 
 def best_decoder():
     """The strongest decoder available in this environment: PIL-backed
-    when importable, else the stdlib pixel decoder (real PNG pixel /
-    WAV sample decode, header probe for entropy-coded formats)."""
+    when importable, else the stdlib pixel decoder (real PNG/GIF/BMP/
+    baseline-JPEG pixel and WAV sample decode; header probe only for
+    shapes outside that envelope)."""
     try:
         import PIL  # noqa: F401
 

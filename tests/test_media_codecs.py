@@ -180,13 +180,16 @@ def test_bmp_decode_rejects_compressed():
         MC.bmp_decode(bytes(blob))
 
 
-def test_decode_pixels_dispatch_and_jpeg_rejection():
+def test_decode_pixels_dispatch_and_unknown_rejection():
     px = _pixels(3, 3, 3)
     for blob in (MC.png_encode(px), MC.gif_encode(px), MC.bmp_encode(px)):
         w, h, c, got = MC.decode_pixels(blob)
         assert (w, h, c) == (3, 3, 3)
         np.testing.assert_array_equal(got, px)
     with pytest.raises(ValueError, match="no stdlib pixel decoder"):
+        MC.decode_pixels(b"not any container")
+    # corrupt JPEG sniffs to the JPEG decoder, which raises its own error
+    with pytest.raises(ValueError, match="JPEG"):
         MC.decode_pixels(b"\xff\xd8\xff\xe0fake-jpeg")
 
 
