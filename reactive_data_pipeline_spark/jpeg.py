@@ -300,6 +300,12 @@ def _decode_scan(b, pos, frame, scan_sel, qt, dc_tables, ac_tables,
     vmax = max(c["v"] for c in comps)
     if hmax not in (1, 2) or vmax not in (1, 2):
         raise ValueError("sampling factors above 2 not supported")
+    if any(c["h"] not in (1, 2) or c["v"] not in (1, 2) for c in comps):
+        raise ValueError("per-component sampling factors must be 1 or 2")
+    from .media_codecs import MAX_PIXELS
+
+    if w0 * h0 > MAX_PIXELS:
+        raise ValueError("JPEG dimensions exceed MAX_PIXELS")
     mcu_w, mcu_h = 8 * hmax, 8 * vmax
     mcus_x = -(-w0 // mcu_w)
     mcus_y = -(-h0 // mcu_h)

@@ -34,6 +34,14 @@ import zlib
 import numpy as np
 
 _PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+#: Decompression-bomb guard: a corrupt/hostile header can declare
+#: arbitrary dimensions (a 100-byte zlib stream claiming 65535x65535
+#: would allocate ~17 GB per plane). At corpus scale malformed
+#: payloads are DATA, so decoders refuse - loudly, as ValueError -
+#: anything above this pixel count (same idea as PIL's
+#: MAX_IMAGE_PIXELS, sized for the engine's thumbnail/feature use).
+MAX_PIXELS = 1 << 26  # 67M pixels ~= 8192x8192
 #: color type -> channels stored in the scanline (palette stores 1 index)
 _CT_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
 #: channels -> color type used by the encoder (palette never emitted)
@@ -110,10 +118,15 @@ def png_decode(b: bytes) -> tuple[int, int, int, np.ndarray]:
     if width == 0 or height == 0:
         raise ValueError("zero-dimension PNG")
 
+    if width * height > MAX_PIXELS:
+        raise ValueError("PNG dimensions exceed MAX_PIXELS")
     nch = _CT_CHANNELS[color_type]
     stride = width * nch
-    raw = zlib.decompress(b"".join(idat))
-    if len(raw) != (stride + 1) * height:
+    expected = (stride + 1) * height
+    # bounded inflate: never allocate more than the header promises
+    d = zlib.decompressobj()
+    raw = d.decompress(b"".join(idat), expected)
+    if len(raw) != expected or d.decompress(d.unconsumed_tail, 1):
         raise ValueError("PNG pixel data size mismatch")
 
     out = np.empty((height, stride), dtype=np.uint8)
@@ -394,6 +407,8 @@ def gif_decode(b: bytes) -> tuple[int, int, int, np.ndarray]:
             i += 3 * n
         if pal is None:
             raise ValueError("GIF image has no color table")
+        if w * h > MAX_PIXELS:
+            raise ValueError("GIF dimensions exceed MAX_PIXELS")
         min_code_size = b[i]
         i += 1
         chunks = []
@@ -539,12 +554,22 @@ def decode_pixels(b: bytes) -> tuple[int, int, int, np.ndarray]:
     """Dispatch to the pure-stdlib pixel decoder for the payload's
     container (PNG/GIF/BMP, plus baseline JPEG via :mod:`.jpeg`).
     Raises ``ValueError`` for unsupported shapes (progressive JPEG,
-    Adam7 PNG, ...) or anything unrecognized - callers fall back to
-    the header probe."""
+    Adam7 PNG, ...), for anything unrecognized, AND for any corrupt
+    payload - parse failures deeper in a decoder (a truncated segment's
+    ``struct.error``, a garbage zlib stream's ``zlib.error``, an
+    out-of-range index) are normalized to ``ValueError`` so callers
+    have exactly one failure mode to handle; at corpus scale corrupt
+    payloads are data, not crashes."""
     raw = bytes(b)
     for sniff, dec in _PIXEL_DECODERS:
         if sniff(raw):
-            return dec(raw)
+            try:
+                return dec(raw)
+            except ValueError:
+                raise
+            except (IndexError, KeyError, OverflowError, MemoryError,
+                    struct.error, zlib.error) as e:
+                raise ValueError(f"corrupt payload: {type(e).__name__}") from e
     raise ValueError("no stdlib pixel decoder for this payload")
 
 

@@ -1,6 +1,6 @@
 """Pure-stdlib PNG/GIF/BMP/WAV codecs (media_codecs.py) - the round-7
 gap-#3 closure: real pixel/sample decode with no PIL/ffmpeg in the
-container; only JPEG remains PIL-gated.
+container (baseline JPEG is covered separately in test_jpeg_codec.py).
 
 The encoder exists partly FOR these tests: filtering (encode) has no
 sequential dependence and is written independently from reconstruction
@@ -311,3 +311,110 @@ def test_resize_media_png_aware_real_resize_through_spark(spark):
     assert resized.reshape(-1).tolist() == [5, 7, 13, 15]
     assert bytes(got[2].payload) == b"abc\x00"  # stand-in pad to 2*2
     assert (got[1].width, got[1].height) == (2, 2)
+
+
+# ---------------------------------------------------------------------------
+# property-based: codecs are total over hostile input (corrupt payloads
+# are DATA at corpus scale - exactly one failure mode, no bombs)
+# ---------------------------------------------------------------------------
+
+from hypothesis import given, settings, strategies as st  # noqa: E402
+
+FAST = settings(max_examples=150, deadline=None)  # pure Python, no Spark
+
+
+@FAST
+@given(
+    st.sampled_from(
+        [b"", b"\x89PNG\r\n\x1a\n", b"GIF87a", b"GIF89a", b"BM", b"\xff\xd8"]
+    ),
+    st.binary(max_size=300),
+)
+def test_decode_pixels_total_over_garbage(prefix, junk):
+    """Any sniffable prefix + random bytes either decodes or raises
+    ValueError - never another exception type, never a hang, never a
+    giant allocation (MAX_PIXELS guards)."""
+    try:
+        w, h, c, px = MC.decode_pixels(prefix + junk)
+        assert px.shape == (h, w, c)
+        assert w * h <= MC.MAX_PIXELS
+    except ValueError:
+        pass
+
+
+@FAST
+@given(st.binary(max_size=300))
+def test_stdlib_decoder_total_over_garbage(junk):
+    """The multimodal decoder slot never leaks a parse exception: every
+    input maps to the probe dict shape."""
+    d = multimodal.stdlib_decoder(junk)
+    assert set(d) >= {"media_type", "width", "height", "channels", "sample_rate"}
+
+
+def test_png_rejects_dimension_bomb_before_allocating():
+    """A 74-byte payload claiming 65535x65535 must be refused by the
+    MAX_PIXELS guard (not by exhausting memory)."""
+    ihdr = struct.pack(">IIBBBBB", 65535, 65535, 8, 0, 0, 0, 0)
+    blob = (
+        b"\x89PNG\r\n\x1a\n"
+        + MC._chunk(b"IHDR", ihdr)
+        + MC._chunk(b"IDAT", zlib.compress(b"\x00"))
+        + MC._chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError, match="MAX_PIXELS"):
+        MC.png_decode(blob)
+
+
+def test_png_bounded_inflate_rejects_zlib_bomb():
+    """An IDAT that inflates to more than the header promises is cut
+    off at the promised size and refused - the decompressobj never
+    materializes the excess."""
+    px = _pixels(2, 2, 1)
+    good = MC.png_encode(px)
+    # re-build with an IDAT that inflates to 100x the promised size
+    bomb = zlib.compress(b"\x00" * ((2 * 1 + 1) * 2 * 100))
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 0, 0, 0, 0)
+    blob = (
+        b"\x89PNG\r\n\x1a\n"
+        + MC._chunk(b"IHDR", ihdr)
+        + MC._chunk(b"IDAT", bomb)
+        + MC._chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError, match="size mismatch"):
+        MC.png_decode(blob)
+    MC.png_decode(good)  # the guard does not break valid payloads
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    st.integers(1, 12), st.integers(1, 12),
+    st.sampled_from([1, 2, 3, 4]), st.sampled_from([0, 1, 2, 3, 4]),
+    st.integers(0, 2**32 - 1),
+)
+def test_png_roundtrip_property(h, w, c, filter_type, seed):
+    px = np.random.RandomState(seed).randint(0, 256, (h, w, c), dtype=np.uint8)
+    w2, h2, c2, got = MC.png_decode(MC.png_encode(px, filter_type=filter_type))
+    assert (w2, h2, c2) == (w, h, c)
+    np.testing.assert_array_equal(got, px)
+
+
+@settings(max_examples=25, deadline=None)
+@given(st.integers(1, 12), st.integers(1, 12), st.booleans(),
+       st.integers(0, 2**32 - 1))
+def test_gif_roundtrip_property(h, w, interlace, seed):
+    rng = np.random.RandomState(seed)
+    pal = rng.randint(0, 256, (min(h * w, 256), 3), dtype=np.uint8)
+    px = pal[rng.randint(0, len(pal), (h, w))]
+    w2, h2, c2, got = MC.gif_decode(MC.gif_encode(px, interlace=interlace))
+    assert (w2, h2, c2) == (w, h, 3)
+    np.testing.assert_array_equal(got, px)
+
+
+@settings(max_examples=25, deadline=None)
+@given(st.integers(1, 12), st.integers(1, 12), st.sampled_from([3, 4]),
+       st.integers(0, 2**32 - 1))
+def test_bmp_roundtrip_property(h, w, c, seed):
+    px = np.random.RandomState(seed).randint(0, 256, (h, w, c), dtype=np.uint8)
+    w2, h2, c2, got = MC.bmp_decode(MC.bmp_encode(px))
+    assert (w2, h2, c2) == (w, h, c)
+    np.testing.assert_array_equal(got, px)
