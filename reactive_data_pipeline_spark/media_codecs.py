@@ -366,15 +366,15 @@ def _lzw_encode(indices: bytes, min_code_size: int) -> bytes:
     return bytes(out)
 
 
-def gif_decode(b: bytes) -> tuple[int, int, int, np.ndarray]:
-    """Decode the FIRST frame of a GIF87a/89a payload to
-    ``(width, height, channels, pixels)`` - real LZW + palette
-    expansion, interlace supported; transparency (GIF89a graphic
-    control) yields 4 channels."""
+def _gif_image_blocks(b: bytes):
+    """Parse a GIF87a/89a payload: returns ``(screen_w, screen_h,
+    blocks)`` where each block dict carries the decoded index grid
+    (de-interlaced), its palette, placement, and the preceding
+    graphic-control state (transparency index, disposal method)."""
     if b[:6] not in (b"GIF87a", b"GIF89a"):
         raise ValueError("not a GIF payload")
     sw, sh = struct.unpack("<HH", b[6:10])
-    packed, _bg, _aspect = b[10], b[11], b[12]
+    packed = b[10]
     i = 13
     gct = None
     if packed & 0x80:
@@ -382,6 +382,8 @@ def gif_decode(b: bytes) -> tuple[int, int, int, np.ndarray]:
         gct = np.frombuffer(b[i : i + 3 * n], np.uint8).reshape(n, 3)
         i += 3 * n
     transparent_idx = None
+    disposal = 0
+    blocks = []
     while i < len(b):
         block = b[i]
         if block == 0x3B:  # trailer
@@ -389,8 +391,9 @@ def gif_decode(b: bytes) -> tuple[int, int, int, np.ndarray]:
         if block == 0x21:  # extension: label + sub-blocks
             label = b[i + 1]
             j = i + 2
-            if label == 0xF9 and b[j] >= 4 and (b[j + 1] & 0x01):
-                transparent_idx = b[j + 4]
+            if label == 0xF9 and b[j] >= 4:
+                disposal = (b[j + 1] >> 2) & 0x07
+                transparent_idx = b[j + 4] if (b[j + 1] & 0x01) else None
             while b[j] != 0:
                 j += 1 + b[j]
             i = j + 1
@@ -416,6 +419,7 @@ def gif_decode(b: bytes) -> tuple[int, int, int, np.ndarray]:
             ln = b[i]
             chunks.append(b[i + 1 : i + 1 + ln])
             i += 1 + ln
+        i += 1  # the terminating 0-length sub-block
         idx = _lzw_decode(b"".join(chunks), min_code_size, w * h)
         if len(idx) < w * h:
             raise ValueError("GIF pixel data truncated")
@@ -430,12 +434,73 @@ def gif_decode(b: bytes) -> tuple[int, int, int, np.ndarray]:
             grid = ordered
         if int(grid.max(initial=0)) >= len(pal):
             raise ValueError("GIF palette index out of range")
-        rgb = pal[grid]
-        if transparent_idx is not None:
-            alpha = np.where(grid == transparent_idx, 0, 255).astype(np.uint8)
-            return int(w), int(h), 4, np.dstack([rgb, alpha])
-        return int(w), int(h), 3, np.ascontiguousarray(rgb)
-    raise ValueError(f"GIF has no image block ({sw}x{sh} screen)")
+        blocks.append({
+            "left": left, "top": top, "w": w, "h": h, "grid": grid,
+            "pal": pal, "transparent": transparent_idx,
+            "disposal": disposal,
+        })
+        transparent_idx, disposal = None, 0  # GCE applies to ONE image
+    return int(sw), int(sh), blocks
+
+
+def gif_decode(b: bytes) -> tuple[int, int, int, np.ndarray]:
+    """Decode the FIRST frame of a GIF87a/89a payload to
+    ``(width, height, channels, pixels)`` - real LZW + palette
+    expansion, interlace supported; transparency (GIF89a graphic
+    control) yields 4 channels."""
+    sw, sh, blocks = _gif_image_blocks(b)
+    if not blocks:
+        raise ValueError(f"GIF has no image block ({sw}x{sh} screen)")
+    blk = blocks[0]
+    grid, pal = blk["grid"], blk["pal"]
+    rgb = pal[grid]
+    if blk["transparent"] is not None:
+        alpha = np.where(grid == blk["transparent"], 0, 255).astype(np.uint8)
+        return blk["w"], blk["h"], 4, np.dstack([rgb, alpha])
+    return blk["w"], blk["h"], 3, np.ascontiguousarray(rgb)
+
+
+def gif_decode_frames(b: bytes) -> tuple[int, int, list[np.ndarray]]:
+    """Decode EVERY frame of an animated GIF, composited per the spec's
+    disposal model, to ``(screen_w, screen_h, [rgba_frame, ...])`` -
+    each frame a full-canvas ``(sh, sw, 4)`` uint8 array (alpha 0 where
+    nothing has been painted).
+
+    Composition (GIF89a section 23, disposal in the graphic-control
+    packed field): each image block paints its region at (left, top),
+    skipping pixels of the block's transparent index; after a frame is
+    emitted, disposal 2 clears the block's region back to transparent,
+    disposal 3 restores the canvas to its pre-block state, 0/1 leave
+    the canvas as painted. This makes :func:`..multimodal.sample_frames`'s
+    1->N shape REAL for animated GIF payloads."""
+    sw, sh, blocks = _gif_image_blocks(b)
+    if not blocks:
+        raise ValueError(f"GIF has no image block ({sw}x{sh} screen)")
+    if sw * sh > MAX_PIXELS:
+        raise ValueError("GIF screen exceeds MAX_PIXELS")
+    canvas = np.zeros((sh, sw, 4), dtype=np.uint8)
+    frames: list[np.ndarray] = []
+    for blk in blocks:
+        y0, x0 = blk["top"], blk["left"]
+        y1, x1 = min(y0 + blk["h"], sh), min(x0 + blk["w"], sw)
+        if y1 <= y0 or x1 <= x0:
+            frames.append(canvas.copy())
+            continue
+        before = canvas[y0:y1, x0:x1].copy() if blk["disposal"] == 3 else None
+        grid = blk["grid"][: y1 - y0, : x1 - x0]
+        rgba = np.dstack([blk["pal"][grid],
+                          np.full(grid.shape, 255, dtype=np.uint8)])
+        region = canvas[y0:y1, x0:x1]
+        if blk["transparent"] is not None:
+            keep = grid == blk["transparent"]
+            rgba[keep] = region[keep]
+        canvas[y0:y1, x0:x1] = rgba
+        frames.append(canvas.copy())
+        if blk["disposal"] == 2:
+            canvas[y0:y1, x0:x1] = 0
+        elif blk["disposal"] == 3:
+            canvas[y0:y1, x0:x1] = before
+    return sw, sh, frames
 
 
 def gif_encode(pixels: np.ndarray, interlace: bool = False) -> bytes:

@@ -348,28 +348,62 @@ def resize_media(
     return src.mapInPandas(run, schema=RESIZE_SCHEMA)
 
 
+def byte_frame_sampler(b: bytes, frame_bytes: int, every_n: int) -> list:
+    """Deterministic stand-in sampler: the payload as fixed-size byte
+    'frames', keeping every ``every_n``-th - defined for ANY payload."""
+    frames = [b[off : off + frame_bytes] for off in range(0, len(b), frame_bytes)]
+    return [(idx, bytes(frames[idx])) for idx in range(0, len(frames), every_n)]
+
+
+def gif_aware_frame_sampler(b: bytes, frame_bytes: int, every_n: int) -> list:
+    """Real keyframe sampling where the payload allows it: animated-GIF
+    payloads are decoded frame by frame with the spec's disposal
+    composition (:func:`.media_codecs.gif_decode_frames`) and every
+    ``every_n``-th composited frame comes back PNG-encoded; everything
+    else takes the byte stand-in, keeping the operator total over
+    mixed corpora. ``frame_idx`` is the GIF frame number on the real
+    path (the byte-window index on the stand-in path)."""
+    from . import media_codecs
+
+    if bytes(b[:6]) in (b"GIF87a", b"GIF89a"):
+        try:
+            _sw, _sh, frames = media_codecs.gif_decode_frames(bytes(b))
+            return [
+                (idx, media_codecs.png_encode(frames[idx]))
+                for idx in range(0, len(frames), every_n)
+            ]
+        except ValueError:
+            pass
+    return byte_frame_sampler(b, frame_bytes, every_n)
+
+
 def sample_frames(docs: DataFrame, frame_bytes: int = 64, every_n: int = 4,
-                  text_col: str = "text") -> DataFrame:
+                  text_col: str = "text", sampler=None,
+                  payload_col: str | None = None) -> DataFrame:
     """Frame-sampling plumbing: 1 row in -> N rows out (the flatMap batch
-    shape a video keyframe sampler has). The stand-in treats the payload
-    as fixed-size 'frames' of ``frame_bytes`` and keeps every
-    ``every_n``-th one."""
+    shape a video keyframe sampler has).
+
+    ``sampler: (bytes, frame_bytes, every_n) -> [(idx, frame_bytes)]``
+    supplies the sampling itself. The default stays the deterministic
+    byte stand-in (the driver corpus is text payloads, where 'frame'
+    has no pixel meaning); :func:`gif_aware_frame_sampler` plugs in
+    REAL animated-GIF keyframe extraction with no change to the Spark
+    plumbing. ``payload_col`` mirrors :func:`decode_media`."""
+    fn = sampler or byte_frame_sampler
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for batch in batches:
             rows = []
             for doc_id, payload in zip(batch["doc_id"], batch["payload"]):
-                frames = [
-                    payload[off : off + frame_bytes]
-                    for off in range(0, len(payload), frame_bytes)
-                ]
-                for idx in range(0, len(frames), every_n):
-                    f = bytes(frames[idx])
-                    rows.append((int(doc_id), idx, f, len(f)))
+                for idx, f in fn(payload, frame_bytes, every_n):
+                    rows.append((int(doc_id), int(idx), f, len(f)))
             if rows:
                 yield pd.DataFrame(rows, columns=[f.name for f in FRAME_SCHEMA.fields])
 
-    src = attach_payload(docs, text_col).select("doc_id", "payload")
+    if payload_col is None:
+        src = attach_payload(docs, text_col).select("doc_id", "payload")
+    else:
+        src = docs.select("doc_id", F.col(payload_col).alias("payload"))
     return src.mapInPandas(run, schema=FRAME_SCHEMA)
 
 

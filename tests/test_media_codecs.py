@@ -418,3 +418,136 @@ def test_bmp_roundtrip_property(h, w, c, seed):
     w2, h2, c2, got = MC.bmp_decode(MC.bmp_encode(px))
     assert (w2, h2, c2) == (w, h, c)
     np.testing.assert_array_equal(got, px)
+
+
+# ---------------------------------------------------------------------------
+# animated GIF: multi-frame decode with disposal composition
+# ---------------------------------------------------------------------------
+
+
+def _animated_gif(frames, sw, sh, disposals=None, transparents=None,
+                  offsets=None) -> bytes:
+    """Hand-assemble a multi-frame GIF89a: shared global palette derived
+    from all frames, one image block per frame with optional per-frame
+    GCE (disposal + transparent index), placement offsets, real LZW."""
+    all_px = np.concatenate([f.reshape(-1, 3) for f in frames])
+    colors = np.unique(all_px, axis=0)
+    assert len(colors) <= 256
+    size_bits = max(1, int(np.ceil(np.log2(max(len(colors), 2)))))
+    pal = np.zeros((2**size_bits, 3), dtype=np.uint8)
+    pal[: len(colors)] = colors
+    lut = {tuple(c): i for i, c in enumerate(colors)}
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HH", sw, sh)
+    out += bytes([0x80 | (size_bits - 1), 0, 0]) + pal.tobytes()
+    min_code = max(2, size_bits)
+    for k, f in enumerate(frames):
+        disp = (disposals or [0] * len(frames))[k]
+        trans = (transparents or [None] * len(frames))[k]
+        left, top = (offsets or [(0, 0)] * len(frames))[k]
+        if disp or trans is not None:
+            packed = (disp << 2) | (1 if trans is not None else 0)
+            out += bytes([0x21, 0xF9, 4, packed, 0, 0, trans or 0, 0])
+        h, w, _ = f.shape
+        out += b"\x2c" + struct.pack("<HHHH", left, top, w, h) + bytes([0])
+        idx = bytes(lut[tuple(p)] for p in f.reshape(-1, 3))
+        lzw = MC._lzw_encode(idx, min_code)
+        out += bytes([min_code])
+        for o in range(0, len(lzw), 255):
+            chunk = lzw[o : o + 255]
+            out += bytes([len(chunk)]) + chunk
+        out += b"\x00"
+    out += b"\x3b"
+    return bytes(out)
+
+
+def _solid(h, w, rgb):
+    return np.tile(np.array(rgb, np.uint8), (h, w, 1))
+
+
+def test_gif_frames_composition_leave_and_offsets():
+    """Frame 2 paints a 2x2 patch at (1,1) over frame 1's canvas
+    (disposal 0 = leave): the composited second frame shows the patch
+    on top, everything else unchanged."""
+    f1 = _solid(4, 4, (10, 20, 30))
+    f2 = _solid(2, 2, (200, 0, 0))
+    blob = _animated_gif([f1, f2], 4, 4, offsets=[(0, 0), (1, 1)])
+    sw, sh, frames = MC.gif_decode_frames(blob)
+    assert (sw, sh, len(frames)) == (4, 4, 2)
+    np.testing.assert_array_equal(frames[0][:, :, :3], f1)
+    assert (frames[0][:, :, 3] == 255).all()
+    expect = f1.copy()
+    expect[1:3, 1:3] = (200, 0, 0)
+    np.testing.assert_array_equal(frames[1][:, :, :3], expect)
+
+
+def test_gif_frames_disposal_background_clears_region():
+    """Disposal 2 on frame 1: after it is emitted, its region clears to
+    transparent, so frame 2 (a small patch) composites onto a mostly
+    empty canvas."""
+    f1 = _solid(4, 4, (10, 20, 30))
+    f2 = _solid(1, 1, (0, 200, 0))
+    blob = _animated_gif([f1, f2], 4, 4, disposals=[2, 0],
+                         offsets=[(0, 0), (3, 3)])
+    _, _, frames = MC.gif_decode_frames(blob)
+    assert (frames[0][:, :, 3] == 255).all()
+    # frame 2's canvas: only the (3,3) pixel is painted
+    assert frames[1][3, 3].tolist() == [0, 200, 0, 255]
+    assert (frames[1][:, :, 3] == 255).sum() == 1
+
+
+def test_gif_frames_disposal_previous_restores():
+    """Disposal 3 on frame 2: frame 3 composites against the canvas as
+    it was BEFORE frame 2 painted."""
+    f1 = _solid(3, 3, (1, 2, 3))
+    f2 = _solid(3, 3, (100, 100, 100))
+    f3 = _solid(1, 1, (200, 0, 200))
+    blob = _animated_gif([f1, f2, f3], 3, 3, disposals=[0, 3, 0])
+    _, _, frames = MC.gif_decode_frames(blob)
+    np.testing.assert_array_equal(frames[1][:, :, :3], f2)
+    expect = f1.copy()
+    expect[0, 0] = (200, 0, 200)
+    np.testing.assert_array_equal(frames[2][:, :, :3], expect)
+
+
+def test_gif_frames_transparent_index_skips_pixels():
+    """A transparent pixel in frame 2 leaves frame 1's pixel visible -
+    the delta-frame encoding every real animated GIF uses."""
+    f1 = _solid(2, 2, (9, 9, 9))
+    f2 = np.array([[[9, 9, 9], [50, 60, 70]],
+                   [[50, 60, 70], [9, 9, 9]]], np.uint8)
+    # (9,9,9) sorts before (50,60,70) -> palette index 0; mark it
+    # transparent in frame 2 so those pixels show through
+    blob = _animated_gif([f1, f2], 2, 2, transparents=[None, 0])
+    _, _, frames = MC.gif_decode_frames(blob)
+    np.testing.assert_array_equal(
+        frames[1][:, :, :3],
+        np.array([[[9, 9, 9], [50, 60, 70]],
+                  [[50, 60, 70], [9, 9, 9]]], np.uint8),
+    )
+    assert (frames[1][:, :, 3] == 255).all()  # underlying pixels remain
+
+
+def test_gif_aware_frame_sampler_through_spark(spark):
+    """Real GIF keyframes through the sample_frames Arrow path: 4-frame
+    GIF sampled every 2 -> frames 0 and 2 as PNGs; text payloads keep
+    the byte stand-in in the same operator run."""
+    frames = [_solid(3, 3, (i * 40, 0, 0)) for i in range(4)]
+    blob = _animated_gif(frames, 3, 3)
+    docs = spark.createDataFrame(
+        [(1, bytearray(blob)), (2, bytearray(b"0123456789abcdef" * 12))],
+        "doc_id long, payload binary",
+    )
+    out = multimodal.sample_frames(
+        docs, frame_bytes=64, every_n=2,
+        sampler=multimodal.gif_aware_frame_sampler, payload_col="payload",
+    ).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    assert [r.frame_idx for r in by_doc[1]] == [0, 2]
+    for r in by_doc[1]:
+        _, _, _, px = MC.png_decode(bytes(r.frame_payload))
+        np.testing.assert_array_equal(px[:, :, 0], np.full((3, 3), r.frame_idx * 40))
+    assert [r.frame_idx for r in by_doc[2]] == [0, 2]  # byte stand-in path
+    assert len(by_doc[2][0].frame_payload) == 64
