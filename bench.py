@@ -162,11 +162,19 @@ def main() -> None:
     print(f"# load probe: {probe_sec:.3f}s", file=sys.stderr)
 
     reps = max(1, int(os.environ.get("SPARK_GRAFT_REPS", "3")))
+    # Volume-axis escape hatch (NOT used by the driver): skip named
+    # entries whose cost at a synthetic SF is construction-bound and
+    # already documented (e.g. minhash_neardup_pairs' candidate mass is
+    # quadratic in the fixture's copies-per-class - at sf40 that is
+    # ~16x its sf10 cost and it is oracle-nulled/unpaired anyway).
+    skip = {
+        s for s in os.environ.get("SPARK_GRAFT_SKIP", "").split(",") if s
+    }
     timings: dict[str, float] = {}
     escalated: list[str] = []
     escalated_medians: dict[str, dict] = {}
     for name, q in QUERIES.items():
-        if not q.bench:
+        if not q.bench or name in skip:
             continue
         sec, esc = run_median(spark, q, sf_dir, reps)
         timings[name] = round(sec, 3)

@@ -19,6 +19,41 @@ from . import register
 _REV = "l_extendedprice * (1 - l_discount)"
 
 
+def size_fact_side(
+    df: DataFrame, key: str, sf_dir: str, table: str,
+    target_bytes: int = 32 << 20, conf_p: int = 32, max_p: int = 4096,
+) -> DataFrame:
+    """Bound a ``shuffle_hash`` build side's per-task size at ANY scale
+    factor - engaging only when the session conf would be unsafe.
+
+    The round-8 sf40 (400x) volume run exposed the failure mode the
+    round-7 advice predicted: an SHJ build side that is a constant
+    FRACTION of a fact table grows linearly with SF, and with a fixed
+    shuffle-partition count its per-task hash relation eventually
+    exceeds the execution pool - SHJ builds do not spill, so q3 died
+    at sf40 with "Can't acquire 268435456 bytes memory to build hash
+    relation" (SMJ survives mis-sized partitions because sort spills;
+    a real deployment never runs a 240M-row shuffle over 32
+    partitions). The fix is the CC-loop discipline applied to join
+    exchanges: repartition the build side ON ITS JOIN KEY with a
+    bytes-derived partition count (the probe side co-partitions to
+    match), so per-task build stays roughly constant as data grows.
+
+    Engaged LAZILY: when ``table_file_bytes / 32MB <= 2 * conf_p`` the
+    frame is returned untouched - the conf-partitioned plan is both
+    safe there and measurably faster (an explicit REPARTITION_BY_NUM
+    pins the exchange and keeps AQE from coalescing/local-reading it:
+    a same-window sf10 A/B read 2.99s conf vs 3.26s pinned for q3).
+    Unknown size (0, e.g. a remote URI) -> untouched.
+    """
+    from ..sources.registry import table_size_bytes
+
+    n_raw = -(-table_size_bytes(sf_dir, table) // target_bytes)
+    if n_raw <= 2 * conf_p:
+        return df
+    return df.repartition(min(n_raw, max_p), key)
+
+
 def _ts(lit: str):
     return F.lit(lit).cast("timestamp_ntz")
 
@@ -299,16 +334,23 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     the customer join. The shipdate filter leaves lineitem the far
     smaller side of the orderkey join, so it carries a ``shuffle_hash``
     hint (per-task hash build on the filtered side beats sorting the
-    orders shuffle; same rationale and scale note as q5)."""
+    orders shuffle; same rationale as q5) - and because that build side
+    is a constant fraction of the LARGEST fact, the exchange is sized
+    to the data above the safety threshold (:func:`size_fact_side`):
+    at 400x volume the conf-fixed 32-partition build exceeded the
+    unspillable SHJ pool ("Can't acquire ... to build hash relation");
+    a bytes-derived repartition on the join key keeps the per-task
+    build bounded at any SF (the other side co-partitions to match),
+    while at gate/100x scale the conf plan is returned untouched."""
     cust = read_table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
     orders = read_table(spark, sf_dir, "orders").filter(
         F.col("o_orderdate") < _ts("1998-06-30 00:00:00")
     )
-    li = (
+    li = size_fact_side(
         read_table(spark, sf_dir, "lineitem")
-        .filter(F.col("l_shipdate") > _ts("1998-06-30 00:00:00"))
-        .hint("shuffle_hash")
-    )
+        .filter(F.col("l_shipdate") > _ts("1998-06-30 00:00:00")),
+        "l_orderkey", sf_dir, "lineitem",
+    ).hint("shuffle_hash")
     rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     joined = li.join(orders, li.l_orderkey == orders.o_orderkey).join(
         F.broadcast(cust), orders.o_custkey == cust.c_custkey
@@ -379,7 +421,14 @@ def q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     The dim subplan reads nation/region with ``fresh_plan=True`` -
     fresh plan IDs so the outer broadcast joins on the same tables stay
     unambiguous, schema served from the scan memo so no footer
-    re-inference job runs per build."""
+    re-inference job runs per build.
+
+    Round-8 continuation (the sf40 lesson, see q3): both hinted build
+    sides are constant FRACTIONS of linear tables, so their exchanges
+    are sized to the data above the safety threshold
+    (:func:`size_fact_side`) - per-task SHJ build stays bounded at any
+    SF instead of growing with it under a conf-fixed partition count,
+    and below the threshold the conf plan is returned untouched."""
     region = read_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
     nation = read_table(spark, sf_dir, "nation")
     supplier = read_table(spark, sf_dir, "supplier")
@@ -389,17 +438,19 @@ def q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_nationkey").alias("asia_nk")
     )
     customer = read_table(spark, sf_dir, "customer")
-    customer = customer.join(
-        F.broadcast(asia_keys), customer.c_nationkey == F.col("asia_nk"), "semi"
+    customer = size_fact_side(
+        customer.join(
+            F.broadcast(asia_keys), customer.c_nationkey == F.col("asia_nk"), "semi"
+        ),
+        "c_custkey", sf_dir, "customer",
     ).hint("shuffle_hash")
-    orders = (
-        read_table(spark, sf_dir, "orders")
-        .filter(
+    orders = size_fact_side(
+        read_table(spark, sf_dir, "orders").filter(
             (F.col("o_orderdate") >= _ts("1996-01-01 00:00:00"))
             & (F.col("o_orderdate") < _ts("1997-01-01 00:00:00"))
-        )
-        .hint("shuffle_hash")
-    )
+        ),
+        "o_orderkey", sf_dir, "orders",
+    ).hint("shuffle_hash")
     li = read_table(spark, sf_dir, "lineitem")
     rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     joined = (

@@ -68,6 +68,29 @@ def table_path(sf_dir: str, name: str) -> str:
     return f"{sf_dir.rstrip('/')}/{name}.parquet"
 
 
+def table_size_bytes(sf_dir: str, name: str) -> int:
+    """On-disk byte size of a table (single parquet file or a directory
+    of part files) - the driver-side input-size probe behind
+    exchange sizing (see queries.relational.fact_shuffle_partitions).
+    0 when the path does not exist locally (e.g. a remote URI): callers
+    must treat 0 as "unknown" and fall back to their minimum."""
+    import os
+
+    p = table_path(sf_dir, name)
+    if os.path.isfile(p):
+        return os.path.getsize(p)
+    if os.path.isdir(p):
+        total = 0
+        for root, _dirs, files in os.walk(p):
+            total += sum(
+                os.path.getsize(os.path.join(root, f))
+                for f in files
+                if not f.startswith((".", "_"))
+            )
+        return total
+    return 0
+
+
 def _normalize_events(df: DataFrame) -> DataFrame:
     if dict(df.dtypes).get("ts") == "bigint":
         df = df.withColumn(

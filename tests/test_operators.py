@@ -195,3 +195,32 @@ def test_evaluate_once_values_and_barrier(spark):
     gen_pos = plan.index("Generate")
     filt_pos = plan.index("Filter")
     assert filt_pos < gen_pos, plan
+
+
+def test_size_fact_side_threshold_and_engagement(spark, tmp_path):
+    """size_fact_side (the sf40 SHJ-build OOM fix) engages ONLY above
+    the bytes threshold: small tables return the frame untouched (the
+    conf-partitioned plan is faster there - measured), big ones get an
+    explicit join-key repartition whose partition count tracks file
+    bytes; unknown paths stay untouched."""
+    from reactive_data_pipeline_spark.queries.relational import size_fact_side
+
+    sf_dir = str(tmp_path)
+    df = spark.range(100).withColumnRenamed("id", "k")
+    df.write.parquet(f"{sf_dir}/t.parquet")
+    small = spark.read.parquet(f"{sf_dir}/t.parquet")
+
+    # tiny table: untouched (identity - same plan object semantics)
+    out = size_fact_side(small, "k", sf_dir, "t")
+    assert "RepartitionByExpression" not in out._jdf.queryExecution().logical().toString()
+
+    # force engagement with a 1-byte target: partitions = ceil(bytes/1)
+    # clamped at max_p, and the repartition keys on the join column
+    out = size_fact_side(small, "k", sf_dir, "t", target_bytes=1, max_p=64)
+    logical = out._jdf.queryExecution().logical().toString()
+    assert "RepartitionByExpression" in logical and "64" in logical
+    assert out.rdd.getNumPartitions() == 64
+
+    # unknown table: untouched
+    out = size_fact_side(small, "k", sf_dir, "missing")
+    assert "RepartitionByExpression" not in out._jdf.queryExecution().logical().toString()
