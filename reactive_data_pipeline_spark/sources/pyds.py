@@ -213,6 +213,25 @@ _REGISTERED: dict = {}
 
 
 def _register_once(spark, name: str, cls) -> None:
+    # JVM-side sharp edge (found by the 8-way concurrency smoke,
+    # reproduced deterministically): ``DataSource.lookupDataSource``
+    # consults the JVM THREAD-LOCAL active session to decide whether a
+    # provider is a user-defined Python source. py4j's pinned-thread
+    # mode maps each Python thread to its own JVM thread, and a freshly
+    # spawned JVM thread has NO active session (it only becomes set as
+    # a side effect of calls like getOrCreate), so a Python-source
+    # read/WRITE from a worker thread fails DATA_SOURCE_NOT_FOUND -
+    # intermittently, because whether the pooled thread ran such a
+    # side-effecting call first is scheduling-dependent. Every
+    # consuming query calls this defensively from its own thread, so
+    # pin the active session here, on EVERY call (the registration
+    # itself stays once-per-session under the lock).
+    try:
+        spark._jvm.org.apache.spark.sql.SparkSession.setActiveSession(
+            spark._jsparkSession
+        )
+    except AttributeError:
+        pass  # Spark Connect: no _jvm, and no thread-local lookup either
     with _REG_LOCK:
         names = _REGISTERED.setdefault(spark, set())
         if name not in names:

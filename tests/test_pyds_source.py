@@ -412,3 +412,36 @@ def test_sink_commit_reaps_aged_orphans(monkeypatch):
     w.commit([w.write(iter([("AAA", 0, 1, 2, 3)]))])
     assert not os.path.exists(dead), "aged orphan not reaped"
     assert os.path.exists(live), "fresh foreign staging must survive"
+
+
+def test_python_source_usable_from_fresh_worker_thread(spark, tmp_path):
+    """DATA_SOURCE_NOT_FOUND race, pinned deterministically: the JVM's
+    DataSource.lookupDataSource gates user-defined PYTHON sources on
+    the THREAD-LOCAL active session, and a fresh py4j pinned thread has
+    none - so before the fix, a Python-source save from ANY new worker
+    thread failed (intermittent in the 8-way smoke only because pooled
+    threads sometimes ran a side-effecting call first). _register_once
+    now pins the active session for the calling thread; this test
+    clears the thread-local explicitly (the worst case) and runs the
+    full write+read roundtrip from a worker thread."""
+    import threading
+
+    from reactive_data_pipeline_spark.queries import QUERIES
+
+    result = {}
+
+    def worker():
+        try:
+            spark._jvm.org.apache.spark.sql.SparkSession.clearActiveSession()
+            df = QUERIES["pyds_ticker_roundtrip"].build(
+                spark, "/root/testdata/sf0.001"
+            )
+            result["rows"] = df.count()
+        except Exception as e:  # noqa: BLE001 - the assertion below reports it
+            result["error"] = f"{type(e).__name__}: {e}"
+
+    t = threading.Thread(target=worker)
+    t.start()
+    t.join(timeout=300)
+    assert "error" not in result, result["error"]
+    assert result["rows"] > 0
