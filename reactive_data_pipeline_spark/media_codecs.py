@@ -384,6 +384,7 @@ def _gif_image_blocks(b: bytes):
     transparent_idx = None
     disposal = 0
     blocks = []
+    decoded_px = 0  # cumulative across blocks - animated-GIF bomb guard
     while i < len(b):
         block = b[i]
         if block == 0x3B:  # trailer
@@ -412,6 +413,14 @@ def _gif_image_blocks(b: bytes):
             raise ValueError("GIF image has no color table")
         if w * h > MAX_PIXELS:
             raise ValueError("GIF dimensions exceed MAX_PIXELS")
+        # The per-block check above bounds one frame; a hostile ANIMATED
+        # payload declares many frames, and each decoded grid persists in
+        # ``blocks``, so the allocation that matters is the SUM (round-9
+        # advice: a tiny GIF declaring many full-screen frames drove
+        # multi-GB growth past the per-frame cap).
+        decoded_px += w * h
+        if decoded_px > MAX_PIXELS:
+            raise ValueError("GIF cumulative frame pixels exceed MAX_PIXELS")
         min_code_size = b[i]
         i += 1
         chunks = []
@@ -478,6 +487,12 @@ def gif_decode_frames(b: bytes) -> tuple[int, int, list[np.ndarray]]:
         raise ValueError(f"GIF has no image block ({sw}x{sh} screen)")
     if sw * sh > MAX_PIXELS:
         raise ValueError("GIF screen exceeds MAX_PIXELS")
+    # Each emitted frame is a FULL-CANVAS RGBA copy, so the output volume
+    # is frames x screen, not the (already-capped) sum of block grids - a
+    # payload with many tiny blocks on a huge screen would otherwise
+    # multiply the canvas far past MAX_PIXELS (round-9 advice).
+    if len(blocks) * sw * sh > MAX_PIXELS:
+        raise ValueError("GIF composited frame volume exceeds MAX_PIXELS")
     canvas = np.zeros((sh, sw, 4), dtype=np.uint8)
     frames: list[np.ndarray] = []
     for blk in blocks:

@@ -372,7 +372,11 @@ def gif_aware_frame_sampler(b: bytes, frame_bytes: int, every_n: int) -> list:
                 (idx, media_codecs.png_encode(frames[idx]))
                 for idx in range(0, len(frames), every_n)
             ]
-        except ValueError:
+        except (ValueError, MemoryError):
+            # MemoryError joins ValueError (the decode_pixels
+            # normalization, round-9 advice): a hostile payload that
+            # slips past the volume caps must degrade to the byte
+            # stand-in, not kill the executor task.
             pass
     return byte_frame_sampler(b, frame_bytes, every_n)
 

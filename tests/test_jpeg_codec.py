@@ -233,3 +233,21 @@ def test_pixel_resizer_covers_jpeg():
     w, h, c, got = MC.png_decode(out)  # re-encoded as PNG
     assert (w, h, c) == (2, 2, 3)
     assert np.abs(got.astype(int) - np.array([10, 200, 90])).max() <= 4
+
+
+def test_fill_bytes_before_markers_are_consumed():
+    """B.1.1.2: any marker may be preceded by any number of 0xFF fill
+    bytes - both between segments and inside entropy data before the
+    EOI (round-9 advice: these spec-legal payloads previously raised)."""
+    rng = np.random.RandomState(3)
+    px = np.clip(rng.normal(128, 20, (16, 16)).astype(np.int64), 0, 255).astype(np.uint8)
+    blob = J.jpeg_encode(px, quality=95)
+    base = J.jpeg_decode(blob)
+
+    seg_fill = blob[:2] + b"\xff\xff" + blob[2:]          # fill after SOI
+    assert blob.endswith(b"\xff\xd9")
+    ent_fill = blob[:-2] + b"\xff" + blob[-2:]            # fill before EOI
+    for variant in (seg_fill, ent_fill):
+        w, h, c, got = J.jpeg_decode(variant)
+        assert (w, h, c) == base[:3]
+        np.testing.assert_array_equal(got, base[3])

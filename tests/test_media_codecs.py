@@ -551,3 +551,47 @@ def test_gif_aware_frame_sampler_through_spark(spark):
         np.testing.assert_array_equal(px[:, :, 0], np.full((3, 3), r.frame_idx * 40))
     assert [r.frame_idx for r in by_doc[2]] == [0, 2]  # byte stand-in path
     assert len(by_doc[2][0].frame_payload) == 64
+
+
+def test_gif_cumulative_frame_pixel_cap(monkeypatch):
+    """Round-9 advice: per-frame caps alone let an animated payload
+    declare MANY frames and drive multi-GB growth. The decoder must
+    bound the CUMULATIVE decoded grid pixels across blocks."""
+    monkeypatch.setattr(MC, "MAX_PIXELS", 100)
+    f = _solid(4, 4, (10, 20, 30))
+    blob = _animated_gif([f] * 7, 4, 4)  # 7 * 16 = 112 > 100
+    with pytest.raises(ValueError, match="cumulative frame pixels"):
+        MC.gif_decode_frames(blob)
+    with pytest.raises(ValueError, match="cumulative frame pixels"):
+        MC.gif_decode(blob)  # the cap sits in the shared block walk
+    # at the real cap the same payload is far below threshold
+    monkeypatch.setattr(MC, "MAX_PIXELS", 1 << 26)
+    _, _, frames = MC.gif_decode_frames(blob)
+    assert len(frames) == 7
+
+
+def test_gif_composited_canvas_volume_cap(monkeypatch):
+    """Tiny 1x1 blocks on a big screen pass the grid-pixel cap, but
+    every EMITTED frame is a full-canvas RGBA copy - frames x screen
+    must also be bounded (first-frame decode stays fine)."""
+    monkeypatch.setattr(MC, "MAX_PIXELS", 100)
+    dot = _solid(1, 1, (5, 5, 5))
+    blob = _animated_gif([dot] * 3, 8, 8)  # grids: 3 px; canvas: 3*64 = 192 > 100
+    with pytest.raises(ValueError, match="composited frame volume"):
+        MC.gif_decode_frames(blob)
+    w, h, c, px = MC.gif_decode(blob)  # single-frame path unaffected
+    assert (w, h) == (1, 1)
+
+
+def test_gif_sampler_normalizes_memoryerror(monkeypatch):
+    """gif_aware_frame_sampler must degrade a hostile payload that
+    still manages a MemoryError to the byte stand-in (round-9 advice:
+    ValueError-only handling let MemoryError kill the executor task)."""
+    def boom(_b):
+        raise MemoryError("hostile payload")
+
+    monkeypatch.setattr(MC, "gif_decode_frames", boom)
+    blob = _animated_gif([_solid(2, 2, (1, 2, 3))], 2, 2)
+    got = multimodal.gif_aware_frame_sampler(blob, frame_bytes=8, every_n=1)
+    expect = multimodal.byte_frame_sampler(blob, 8, 1)
+    assert got == expect
