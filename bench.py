@@ -170,6 +170,12 @@ def main() -> None:
     skip = {
         s for s in os.environ.get("SPARK_GRAFT_SKIP", "").split(",") if s
     }
+    skipped = sorted(s for s in skip if s in QUERIES and QUERIES[s].bench)
+    if skipped:
+        # Recorded in the artifact too (round-9 advice): a silently
+        # missing entry is indistinguishable from a removed one when
+        # bench_compare diffs two artifacts.
+        print(f"# SPARK_GRAFT_SKIP active, omitting: {skipped}", file=sys.stderr)
     timings: dict[str, float] = {}
     escalated: list[str] = []
     escalated_medians: dict[str, dict] = {}
@@ -203,6 +209,7 @@ def main() -> None:
                 "probe_sec": probe_sec,
                 "escalated": escalated,
                 "escalated_medians": escalated_medians,
+                "skipped": skipped,
             }
         )
     )

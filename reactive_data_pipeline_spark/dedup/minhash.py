@@ -155,10 +155,19 @@ def minhash_neardup_groups(
     exact-dup classes pushed the naive form past 600 s). This operator
     first QUOTIENTS the graph by exact n-gram-set equality:
 
-    1. collapse - group docs on their sorted distinct gram array (the
-       exact-dedup shuffle, same shape as dedup.exact; at 100 TB group
-       on xxhash64 of the array to cap shuffle width) -> one
-       representative (min id) per content class;
+    1. collapse - group docs on a 128-bit content key (two
+       independently-seeded ``xxhash64`` values of the sorted distinct
+       gram array) -> one representative (min id) per content class.
+       The hash key IS the default (round-9, promoted from a docstring
+       note): the sorted gram array is ~the document's token mass, so
+       keying the shuffle on it ships every document's content TWICE
+       (grouped and joined back) - at 100 TB that doubles the largest
+       shuffle in the pipeline, while the composite hash is 16 bytes
+       per row. Collision math: m distinct content classes collide
+       with probability ~ m^2/2^129; at m = 10^12 (a trillion distinct
+       docs) that is ~1.5e-15 - far below the corpus's bit-rot floor.
+       A collision would MERGE two classes (never split), so the
+       failure mode is one spurious dedup group, not a crash;
     2. LSH + exact-Jaccard verification over REPRESENTATIVES only -
        candidate mass is now driven by cross-class near-dups, not dup
        multiplicity;
@@ -175,12 +184,19 @@ def minhash_neardup_groups(
     """
     from .components import connected_components
 
+    gset = F.sort_array(token_ngrams(text_col, n))
     keyed = docs.select(
         F.col(id_col).alias("doc"),
-        F.sort_array(token_ngrams(text_col, n)).alias("__gset"),
+        F.xxhash64(gset).alias("__ck1"),
+        F.xxhash64(gset, F.lit(1)).alias("__ck2"),
     )
-    classes = keyed.groupBy("__gset").agg(F.min("doc").alias("rep"))
-    members = keyed.join(classes, "__gset").select("doc", "rep")
+    classes = keyed.groupBy("__ck1", "__ck2").agg(F.min("doc").alias("rep"))
+    # A degenerate mega-class (boilerplate: one text repeated 100k+
+    # times) concentrates ONE key on the members join's left side; the
+    # classes side is one row per key, so AQE's skew-join split can
+    # replicate it across the oversized partition - and the partial
+    # aggregation above already collapses the mega-class map-side.
+    members = keyed.join(classes, ["__ck1", "__ck2"]).select("doc", "rep")
     rep_docs = docs.join(
         classes.select(F.col("rep").alias(id_col)), id_col, "semi"
     )

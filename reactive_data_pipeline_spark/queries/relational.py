@@ -20,7 +20,7 @@ _REV = "l_extendedprice * (1 - l_discount)"
 
 
 def size_fact_side(
-    df: DataFrame, key: str, sf_dir: str, table: str,
+    df: DataFrame, key: str | tuple[str, ...], sf_dir: str, table: str,
     target_bytes: int = 32 << 20, conf_p: int = 32, max_p: int = 4096,
 ) -> DataFrame:
     """Bound a ``shuffle_hash`` build side's per-task size at ANY scale
@@ -45,13 +45,22 @@ def size_fact_side(
     pins the exchange and keeps AQE from coalescing/local-reading it:
     a same-window sf10 A/B read 2.99s conf vs 3.26s pinned for q3).
     Unknown size (0, e.g. a remote URI) -> untouched.
+
+    ``key`` must be ALL of the join's equi-keys for this side (a tuple
+    for composite joins): EnsureRequirements only accepts an existing
+    hash partitioning that matches the join's clustering keys, so a
+    subset-key exchange risks being topped with a SECOND full-key
+    shuffle at the conf count - exactly the unsized build the sizing
+    exists to prevent (round-9 advice: q5's customer side clusters on
+    (c_custkey, c_nationkey), not c_custkey alone).
     """
     from ..sources.registry import table_size_bytes
 
     n_raw = -(-table_size_bytes(sf_dir, table) // target_bytes)
     if n_raw <= 2 * conf_p:
         return df
-    return df.repartition(min(n_raw, max_p), key)
+    keys = (key,) if isinstance(key, str) else tuple(key)
+    return df.repartition(min(n_raw, max_p), *keys)
 
 
 def _ts(lit: str):
@@ -442,7 +451,7 @@ def q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         customer.join(
             F.broadcast(asia_keys), customer.c_nationkey == F.col("asia_nk"), "semi"
         ),
-        "c_custkey", sf_dir, "customer",
+        ("c_custkey", "c_nationkey"), sf_dir, "customer",
     ).hint("shuffle_hash")
     orders = size_fact_side(
         read_table(spark, sf_dir, "orders").filter(

@@ -489,3 +489,48 @@ def test_connected_components_adversarial_topologies(spark):
     got = connected_components(nodes, handle.union(brush), stats_out=stats)
     assert got.filter("component != 0").count() == 0
     assert len(stats) <= bound, [s["edges"] for s in stats]
+
+
+def test_minhash_groups_mega_class_multiplicity(spark):
+    """Round-9 pin: the degenerate dup-multiplicity shape - ONE content
+    class repeated 100k times (boilerplate at corpus scale) plus a
+    cross-class near-dup and two singletons. The quotient path must
+    (a) produce the exact partition (mega class + its near-dup in one
+    group, min-id keeper; singletons untouched) with candidate work
+    driven by the 4 representatives, never the 100k members, and
+    (b) key the collapse shuffle on the 128-bit content hash - the
+    sorted gram ARRAY (~ the document text) must not appear as a
+    shuffle key column anywhere in the plan."""
+    from reactive_data_pipeline_spark.dedup import minhash_neardup_groups
+
+    near = BASE.replace("lazy", "sleepy")
+    mega = spark.range(100_000).selectExpr(
+        "id as doc_id", f"'{BASE}' as text"
+    )
+    extras = spark.createDataFrame(
+        [
+            (200_000, near),
+            (300_000, "completely different words about spark engines here"),
+            (300_001, "unrelated second singleton text payload entirely"),
+        ],
+        "doc_id long, text string",
+    )
+    docs = mega.union(extras)
+    out = minhash_neardup_groups(docs, n=1, threshold=0.8)
+
+    plan = out._jdf.queryExecution().toString()
+    assert "__ck1" in plan and "__ck2" in plan
+    assert "hashpartitioning(__gset" not in plan and "__gset" not in plan
+
+    rows = out.collect()
+    by_doc = {r.doc_id: r for r in rows}
+    assert len(rows) == 100_003
+    # mega class + near-dup: one group, labelled and kept by min id 0
+    assert by_doc[0].group_id == 0 and by_doc[0].is_keeper
+    assert by_doc[200_000].group_id == 0 and not by_doc[200_000].is_keeper
+    assert by_doc[0].group_size == 100_001
+    assert by_doc[99_999].group_id == 0 and not by_doc[99_999].is_keeper
+    # singletons stay their own keepers
+    for sid in (300_000, 300_001):
+        assert by_doc[sid].group_id == sid and by_doc[sid].group_size == 1
+        assert by_doc[sid].is_keeper

@@ -224,3 +224,14 @@ def test_size_fact_side_threshold_and_engagement(spark, tmp_path):
     # unknown table: untouched
     out = size_fact_side(small, "k", sf_dir, "missing")
     assert "RepartitionByExpression" not in out._jdf.queryExecution().logical().toString()
+
+    # composite join keys (round-9 advice: q5's customer side clusters
+    # on (c_custkey, c_nationkey)) - the exchange must hash on BOTH
+    # keys, or EnsureRequirements tops it with a second full-key
+    # shuffle at the conf count, voiding the sizing
+    two = small.withColumn("k2", small.k % 7)
+    out = size_fact_side(two, ("k", "k2"), sf_dir, "t", target_bytes=1, max_p=64)
+    logical = out._jdf.queryExecution().logical().toString()
+    assert "RepartitionByExpression" in logical
+    assert "k2" in logical.split("RepartitionByExpression")[1].splitlines()[0]
+    assert out.rdd.getNumPartitions() == 64
