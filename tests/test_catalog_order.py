@@ -237,6 +237,36 @@ ROUND7_CHECKED = frozenset(
     }
 )
 
+#: Keys of CORRECTNESS_r08.json - the 50 queries the driver
+#: verified in round 8 (second steady-state window).
+ROUND8_CHECKED = frozenset(
+    {
+        "anomaly_zscore_events", "big_orders_in_subquery",
+        "cms_user_frequencies", "dq_star_schema_suite",
+        "embedding_neardup_lsh", "embedding_quantize_stats",
+        "exists_returned_orders", "filter_events_click",
+        "forward_fill_purchase_value", "full_outer_daily_mix",
+        "funnel_view_click_purchase", "gapfill_daily_event_counts",
+        "grouping_sets_revenue", "json_props_by_type",
+        "knn_batch_cosine", "lang_id_docs", "mm_codec_roundtrip",
+        "mm_decode", "mm_frame_sample", "mm_resize",
+        "neardup_groups_minhash", "orders_by_month",
+        "part_below_avg_qty", "percentiles_quantity",
+        "pii_scrub_customers", "pivot_priority_status",
+        "proj_part_catalog", "q10_returned_revenue",
+        "q11_important_parts", "q1_pricing_summary",
+        "q3_shipping_priority", "q5_region_revenue",
+        "range_join_value_bands", "reactive_ticker_meta_stream",
+        "rollup_lineitem_flags", "semi_customers_with_orders",
+        "set_nations_intersect", "simhash_near_pairs",
+        "stream_join_attribution", "streaming_dedup_docs",
+        "symbol_minmax", "ticker_count", "ticker_last5",
+        "ticker_meta_build", "topk_orders", "train_val_split",
+        "training_data_pipeline", "training_data_pipeline_v2",
+        "window_running_minmax_ticker", "window_top3_orders_per_cust",
+    }
+)
+
 #: round -> frozen driver-checked key set; the staleness clock.
 ROUND_HISTORY: dict[int, frozenset] = {
     1: ROUND1_CHECKED,
@@ -246,6 +276,7 @@ ROUND_HISTORY: dict[int, frozenset] = {
     5: ROUND5_CHECKED,
     6: ROUND6_CHECKED,
     7: ROUND7_CHECKED,
+    8: ROUND8_CHECKED,
 }
 
 PRIOR_ROUNDS_CHECKED = frozenset().union(*ROUND_HISTORY.values())
@@ -464,20 +495,36 @@ def test_bench_compare_annotation_parsing_and_min_rule():
     mod = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(mod)
     notes = mod.annotations()
-    # the round-8 investigated flag must parse (the round-7 flag_ok for
-    # window_cumsum_customer_spend was retired when it went stale
-    # against the driver artifacts; drop this line when q5's is retired)
+    # the round-8 investigated flag must parse in the unscoped view (the
+    # round-7 flag_ok for window_cumsum_customer_spend was retired when
+    # it went stale against the driver artifacts)
     assert "q5_region_revenue" in notes
     assert notes["q5_region_revenue"].startswith("plan_changed:")
-    # both waiver forms parse (synthetic, decoupled from the live file)
-    both = "plan_changed[q_a]: reason a\nprose\n flag_ok[q_b]: reason b\n"
+    # round-9 pair scoping: q5's annotation adjudicated the r6-vs-r7
+    # pair - active there, aged out (ignored, not stale) elsewhere; the
+    # prophylactic q3 annotation was retired to prose outright.
+    assert "q5_region_revenue" in mod.annotations("r06r07")
+    assert "q5_region_revenue" not in mod.annotations("r08r09")
+    assert "q3_shipping_priority" not in mod.annotations()
+    assert mod.artifact_round("BENCH_r08.json") == 8
+    assert mod.artifact_round("nopair.json") is None
+    # all three waiver forms parse (synthetic, decoupled from the live file)
+    both = (
+        "plan_changed[q_a]: reason a\nprose\n flag_ok[q_b]: reason b\n"
+        "plan_changed[q_c@r06r07]: reason c\n"
+    )
     parsed = {
-        m.group(2): m.group(1)
+        m.group(2): (m.group(1), m.group(3))
         for m in __import__("re").finditer(
-            r"^\s*(plan_changed|flag_ok)\[([a-z0-9_]+)\]:\s*(.+)$", both, __import__("re").M
+            r"^\s*(plan_changed|flag_ok)\[([a-z0-9_]+)(?:@(r\d+r\d+))?\]:\s*(.+)$",
+            both, __import__("re").M,
         )
     }
-    assert parsed == {"q_a": "plan_changed", "q_b": "flag_ok"}
+    assert parsed == {
+        "q_a": ("plan_changed", None),
+        "q_b": ("flag_ok", None),
+        "q_c": ("plan_changed", "r06r07"),
+    }
     # min-rule arithmetic: raw 1.2x with probe-inflated norm 1.8x must
     # NOT flag; raw 1.6x with norm 1.7x must.
     for raw, norm_ratio, should_flag in ((1.2, 1.8, False), (1.6, 1.7, True)):

@@ -28,6 +28,20 @@ form
 otherwise the tool exits 1. An annotation for a query that is NOT
 flagged is reported as stale (but not fatal) so the notes file cannot
 accrete dead waivers.
+
+Annotations SHOULD be scoped to the artifact pair they adjudicate
+(round-9: an unscoped annotation applies to every future pair, so an
+adjudicated waiver degrades into permanent stale-warning noise that
+can mask a real one):
+
+    plan_changed[<query>@r07r08]: <reason>
+
+A scoped annotation is active only when comparing BENCH_r07 vs
+BENCH_r08 (round numbers parsed from the artifact filenames); on any
+other pair it is ignored entirely - neither a waiver nor a stale
+warning. Unscoped annotations remain accepted for in-flight runs whose
+new artifact has no round number yet, and are flagged as stale once
+un-flagged so they get scoped or retired.
 """
 
 from __future__ import annotations
@@ -53,16 +67,28 @@ def load(path_arg: str) -> dict:
     return parsed
 
 
-def annotations() -> dict[str, str]:
+def artifact_round(path_arg: str) -> int | None:
+    m = re.search(r"r(\d+)", Path(path_arg).name)
+    return int(m.group(1)) if m else None
+
+
+def annotations(pair: str | None = None) -> dict[str, str]:
+    """Waiver lines from BENCH_NOTES.md. With ``pair`` (e.g. "r07r08"),
+    scoped annotations for OTHER pairs are dropped - they adjudicated a
+    different comparison and have aged out. ``pair=None`` returns all
+    (used by tests and ad-hoc inspection)."""
     notes = _ROOT / "BENCH_NOTES.md"
     if not notes.exists():
         return {}
     out: dict[str, str] = {}
     for m in re.finditer(
-        r"^\s*(plan_changed|flag_ok)\[([a-z0-9_]+)\]:\s*(.+)$",
+        r"^\s*(plan_changed|flag_ok)\[([a-z0-9_]+)(?:@(r\d+r\d+))?\]:\s*(.+)$",
         notes.read_text(), re.M,
     ):
-        out[m.group(2)] = f"{m.group(1)}: {m.group(3).strip()}"
+        scope = m.group(3)
+        if pair is not None and scope is not None and scope != pair:
+            continue
+        out[m.group(2)] = f"{m.group(1)}: {m.group(4).strip()}"
     return out
 
 
@@ -78,7 +104,11 @@ def main() -> None:
     norm = (pn / po) if po and pn else 1.0
     print(f"probe_sec: {po} -> {pn}  (normalizer {norm:.3f}); "
           f"threshold {threshold}x above {floor}s")
-    notes = annotations()
+    ro, rn = artifact_round(args[0]), artifact_round(args[1])
+    pair = f"r{ro:02d}r{rn:02d}" if ro is not None and rn is not None else None
+    if pair:
+        print(f"artifact pair: {pair} (scoped annotations for other pairs ignored)")
+    notes = annotations(pair)
     flagged: list[str] = []
     common = [q for q in old["queries"] if q in new["queries"]]
     print("\n| query | old s | new s | raw | norm | |")
@@ -99,8 +129,10 @@ def main() -> None:
         )
     only_old = sorted(set(old["queries"]) - set(new["queries"]))
     only_new = sorted(set(new["queries"]) - set(old["queries"]))
+    skipped = set(new.get("skipped", []))
     if only_old:
-        print(f"\ndropped from bench set: {only_old}")
+        labeled = [q + (" (SKIP env)" if q in skipped else "") for q in only_old]
+        print(f"\ndropped from bench set: {labeled}")
     if only_new:
         print(f"added to bench set: {only_new}")
     stale = sorted(

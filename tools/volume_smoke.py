@@ -59,7 +59,16 @@ SKIP: dict[str, str] = {
 #: Values are per-query watchdogs, maxed with --timeout so a larger
 #: CLI value still wins.
 HEAVY_TIMEOUT: dict[str, float] = {
-    "ngram_jaccard_pairs": 300.0,
+    # sf4 reference points (SCALING.md round-7 table) + headroom for
+    # accumulated-JVM drag in a long sweep; --timeout still wins if
+    # larger. These are output-bound or iterative-by-nature, not plan
+    # defects - each has a documented decomposition.
+    "ngram_jaccard_pairs": 700.0,       # 174M real pairs at sf4, output-bound
+    "neardup_groups_connected": 900.0,  # exact-pairs leg ~480s of its 520s
+    "kcore_peel_rounds": 700.0,         # iterative peel, 382s at sf4 (r7)
+    "triangle_count_copurchase": 500.0, # 223s at sf4 (r7, host window)
+    "cross_source_dup_matrix": 300.0,   # 93s at sf4 (r7)
+    "minhash_neardup_pairs": 300.0,     # candidate mass ~ copies/class^2
 }
 
 
