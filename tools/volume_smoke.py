@@ -27,7 +27,15 @@ A watchdog cancels a query's job group after --timeout seconds
 reported as TIMEOUT, which at 10x volume is itself a scale defect to
 investigate.
 
-Usage: python tools/volume_smoke.py [sf_dir] [--timeout N] [name ...]
+Usage: python tools/volume_smoke.py [sf_dir] [--timeout N]
+           [--recycle N] [name ...]
+
+``--recycle N`` restarts the session every N executed queries: a
+long-lived session that has built 100+ heavy queries accumulates
+cached blocks and GC pressure, inflating mid-sweep timings 2-3x vs a
+fresh session (round-9 measurement; same mechanism as SCALING.md's
+contaminated-window note). For watchdog-boundary heavies, either
+recycle or re-time solo before calling something a regression.
 """
 
 from __future__ import annotations
@@ -63,11 +71,15 @@ HEAVY_TIMEOUT: dict[str, float] = {
     # accumulated-JVM drag in a long sweep; --timeout still wins if
     # larger. These are output-bound or iterative-by-nature, not plan
     # defects - each has a documented decomposition.
-    "ngram_jaccard_pairs": 700.0,       # 174M real pairs at sf4, output-bound
-    "neardup_groups_connected": 900.0,  # exact-pairs leg ~480s of its 520s
-    "kcore_peel_rounds": 700.0,         # iterative peel, 382s at sf4 (r7)
-    "triangle_count_copurchase": 500.0, # 223s at sf4 (r7, host window)
-    "cross_source_dup_matrix": 300.0,   # 93s at sf4 (r7)
+    # Solo fresh-session sf4 figures (round 9); mid-sweep the same
+    # queries run 1.5-3x slower from accumulated-session drag, so the
+    # budgets carry that headroom (or sweep with --recycle).
+    "ngram_jaccard_pairs": 900.0,       # 487s solo: 174M real pairs, output-bound
+    "neardup_groups_connected": 1200.0, # 505s solo: exact-pairs leg is ~480s of it
+    "kcore_peel_rounds": 700.0,         # iterative peel, 301s (r9) / 382s (r7)
+    "triangle_count_copurchase": 500.0, # 243s (r9) / 223s (r7)
+    "cross_source_dup_matrix": 420.0,   # 135s solo (r9); exact-pairs based
+    "streaming_neardup_contract": 600.0,  # 248s solo: runs the exact ground-truth leg by design
     "minhash_neardup_pairs": 300.0,     # candidate mass ~ copies/class^2
 }
 
@@ -77,13 +89,27 @@ def _fresh_session():
     return spark, spark.sparkContext
 
 
-def run(sf_dir: str, names: list[str], timeout: float) -> int:
+def run(sf_dir: str, names: list[str], timeout: float, recycle: int = 0) -> int:
     spark, sc = _fresh_session()
     failures = 0
+    executed = 0
     for i, name in enumerate(names):
         if name in SKIP:
             print(f"skip {name}: {SKIP[name]}")
             continue
+        # Session hygiene (round-9 sweep finding, same mechanism as the
+        # SCALING.md contaminated-window note): a session that has built
+        # 100+ heavy queries accumulates cached blocks/GC pressure and
+        # mid-sweep timings inflate 2-3x vs fresh (cross_source_dup_matrix
+        # 300s TIMEOUT mid-sweep vs 135s solo). --recycle N bounds the drag.
+        if recycle and executed and executed % recycle == 0:
+            print(f"(recycling session after {executed} queries)")
+            try:
+                spark.stop()
+            except Exception:
+                pass
+            spark, sc = _fresh_session()
+        executed += 1
         group = f"smoke-{name}"
         sc.setJobGroup(group, name, interruptOnCancel=True)
         done = threading.Event()
@@ -139,9 +165,14 @@ def main() -> None:
         i = args.index("--timeout")
         timeout = float(args[i + 1])
         del args[i : i + 2]
+    recycle = 0
+    if "--recycle" in args:
+        i = args.index("--recycle")
+        recycle = int(args[i + 1])
+        del args[i : i + 2]
     sf_dir = args[0] if args else "/tmp/spark_graft_scale/sf1"
     names = args[1:] or list(QUERIES)
-    failures = run(sf_dir, names, timeout)
+    failures = run(sf_dir, names, timeout, recycle)
     print(f"\n{len(names) - failures}/{len(names)} completed "
           f"(skipped {sum(1 for n in names if n in SKIP)})")
     sys.exit(1 if failures else 0)
