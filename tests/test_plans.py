@@ -417,3 +417,51 @@ def test_cogroup_asof_stays_demo_only():
 
     src = inspect.getsource(llm2.asof_cogroup_pandas)
     assert "asof_join_cogroup(" in src
+
+
+def test_q5_sized_composite_exchange_survives_above_threshold(spark, monkeypatch):
+    """Round-9 advice: q5's customer build side clusters on the
+    COMPOSITE (c_custkey, c_nationkey); a subset-key repartition risks
+    EnsureRequirements topping the sized exchange with a second
+    full-key shuffle at the conf count, voiding the per-task SHJ build
+    bound. Customer sits below the size_fact_side threshold even at
+    sf40, so the engaged path is forced here by faking table bytes:
+    the executed plan must keep EXACTLY the bytes-derived exchange on
+    both composite keys (REPARTITION_BY_NUM, n=100) with no extra
+    conf-count exchange on those keys, and values must equal the
+    un-engaged plan's."""
+    from reactive_data_pipeline_spark.queries import QUERIES
+    from reactive_data_pipeline_spark.sources import registry
+
+    from .conftest import SF_DIR
+
+    base = sorted(map(tuple, QUERIES["q5_region_revenue"].build(spark, SF_DIR).collect()))
+
+    real = registry.table_size_bytes
+    monkeypatch.setattr(
+        registry, "table_size_bytes",
+        lambda sf_dir, name: 100 * (32 << 20) if name in ("customer", "orders")
+        else real(sf_dir, name),
+    )
+    df = QUERIES["q5_region_revenue"].build(spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    import re
+
+    cust_ex = re.findall(
+        r"Exchange hashpartitioning\(c_custkey#\d+L?, c_nationkey#\d+L?, (\d+)\),"
+        r" (\w+)", plan,
+    )
+    assert cust_ex, f"no composite customer exchange in plan:\n{plan[:1500]}"
+    assert all(n == "100" for n, _ in cust_ex), cust_ex
+    assert len(cust_ex) == 1, f"stacked exchanges on the composite key: {cust_ex}"
+    assert cust_ex[0][1] == "REPARTITION_BY_NUM"
+    # no conf-count (4 in tests) exchange anywhere on the customer keys
+    assert not re.search(r"hashpartitioning\(c_custkey#\d+L?, c_nationkey#\d+L?, 4\)", plan)
+    # the probe side co-partitions to the same count
+    probe_ex = re.findall(r"Exchange hashpartitioning\(o_custkey#\d+L?, [^)]*, (\d+)\)", plan)
+    assert probe_ex and all(n == "100" for n in probe_ex), probe_ex
+    # and the join actually stays SHJ with customer as build side
+    assert "ShuffledHashJoin" in plan
+
+    engaged = sorted(map(tuple, df.collect()))
+    assert engaged == base
