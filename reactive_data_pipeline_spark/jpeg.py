@@ -23,29 +23,29 @@ zigzag agrees with itself). The decoder is therefore ALSO pinned by a
 hand-assembled bitstream built directly from the spec's Annex K
 tables in the tests - encoder-independent.
 
-Entropy decode is per-bit Python - correct and deterministic, not
-fast. That is the right trade here: the engine's multimodal corpus
-path is Arrow-batched ``mapInPandas`` (parallel across partitions),
-and an environment that needs throughput JPEG decode installs PIL,
-which :func:`..multimodal.best_decoder` already prefers.
+Entropy decode is Python - correct and deterministic first. Round 9
+replaced the per-bit tree walk with a 16-bit-peek LUT
+(:func:`_decode_lut` / ``_BitReader.peek_decode``, equivalence-pinned
+against the per-bit reference walk) and fixed a hidden bignum
+quadratic (``_fill`` never trimmed consumed high bits, so the bit
+buffer accreted the whole scan). Measured single-core throughput
+(local[32] box, q85), cost tracks the ENTROPY-CODED byte count:
 
-Measured stdlib throughput (round 9, local[32] box, single core),
-cost tracks the ENTROPY-CODED byte count (per-bit loop), not pixels:
+* 256x256 RGB smooth gradient (6.2 KB): 37 ms/decode (~6 ms per
+  compressed KB, ~0.2 us/px) - was 78 ms per-bit
+* same + mild sensor-like noise (19.3 KB): 56 ms (~2.9 ms/KB) - was 402 ms
+* worst-case dense noise (71.8 KB): 130 ms (~1.8 ms/KB, ~0.7 us/px)
+  - was 7.4 s (the bignum quadratic dominated)
+* 64x64 grayscale noise (2.4 KB): 4.5 ms (~1.9 ms/KB) - was 13.6 ms
 
-* 256x256 RGB smooth gradient, q85 (6.2 KB): 78 ms/decode
-  (~12.6 ms per compressed KB, ~0.4 us/px)
-* same + mild sensor-like noise (19.3 KB): 402 ms (~21 ms/KB, ~2 us/px)
-* worst-case dense noise (71.9 KB): 7.4 s (~103 ms/KB, ~38 us/px)
-* 64x64 grayscale noise (2.4 KB): 13.6 ms (~5.7 ms/KB)
-
-Rule of thumb: **~10-100 ms per compressed KB per core**; libjpeg
-via PIL is ~2-3 orders faster. Install PIL when the JPEG share of
-the corpus exceeds roughly (available core-seconds) / (corpus
-compressed KB x 0.01 s) - i.e. for any JPEG-dominant corpus beyond
-tens of MB per core; the stdlib path is the correctness fallback and
-the dependency-free envelope for metadata-plus-occasional-decode
-workloads (the driver's text-payload corpus pays ~62 us/doc in
-mm_codec_roundtrip because its synthesized JPEGs are tiny).
+Rule of thumb: **~2-6 ms per compressed KB per core** (vs 10-100
+pre-LUT); libjpeg via PIL remains ~1-2 orders faster and
+:func:`..multimodal.best_decoder` prefers it wherever installed.
+Install PIL when the JPEG-dominant corpus volume exceeds roughly a
+few hundred compressed MB per available core; below that the stdlib
+path is the dependency-free envelope (the driver's text-payload
+corpus pays ~62 us/doc in mm_codec_roundtrip - its synthesized
+JPEGs are tiny).
 """
 
 from __future__ import annotations
@@ -175,6 +175,21 @@ def _extend(value: int, size: int) -> int:
     return value
 
 
+def _decode_lut(table: dict[tuple[int, int], int]) -> tuple[list, list]:
+    """16-bit-peek decode tables: every 16-bit window value maps to the
+    unique code that prefixes it (canonical Huffman codes are prefix-
+    free; max length 16 per T.81). ``lut_len[v] == 0`` marks a window
+    no code prefixes - an invalid bitstream. Replaces the per-bit tree
+    walk with one index + one subtraction per symbol."""
+    ln_arr = np.zeros(65536, np.uint8)
+    sym_arr = np.zeros(65536, np.int32)
+    for (ln, code), s in table.items():
+        start = code << (16 - ln)
+        ln_arr[start : start + (1 << (16 - ln))] = ln
+        sym_arr[start : start + (1 << (16 - ln))] = s
+    return ln_arr.tolist(), sym_arr.tolist()
+
+
 class _BitReader:
     """Entropy-segment bit reader: 0xFF00 unstuffing, RSTn handling."""
 
@@ -185,6 +200,12 @@ class _BitReader:
         self.nbits = 0
 
     def _fill(self):
+        # Drop already-consumed high bits FIRST: reads only ever
+        # decrement nbits, so without the mask bitbuf accretes every
+        # byte of the scan and each shift goes bignum-quadratic in the
+        # scan length (round-9 profile: this alone was most of the
+        # "103 ms per compressed KB" figure on dense payloads).
+        self.bitbuf &= (1 << self.nbits) - 1
         while self.nbits <= 24:
             if self.pos >= len(self.data):
                 # spec allows the decoder to pad past the segment end
@@ -220,12 +241,30 @@ class _BitReader:
         return (self.bitbuf >> self.nbits) & 1
 
     def read_bits(self, n: int) -> int:
-        v = 0
-        for _ in range(n):
-            v = (v << 1) | self.read_bit()
-        return v
+        if n == 0:
+            return 0
+        if self.nbits < n:
+            self._fill()  # post-fill nbits >= 25 >= any JPEG field (16 max)
+        self.nbits -= n
+        return (self.bitbuf >> self.nbits) & ((1 << n) - 1)
+
+    def peek_decode(self, lut_len: list, lut_sym: list) -> int:
+        """One Huffman symbol via the 16-bit window LUT - consumes
+        exactly the matched code's length, like the per-bit walk, and
+        raises the same ValueError on a prefix no code owns."""
+        if self.nbits < 16:
+            self._fill()
+        idx = (self.bitbuf >> (self.nbits - 16)) & 0xFFFF
+        ln = lut_len[idx]
+        if ln == 0:
+            raise ValueError("invalid JPEG Huffman code")
+        self.nbits -= ln
+        return lut_sym[idx]
 
     def decode_symbol(self, table: dict[tuple[int, int], int]) -> int:
+        """Per-bit reference walk (kept for tests/tools; the scan loop
+        uses :meth:`peek_decode`, which must stay bit-for-bit
+        equivalent)."""
         code = 0
         for length in range(1, 17):
             code = (code << 1) | self.read_bit()
@@ -346,6 +385,8 @@ def _decode_scan(b, pos, frame, scan_sel, qt, dc_tables, ac_tables,
         for c in comps
     }
     reader = _BitReader(b, pos)
+    dc_luts = {t: _decode_lut(tab) for t, tab in dc_tables.items()}
+    ac_luts = {t: _decode_lut(tab) for t, tab in ac_tables.items()}
     pred = {c["id"]: 0 for c in comps}
     mcu_count = 0
     for my in range(mcus_y):
@@ -355,18 +396,19 @@ def _decode_scan(b, pos, frame, scan_sel, qt, dc_tables, ac_tables,
                 pred = {c["id"]: 0 for c in comps}
             for c in comps:
                 td, ta = scan_sel[c["id"]]
-                dct, act = dc_tables[td], ac_tables[ta]
+                dc_len, dc_sym = dc_luts[td]
+                ac_len, ac_sym = ac_luts[ta]
                 q = qt[c["tq"]]
                 for by in range(c["v"]):
                     for bx in range(c["h"]):
                         zz = np.zeros(64, dtype=np.int64)
-                        size = reader.decode_symbol(dct)
+                        size = reader.peek_decode(dc_len, dc_sym)
                         diff = _extend(reader.read_bits(size), size)
                         pred[c["id"]] += diff
                         zz[0] = pred[c["id"]]
                         k = 1
                         while k < 64:
-                            rs = reader.decode_symbol(act)
+                            rs = reader.peek_decode(ac_len, ac_sym)
                             r, s = rs >> 4, rs & 0x0F
                             if s == 0:
                                 if r == 15:  # ZRL: 16 zeros

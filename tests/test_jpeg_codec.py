@@ -251,3 +251,28 @@ def test_fill_bytes_before_markers_are_consumed():
         w, h, c, got = J.jpeg_decode(variant)
         assert (w, h, c) == base[:3]
         np.testing.assert_array_equal(got, base[3])
+
+
+def test_peek_decode_matches_per_bit_walk():
+    """The round-9 LUT fast path (peek_decode) must be bit-for-bit
+    equivalent to the per-bit reference walk (decode_symbol) - same
+    symbol sequence, same consumed-bit positions, same ValueError on a
+    prefix no code owns - across the Annex K AC luma table (the
+    densest: 162 codes, lengths 2-16) on pseudorandom bitstreams."""
+    rng = np.random.RandomState(17)
+    table = J.build_huffman(J.AC_LUMA_BITS, J.AC_LUMA_VALS)
+    lut_len, lut_sym = J._decode_lut(table)
+    for trial in range(20):
+        data = rng.bytes(64).replace(b"\xff", b"\x7f")  # no marker ambiguity
+        fast, slow = J._BitReader(data, 0), J._BitReader(data, 0)
+        for _ in range(100):
+            try:
+                a = fast.peek_decode(lut_len, lut_sym)
+            except ValueError:
+                with pytest.raises(ValueError):
+                    slow.decode_symbol(table)
+                break
+            assert a == slow.decode_symbol(table)
+            # logical consumed-bit position (readers fill at different
+            # granularity; no 0xFF in the fixture, so loaded = pos*8)
+            assert fast.pos * 8 - fast.nbits == slow.pos * 8 - slow.nbits
