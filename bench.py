@@ -253,13 +253,21 @@ def _emit_duckdb_twin(spark, sf_dir: str, spark_timings: dict, probe_sec: float)
         twin["paired_ratio"] = (
             round(paired_spark / paired_duck, 3) if paired_duck else None
         )
-        rounds = [
-            int(m.group(1))
-            for p in glob.glob(os.path.join(here, "BENCH_r*.json"))
-            if (m := _re.match(r"BENCH_r(\d+)\.json$", os.path.basename(p)))
-        ]
-        n = (max(rounds) if rounds else 0) + 1
-        out = os.path.join(here, f"BENCH_DUCKDB_r{n:02d}.json")
+        # SPARK_GRAFT_TWIN_OUT names the twin artifact explicitly - used
+        # for non-default-SF windows (e.g. the committed sf10 pair,
+        # BENCH_SF10_r{N}.json) so they never clobber the round's sf0.1
+        # twin of record.
+        out = os.environ.get("SPARK_GRAFT_TWIN_OUT")
+        if out:
+            out = os.path.join(here, out)
+        else:
+            rounds = [
+                int(m.group(1))
+                for p in glob.glob(os.path.join(here, "BENCH_r*.json"))
+                if (m := _re.match(r"BENCH_r(\d+)\.json$", os.path.basename(p)))
+            ]
+            n = (max(rounds) if rounds else 0) + 1
+            out = os.path.join(here, f"BENCH_DUCKDB_r{n:02d}.json")
         with open(out, "w") as f:
             f.write(json.dumps(twin) + "\n")
         print(

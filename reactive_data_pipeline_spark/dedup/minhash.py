@@ -163,11 +163,19 @@ def minhash_neardup_groups(
        keying the shuffle on it ships every document's content TWICE
        (grouped and joined back) - at 100 TB that doubles the largest
        shuffle in the pipeline, while the composite hash is 16 bytes
-       per row. Collision math: m distinct content classes collide
-       with probability ~ m^2/2^129; at m = 10^12 (a trillion distinct
-       docs) that is ~1.5e-15 - far below the corpus's bit-rot floor.
-       A collision would MERGE two classes (never split), so the
-       failure mode is one spurious dedup group, not a crash;
+       per row. The salt literal must come FIRST: Spark's xxhash64
+       folds children left-to-right using the running hash as the
+       next seed, so ``xxhash64(lit(1), gset)`` hashes the content
+       under seed ``xxh64(1L, seed=42)`` - a second, independent
+       64-bit view - whereas ``xxhash64(gset, lit(1))`` is
+       ``xxh64(1L, seed=__ck1)``, a pure function of ``__ck1`` (every
+       __ck1 collision is automatically a __ck2 collision and the
+       "128-bit" key silently degrades to 64 bits: ~m^2/2^65 expected
+       merges, ~27k at m = 10^12). With independent seeds the birthday
+       bound is ~m^2/2^129; at m = 10^12 (a trillion distinct docs)
+       that is ~1.5e-15 - far below the corpus's bit-rot floor. A
+       collision would MERGE two classes (never split), so the failure
+       mode is one spurious dedup group, not a crash;
     2. LSH + exact-Jaccard verification over REPRESENTATIVES only -
        candidate mass is now driven by cross-class near-dups, not dup
        multiplicity;
@@ -188,7 +196,7 @@ def minhash_neardup_groups(
     keyed = docs.select(
         F.col(id_col).alias("doc"),
         F.xxhash64(gset).alias("__ck1"),
-        F.xxhash64(gset, F.lit(1)).alias("__ck2"),
+        F.xxhash64(F.lit(1), gset).alias("__ck2"),
     )
     classes = keyed.groupBy("__ck1", "__ck2").agg(F.min("doc").alias("rep"))
     # A degenerate mega-class (boilerplate: one text repeated 100k+

@@ -51,6 +51,7 @@ JPEGs are tiny).
 from __future__ import annotations
 
 import struct
+from functools import lru_cache
 
 import numpy as np
 
@@ -180,10 +181,23 @@ def _decode_lut(table: dict[tuple[int, int], int]) -> tuple[list, list]:
     unique code that prefixes it (canonical Huffman codes are prefix-
     free; max length 16 per T.81). ``lut_len[v] == 0`` marks a window
     no code prefixes - an invalid bitstream. Replaces the per-bit tree
-    walk with one index + one subtraction per symbol."""
+    walk with one index + one subtraction per symbol.
+
+    Memoized on the table CONTENT (round-10, r9 advice): the two
+    65536-entry lists cost ~1 ms to build, which dominated the decode
+    of the tiny synthesized JPEGs on the ``mm_codec_roundtrip`` path
+    when rebuilt per scan per table. Keying on content (not ``id``,
+    which CPython reuses after GC) makes repeated decodes and the
+    Annex-K standard tables hit across images. Callers only READ the
+    returned lists - they are shared, never mutated."""
+    return _decode_lut_cached(tuple(sorted(table.items())))
+
+
+@lru_cache(maxsize=64)
+def _decode_lut_cached(items: tuple) -> tuple[list, list]:
     ln_arr = np.zeros(65536, np.uint8)
     sym_arr = np.zeros(65536, np.int32)
-    for (ln, code), s in table.items():
+    for (ln, code), s in items:
         start = code << (16 - ln)
         ln_arr[start : start + (1 << (16 - ln))] = ln
         sym_arr[start : start + (1 << (16 - ln))] = s

@@ -799,11 +799,121 @@ def mm_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.decode_media(_docs(spark, sf_dir))
 
 
-@register("mm_resize", oracle=None, tags=("multimodal", "pandas_udf"))
+@register(
+    "mm_resize",
+    oracle="""
+    WITH px AS (
+      SELECT doc_id,
+             list_transform(range(0, 64),
+               k -> CASE
+                      WHEN (2*(k//8)+1)*16 + (2*(k%8)+1)
+                           < length(coalesce(text, ''))
+                      THEN unicode(coalesce(text, '')[CAST(
+                             (2*(k//8)+1)*16 + (2*(k%8)+1) + 1 AS INT)]) % 256
+                      ELSE 0
+                    END) AS vals
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(8 AS INTEGER) AS width,
+           CAST(8 AS INTEGER) AS height,
+           md5(list_aggregate(list_transform(vals,
+                 v -> CAST(v AS VARCHAR)), 'string_agg', ',')) AS pixel_md5_hex,
+           CAST(list_sum(vals) AS BIGINT) AS pixel_sum
+    FROM px
+    """,
+    tags=("multimodal", "codec", "pandas_udf"),
+)
 def mm_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Resize plumbing over payload binaries (1->1 Arrow-batched map;
-    decode stubbed, see multimodal.resize_media)."""
-    return multimodal.resize_media(_docs(spark, sf_dir), width=16, height=16)
+    """PIXEL-REAL resize under the value hash (round-10; previously the
+    byte stand-in, rows-only). Each document's first 256 code points
+    (mod 256, zero-padded - the mm_codec_roundtrip synthesis at 16x16)
+    become a grayscale PNG on the executors, with the scanline filter
+    chosen by ``doc_id % 5`` so all five filters feed the resizer
+    across the corpus. The payload then takes the REAL catalog resize
+    path - :func:`multimodal.resize_media` with
+    :func:`multimodal.pixel_aware_resizer` (PNG pixel decode ->
+    nearest-neighbor 16x16 -> 8x8 -> PNG re-encode) - and the output
+    PNG is decoded back to pixels for the invariant: decoded dims plus
+    md5 over the comma-joined pixel values.
+
+    The oracle recomputes the exact resized pixels straight from the
+    text, never touching the codecs: nearest-neighbor with the
+    pixel-center mapping ``src = floor((dst + 0.5) * 16 / 8) = 2*dst+1``
+    (media_codecs.resize_nearest, PIL NEAREST convention), so output
+    pixel k reads source byte ``(2*(k//8)+1)*16 + (2*(k%8)+1)``. A
+    convention error anywhere in encode -> filter -> decode -> sample
+    -> re-encode -> decode breaks the hash. Same ASCII pin as
+    mm_codec_roundtrip (both engines index CHARACTERS; corpus verified
+    pure ASCII at the check SFs).
+
+    Scale shape: embarrassingly parallel 1->1 Arrow map over one scan,
+    no shuffle, bounded per-row cost (256 px in / 64 px out) - the
+    plan a 100 TB thumbnailing pass would use.
+    """
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+
+    from ..media_codecs import png_decode, png_encode
+
+    def synth(batches):
+        for batch in batches:
+            if not len(batch):
+                continue
+            payloads = []
+            for doc_id, text in zip(batch["doc_id"], batch["text"]):
+                cps = [ord(c) % 256 for c in (text or "")[:256]]
+                arr = np.zeros(256, dtype=np.uint8)
+                arr[: len(cps)] = cps
+                payloads.append(
+                    png_encode(arr.reshape(16, 16, 1),
+                               filter_type=int(doc_id) % 5)
+                )
+            yield pd.DataFrame(
+                {"doc_id": batch["doc_id"], "payload": payloads}
+            )
+
+    imgs = (
+        _docs(spark, sf_dir)
+        .select("doc_id", "text")
+        .mapInPandas(synth, schema="doc_id long, payload binary")
+    )
+    resized = multimodal.resize_media(
+        imgs,
+        width=8,
+        height=8,
+        resizer=multimodal.pixel_aware_resizer,
+        payload_col="payload",
+    )
+
+    def digest(batches):
+        for batch in batches:
+            if not len(batch):
+                continue
+            rows = []
+            for doc_id, payload in zip(batch["doc_id"], batch["payload"]):
+                w, h, _c, px = png_decode(bytes(payload))
+                flat = px.reshape(-1)
+                csv = ",".join(str(int(v)) for v in flat)
+                rows.append(
+                    (int(doc_id), int(w), int(h),
+                     hashlib.md5(csv.encode()).hexdigest(), int(flat.sum()))
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "width", "height",
+                         "pixel_md5_hex", "pixel_sum"],
+            )
+
+    return resized.mapInPandas(
+        digest,
+        schema=(
+            "doc_id long, width int, height int, "
+            "pixel_md5_hex string, pixel_sum long"
+        ),
+    )
 
 
 @register(

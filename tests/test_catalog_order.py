@@ -267,6 +267,34 @@ ROUND8_CHECKED = frozenset(
     }
 )
 
+ROUND9_CHECKED = frozenset(
+    {
+        "approx_percentile_quantity", "boilerplate_strip_stats",
+        "bool_aggs_events", "case_agg_priority_lines",
+        "collect_expensive_orderkeys", "copurchase_part_pairs",
+        "corpus_ingest_manifest", "disjunctive_brand_revenue",
+        "doc_length_histogram", "domain_mix_sample",
+        "embedding_neardup_lsh", "gopher_quality_flags",
+        "histogram_order_prices", "knn_pandas_cosine",
+        "length_trim_stats", "mm_codec_roundtrip", "mm_decode",
+        "mm_frame_sample", "mm_resize", "neardup_groups_minhash",
+        "q12_shipping_delay", "q13_customer_distribution",
+        "q14_promo_revenue", "q15_top_supplier", "q16_supplier_variety",
+        "q17_small_qty_revenue", "q18_large_volume_customers",
+        "q19_discounted_revenue", "q1_pricing_summary",
+        "q20_promo_suppliers", "q21_lone_returned_supplier",
+        "q22_idle_rich_customers", "q2_min_cost_supplier",
+        "q4_order_priority", "q5_region_revenue", "q7_nation_volume",
+        "q8_market_share", "q9_product_profit",
+        "reactive_ticker_meta_stream", "retention_cohorts",
+        "scalar_subquery_above_avg", "session_window_stats",
+        "simhash_near_pairs", "snapshot_diff_orders", "tfidf_top_terms",
+        "token_drift_by_source", "training_data_pipeline",
+        "training_data_pipeline_v2", "unpivot_part_measures",
+        "window_rank_family",
+    }
+)
+
 #: round -> frozen driver-checked key set; the staleness clock.
 ROUND_HISTORY: dict[int, frozenset] = {
     1: ROUND1_CHECKED,
@@ -277,6 +305,7 @@ ROUND_HISTORY: dict[int, frozenset] = {
     6: ROUND6_CHECKED,
     7: ROUND7_CHECKED,
     8: ROUND8_CHECKED,
+    9: ROUND9_CHECKED,
 }
 
 PRIOR_ROUNDS_CHECKED = frozenset().union(*ROUND_HISTORY.values())
@@ -494,10 +523,10 @@ def test_bench_compare_annotation_parsing_and_min_rule():
     )
     mod = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(mod)
-    notes = mod.annotations()
-    # the round-8 investigated flag must parse in the unscoped view (the
-    # round-7 flag_ok for window_cumsum_customer_spend was retired when
-    # it went stale against the driver artifacts)
+    notes = mod.annotations(all_scopes=True)
+    # the round-8 investigated flag must parse in the all-scopes view
+    # (the round-7 flag_ok for window_cumsum_customer_spend was retired
+    # when it went stale against the driver artifacts)
     assert "q5_region_revenue" in notes
     assert notes["q5_region_revenue"].startswith("plan_changed:")
     # round-9 pair scoping: q5's annotation adjudicated the r6-vs-r7
@@ -505,7 +534,14 @@ def test_bench_compare_annotation_parsing_and_min_rule():
     # prophylactic q3 annotation was retired to prose outright.
     assert "q5_region_revenue" in mod.annotations("r06r07")
     assert "q5_region_revenue" not in mod.annotations("r08r09")
-    assert "q3_shipping_priority" not in mod.annotations()
+    # round-10 (r9 advice): scope rounds compare numerically, so a
+    # hand-written non-padded pair matches the computed padded one...
+    assert "q5_region_revenue" in mod.annotations("r6r7")
+    # ...and a pair-less comparison (in-flight artifact, no rNN in the
+    # filename) gets NO scoped waivers - they adjudicated a specific
+    # pair and cannot waive regressions in an unidentified one.
+    assert "q5_region_revenue" not in mod.annotations()
+    assert "q3_shipping_priority" not in mod.annotations(all_scopes=True)
     assert mod.artifact_round("BENCH_r08.json") == 8
     assert mod.artifact_round("nopair.json") is None
     # all three waiver forms parse (synthetic, decoupled from the live file)

@@ -534,3 +534,38 @@ def test_minhash_groups_mega_class_multiplicity(spark):
     for sid in (300_000, 300_001):
         assert by_doc[sid].group_id == sid and by_doc[sid].group_size == 1
         assert by_doc[sid].is_keeper
+
+
+def test_content_key_salt_first_seeding(spark):
+    """Round-10 (r9 advice, high): the second content-key hash must be
+    independently SEEDED. Spark's xxhash64 folds children left-to-right
+    using the running hash as the next seed, so xxhash64(lit(1), gset)
+    hashes the content under seed xxh64(1L, 42) - a second, independent
+    64-bit view - while the previous xxhash64(gset, lit(1)) was
+    xxh64(1L, seed=__ck1): a pure function of __ck1, silently degrading
+    the "128-bit" composite to 64 bits (every __ck1 collision was
+    automatically a __ck2 collision; ~m^2/2^65 expected class merges,
+    ~27k at a trillion distinct docs)."""
+    from reactive_data_pipeline_spark.dedup import minhash_neardup_groups
+
+    docs = spark.createDataFrame(
+        [(1, "a b"), (2, "a c")], "doc_id long, text string"
+    )
+    out = minhash_neardup_groups(docs, n=1, threshold=0.9)
+    plan = out._jdf.queryExecution().analyzed().toString()
+    # salt-first form present; content-first (seed-chained) form absent
+    assert "xxhash64(1, sort_array" in plan
+    assert ", 1, 42)" not in plan
+    # value pin for the chosen form (computed once on Spark 4.1.2): a
+    # regression to salt-last changes these and fails loudly.
+    r = (
+        spark.range(1)
+        .select(
+            F.xxhash64(F.lit(1), F.lit("abc")).alias("salt_first"),
+            F.xxhash64(F.lit("abc"), F.lit(1)).alias("salt_last"),
+        )
+        .first()
+    )
+    assert r.salt_first == -3712979484889829503
+    assert r.salt_last == 615990704253164077
+    assert r.salt_first != r.salt_last

@@ -276,3 +276,21 @@ def test_peek_decode_matches_per_bit_walk():
             # logical consumed-bit position (readers fill at different
             # granularity; no 0xFF in the fixture, so loaded = pos*8)
             assert fast.pos * 8 - fast.nbits == slow.pos * 8 - slow.nbits
+
+
+def test_decode_lut_memoized_per_table_content():
+    """Round-10 (r9 advice, low): _decode_lut rebuilds two 65536-entry
+    Python lists; that fixed cost dominated tiny-image decodes on the
+    mm_codec_roundtrip path when paid per scan per table. The LUTs are
+    memoized on table CONTENT (not id(), which CPython reuses after
+    GC), so a repeated decode - and an equal table parsed from another
+    image's DHT segment - returns the same cached objects."""
+    table = J.build_huffman(J.DC_LUMA_BITS, J.DC_LUMA_VALS)
+    first = J._decode_lut(table)
+    assert J._decode_lut(table) is first
+    # an equal-content table parsed independently hits the same entry
+    copy = dict(J.build_huffman(list(J.DC_LUMA_BITS), list(J.DC_LUMA_VALS)))
+    assert J._decode_lut(copy) is first
+    # a different table does not
+    other = J.build_huffman(J.AC_LUMA_BITS, J.AC_LUMA_VALS)
+    assert J._decode_lut(other) is not first

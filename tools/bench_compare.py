@@ -72,21 +72,37 @@ def artifact_round(path_arg: str) -> int | None:
     return int(m.group(1)) if m else None
 
 
-def annotations(pair: str | None = None) -> dict[str, str]:
-    """Waiver lines from BENCH_NOTES.md. With ``pair`` (e.g. "r07r08"),
-    scoped annotations for OTHER pairs are dropped - they adjudicated a
-    different comparison and have aged out. ``pair=None`` returns all
-    (used by tests and ad-hoc inspection)."""
+def _pair_key(pair: str | None) -> tuple[int, int] | None:
+    """Numeric form of an ``rNNrMM`` scope so hand-written ``@r9r10``
+    matches the computed zero-padded ``r09r10``."""
+    if pair is None:
+        return None
+    m = re.fullmatch(r"r(\d+)r(\d+)", pair)
+    return (int(m.group(1)), int(m.group(2))) if m else None
+
+
+def annotations(pair: str | None = None, all_scopes: bool = False) -> dict[str, str]:
+    """Waiver lines from BENCH_NOTES.md. A scoped annotation
+    (``plan_changed[q@rNNrMM]:``) is active ONLY on its artifact pair:
+    with ``pair`` (e.g. "r07r08"), other pairs' waivers are dropped -
+    they adjudicated a different comparison and have aged out. With
+    ``pair=None`` (a pair-less comparison, e.g. an in-flight artifact
+    whose filename carries no round) scoped waivers are dropped too -
+    a waiver adjudicated for a specific pair cannot waive regressions
+    in an unidentified one; only unscoped annotations apply. Scope
+    round numbers compare numerically (``@r9r10`` == ``r09r10``).
+    ``all_scopes=True`` returns everything (ad-hoc inspection)."""
     notes = _ROOT / "BENCH_NOTES.md"
     if not notes.exists():
         return {}
+    want = _pair_key(pair)
     out: dict[str, str] = {}
     for m in re.finditer(
         r"^\s*(plan_changed|flag_ok)\[([a-z0-9_]+)(?:@(r\d+r\d+))?\]:\s*(.+)$",
         notes.read_text(), re.M,
     ):
         scope = m.group(3)
-        if pair is not None and scope is not None and scope != pair:
+        if scope is not None and not all_scopes and _pair_key(scope) != want:
             continue
         out[m.group(2)] = f"{m.group(1)}: {m.group(4).strip()}"
     return out

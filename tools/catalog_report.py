@@ -28,12 +28,6 @@ ROWS_ONLY_WHY: dict[str, str] = {
         "`embedding_recall_contract` hash-checks zero-false-positives + "
         "recall vs the all-pairs exact twin `embedding_neardup_pairs`"
     ),
-    "mm_resize": (
-        "binary payload digests are engine-/library-specific by "
-        "construction (deterministic fake decode in-sandbox); the plumbing "
-        "(schema, batch shape, row counts) is what the check pins - "
-        "`mm_resize_digest` hash-checks the digest arithmetic itself"
-    ),
     "mm_frame_sample": (
         "1->N frame explosion over opaque binary payloads; per-frame "
         "digests are engine-specific like mm_resize - row counts pin the "
