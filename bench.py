@@ -104,6 +104,65 @@ def load_probe(spark, attempts: int = 5) -> float:
     return prev
 
 
+def latency_probe(spark) -> dict:
+    """Host LATENCY fingerprint (round-10): the round-9/10 windows
+    proved the load probe blind to the mode that actually moved - a
+    fresh r10 window reproduced r9's "throttled" totals with the probe
+    EQUAL to r8's (0.183s) and DuckDB FASTER than r8, while r8's own
+    code re-run in the same window landed within 7% of current code.
+    The degraded resource is scheduling/IPC latency (per-job fixed
+    cost, py4j round-trips, thread wakeups) - a dimension Spark leans
+    on and a single 32-wide JVM reduction never exercises. Recording
+    these per artifact makes the next host-mode shift attributable
+    instead of a round-long whodunit:
+
+    * ``job_ms`` - trivial single-task DataFrame job (scheduler +
+      planning fixed cost; best of 10);
+    * ``py4j_us`` - Python->JVM no-op round-trip (best-of-3 x100);
+    * ``pipe_us`` - forked-process pipe ping-pong (kernel ctx-switch);
+    * ``kernel`` - os.uname().release (image/kernel drift marker).
+    """
+    import time as _time
+
+    out: dict = {"kernel": os.uname().release}
+    df = spark.range(1)
+    df.count()
+    best = float("inf")
+    for _ in range(10):
+        t0 = _time.time()
+        df.count()
+        best = min(best, _time.time() - t0)
+    out["job_ms"] = round(best * 1000, 1)
+    jvm = spark.sparkContext._jvm
+    best = float("inf")
+    for _ in range(3):
+        t0 = _time.time()
+        for _ in range(100):
+            jvm.System.currentTimeMillis()
+        best = min(best, (_time.time() - t0) / 100)
+    out["py4j_us"] = round(best * 1e6)
+    try:
+        r1, w1 = os.pipe()
+        r2, w2 = os.pipe()
+        pid = os.fork()
+        if pid == 0:
+            for _ in range(500):
+                os.read(r1, 1)
+                os.write(w2, b"x")
+            os._exit(0)
+        t0 = _time.time()
+        for _ in range(500):
+            os.write(w1, b"x")
+            os.read(r2, 1)
+        out["pipe_us"] = round((_time.time() - t0) / 500 * 1e6)
+        os.waitpid(pid, 0)
+        for fd in (r1, w1, r2, w2):
+            os.close(fd)
+    except OSError:
+        pass
+    return out
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
@@ -160,6 +219,8 @@ def main() -> None:
 
     probe_sec = round(load_probe(spark), 3)
     print(f"# load probe: {probe_sec:.3f}s", file=sys.stderr)
+    probe_latency = latency_probe(spark)
+    print(f"# latency probe: {probe_latency}", file=sys.stderr)
 
     reps = max(1, int(os.environ.get("SPARK_GRAFT_REPS", "3")))
     # Volume-axis escape hatch (NOT used by the driver): skip named
@@ -207,6 +268,7 @@ def main() -> None:
                 "queries": timings,
                 "sf": sf,
                 "probe_sec": probe_sec,
+                "probe_latency": probe_latency,
                 "escalated": escalated,
                 "escalated_medians": escalated_medians,
                 "skipped": skipped,
@@ -214,10 +276,11 @@ def main() -> None:
         )
     )
     sys.stdout.flush()
-    _emit_duckdb_twin(spark, sf_dir, timings, probe_sec)
+    _emit_duckdb_twin(spark, sf_dir, timings, probe_sec, probe_latency)
 
 
-def _emit_duckdb_twin(spark, sf_dir: str, spark_timings: dict, probe_sec: float) -> None:
+def _emit_duckdb_twin(spark, sf_dir: str, spark_timings: dict,
+                      probe_sec: float, probe_latency: dict | None = None) -> None:
     """Snapshot the DuckDB twin in the SAME window as the Spark bench
     (round-7 verdict #2): cross-window ratio comparisons needed probe-
     normalization guesses because BENCH_rN carried only the Spark side.
@@ -243,6 +306,8 @@ def _emit_duckdb_twin(spark, sf_dir: str, spark_timings: dict, probe_sec: float)
         threads = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
         twin = run_twin(sf_dir, threads)
         twin["probe_sec"] = probe_sec  # the Spark-side window probe
+        if probe_latency is not None:
+            twin["probe_latency"] = probe_latency
         paired_spark = paired_duck = 0.0
         for name, dt in twin["queries"].items():
             if dt is not None and name in spark_timings:
