@@ -43,6 +43,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..operators.relational import free_local_checkpoint
+
 
 #: Target rows per task inside the star loop: bounds the reduce-side
 #: aggregate maps; ~1M two-long rows keeps each well under 100 MB
@@ -170,7 +172,16 @@ def connected_components(
             # localCheckpoint per round: an iterative loop's lineage
             # doubles per round — checkpointing truncates it to the
             # materialized partitions (node-bounded after round 1).
+            # The PREVIOUS round's checkpoint is dead the moment the
+            # new one materializes (eager) — unpersist it, or the loop
+            # pins O(rounds x frontier) deserialized blocks in the
+            # unified pool for the session's lifetime (the round-10
+            # mid-sweep-drag mechanism: leaked storage squeezes later
+            # queries' execution memory into spill).
+            prev_live = live
             live = _small_star(_large_star(live)).localCheckpoint()
+            if prev_live is not entry:
+                free_local_checkpoint(prev_live)
             # bit_xor is order-insensitive and cannot overflow under ANSI
             # (a SUM of xxhash64 longs does); the edge set is distinct, so
             # XOR-cancellation of duplicates cannot occur.

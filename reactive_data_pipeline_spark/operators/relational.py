@@ -255,3 +255,31 @@ def distinct_rows(df: DataFrame, subset: list[str] | None = None) -> DataFrame:
     dropDuplicates across runs; use an explicit min/max aggregate when
     determinism matters)."""
     return df.dropDuplicates(subset) if subset else df.distinct()
+
+
+def free_local_checkpoint(df: DataFrame) -> bool:
+    """Release the storage blocks behind an EAGER ``localCheckpoint``.
+
+    ``DataFrame.unpersist`` routes through the SQL CacheManager and is
+    a silent NO-OP for checkpoints: their data is an RDD-level cache on
+    the ``LogicalRDD``'s backing RDD, never registered with the cache
+    manager (measured round-10 - the blocks survive ``unpersist()``).
+    The real handle is the analyzed plan's ``rdd`` accessor.
+
+    Only call this when nothing will read THROUGH the checkpoint again:
+    a checkpoint truncates lineage, so once its blocks are dropped the
+    frame is unrecomputable. The intended pattern is iterative-loop
+    rotation - free round N-1 after round N's eager checkpoint has
+    materialized from it - which keeps a loop at O(1) pinned storage
+    instead of O(rounds x state) (the round-10 mid-sweep-drag
+    mechanism: leaked deserialized blocks squeeze later queries'
+    execution memory into spill). Returns True if blocks were released.
+    """
+    try:
+        plan = df._jdf.queryExecution().analyzed()
+        if plan.getClass().getSimpleName() != "LogicalRDD":
+            return False
+        plan.rdd().unpersist(False)
+        return True
+    except Exception:  # noqa: BLE001 - cleanup must never fail a query
+        return False

@@ -14,7 +14,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..operators.relational import combine_digit_sums, exact_sum, split_digits
+from ..operators.relational import (
+    combine_digit_sums,
+    exact_sum,
+    free_local_checkpoint,
+    split_digits,
+)
 from ..sources import read_table
 from . import register
 
@@ -487,6 +492,7 @@ def pagerank_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
     ed = edges.join(deg, "src").persist()
     ranks = deg.select(F.col("src").alias("part"), F.lit(1000000).cast("long").alias("r"))
+    prev_ck = None
     for i in range(_PR_ITERS):
         contrib = (
             ed.join(ranks, ed["src"] == ranks["part"])
@@ -500,6 +506,17 @@ def pagerank_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         if i % 2 == 1:
             ranks = ranks.localCheckpoint(eager=True)
+            # the previous checkpoint fed this one and is now dead -
+            # keep the loop at O(1) pinned blocks, not O(iterations)
+            # (round-10 session-drag fix)
+            if prev_ck is not None:
+                free_local_checkpoint(prev_ck)
+            prev_ck = ranks
+    # _PR_ITERS is even, so the returned frame is backed by the LAST
+    # checkpoint (lineage truncated there); the edge persists only
+    # exist to serve the loop and can be released.
+    edges.unpersist()
+    ed.unpersist()
     return ranks.select("part", F.col("r").alias("rank_fp"))
 
 
@@ -1341,6 +1358,13 @@ def kcore_peel_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows: list[tuple[int, int, int]] = []
     for i in range(1, _KCORE_ROUNDS + 1):
         keep = deg.filter(F.col("d") >= _KCORE_K).select("u")
+        # Rotate the round's eager checkpoints: once the new edge set
+        # and degree frame are materialized, the previous round's
+        # blocks are dead - unpersisting them keeps the loop at O(1)
+        # pinned storage instead of O(rounds x graph) (the round-10
+        # drag mechanism; this loop was the census's worst leaker:
+        # 13 blocks, ~125 MB at sf0.01 -> GBs at sf4).
+        prev_cur, prev_deg = cur, deg
         cur = (
             cur.join(keep, "u")
             .join(keep.withColumnRenamed("u", "v"), "v")
@@ -1350,6 +1374,8 @@ def kcore_peel_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
         deg = cur.groupBy("u").agg(F.count(F.lit(1)).alias("d")).localCheckpoint(
             eager=True
         )
+        free_local_checkpoint(prev_cur)
+        free_local_checkpoint(prev_deg)
         stat = deg.agg(
             F.count(F.lit(1)),
             F.coalesce(F.sum("d"), F.lit(0)),
@@ -1362,6 +1388,10 @@ def kcore_peel_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
             rows.extend(rows[-1:] * (_KCORE_ROUNDS - i))
             break
         n_prev = int(stat[0])
+    # The result below is a literal frame from the collected stats -
+    # nothing depends on the final checkpoints either.
+    free_local_checkpoint(cur)
+    free_local_checkpoint(deg)
     return spark.createDataFrame(
         [(i + 1, *r) for i, r in enumerate(rows)],
         "round long, n_nodes long, n_directed long, node_id_sum long",

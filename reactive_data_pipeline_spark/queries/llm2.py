@@ -21,6 +21,7 @@ from pyspark.sql import functions as F
 from ..functions.bloom import bloom_build, bloom_might_contain
 from ..functions.curation import stratified_keep
 from ..operators.cogroup import asof_join_cogroup
+from ..operators.relational import free_local_checkpoint
 from ..similarity.centroid import label_centroids, nearest_centroid
 from ..sources import read_table
 from . import register
@@ -516,6 +517,7 @@ def kmeans_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _emb(spark, sf_dir)
     cents = label_centroids(emb)
     assigned = None
+    prev_ck = None
     for i in range(1, _KM_ITERS + 1):
         assigned = nearest_centroid(emb, cents)
         if i < _KM_ITERS:
@@ -524,6 +526,13 @@ def kmeans_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "vec_id",
             ).select("label", "embedding")
             cents = label_centroids(relabeled).localCheckpoint(eager=True)
+            # rotate: the previous round's centroid checkpoint fed this
+            # one and is dead now (round-10 session-drag fix - keep the
+            # loop at O(1) pinned blocks). The LAST checkpoint stays:
+            # the returned aggregation reads through `assigned`.
+            if prev_ck is not None:
+                free_local_checkpoint(prev_ck)
+            prev_ck = cents
     return assigned.groupBy(F.col("assigned_label").alias("cluster")).agg(
         F.count(F.lit(1)).cast("long").alias("n_vecs"),
         F.sum(

@@ -89,6 +89,11 @@ def ivf_assign(
     )
     cents = None
     for _ in range(max(1, iters)):
+        # NOT rotated (round-10): `cells` is never checkpointed, so its
+        # lazy lineage chains through EVERY prior codebook checkpoint -
+        # freeing one would break recomputation. The codebooks are
+        # <= n_cells rows each; O(iters) of them is noise, unlike the
+        # edge-scale loops (kcore/components/pagerank) that do rotate.
         cents = label_centroids(cells, label_col="__cell", vec_col=vec_col).localCheckpoint(
             eager=True
         )

@@ -185,3 +185,45 @@ def test_bigram_logprob_integer_exact(spark):
         # MLE log-probs are <= 0; a doc's sum is strictly negative
         # unless every bigram is its first-token's only continuation.
         assert r.sum_lp_e6 <= 0
+
+
+def test_free_local_checkpoint_releases_blocks(spark):
+    """Round-10: DataFrame.unpersist routes through the SQL
+    CacheManager and is a silent NO-OP for localCheckpoints (their
+    data is an RDD-level cache on the LogicalRDD's backing RDD). The
+    helper goes through the analyzed plan's rdd accessor - the only
+    handle that actually releases the blocks."""
+    from reactive_data_pipeline_spark.operators.relational import (
+        free_local_checkpoint,
+    )
+
+    sc = spark.sparkContext
+
+    def n_blocks():
+        return len(sc._jsc.sc().getRDDStorageInfo())
+
+    base = n_blocks()
+    df = spark.range(1000).localCheckpoint(eager=True)
+    assert n_blocks() == base + 1
+    df.unpersist()  # documented no-op for checkpoints
+    assert n_blocks() == base + 1
+    assert free_local_checkpoint(df) is True
+    assert n_blocks() == base
+    # non-checkpoint frames are refused, not broken
+    assert free_local_checkpoint(spark.range(3)) is False
+
+
+def test_iterative_loops_pin_o1_storage(spark):
+    """Round-10 session-drag fix: the edge-scale iterative loops
+    (kcore here; components/pagerank share the rotation pattern) must
+    leave ZERO persisted blocks behind after their result is drained -
+    pre-fix, kcore pinned O(rounds x graph) deserialized blocks
+    (13 blocks, ~125 MB at sf0.01; GBs at sf4) for the session's
+    lifetime, squeezing later queries' execution memory into spill
+    (the measured mid-sweep drag mechanism)."""
+    from reactive_data_pipeline_spark.queries.etl import kcore_peel_rounds
+
+    sc = spark.sparkContext
+    base = len(sc._jsc.sc().getRDDStorageInfo())
+    kcore_peel_rounds(spark, SF_DIR).count()
+    assert len(sc._jsc.sc().getRDDStorageInfo()) == base

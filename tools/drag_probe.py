@@ -45,7 +45,11 @@ sys.path.insert(0, "/root/repo")
 
 from reactive_data_pipeline_spark import get_spark  # noqa: E402
 from reactive_data_pipeline_spark.queries import QUERIES  # noqa: E402
-from tools.volume_smoke import HEAVY_TIMEOUT, SKIP  # noqa: E402
+from tools.volume_smoke import (  # noqa: E402
+    HEAVY_TIMEOUT,
+    SKIP,
+    drop_leftover_blocks,
+)
 
 
 def jvm_snapshot(spark) -> dict:
@@ -169,6 +173,9 @@ def main() -> None:
     every = opt("--every", 20, int)
     timeout = opt("--timeout", 180.0, float)
     recycle = opt("--recycle", 0, int)
+    keep_blocks = "--keep-blocks" in args
+    if keep_blocks:
+        args.remove("--keep-blocks")
     out_path = opt("--out", None, str)
     sf_dir = args[0] if args else "/root/testdata/sf0.1"
     names = args[1:] or [n for n in QUERIES if n not in SKIP]
@@ -210,6 +217,11 @@ def main() -> None:
         finally:
             done.set()
             sc.setJobGroup("dragprobe-idle", "between queries")
+            # --keep-blocks reproduces the pre-round-10 accumulating
+            # behavior (the A/B lever for the drag experiment); default
+            # is the volume_smoke hygiene.
+            if not keep_blocks:
+                drop_leftover_blocks(sc)
         built += 1
         dt = round(time.time() - t0, 1)
         print(f"# [{built}/{len(names)}] {name} {dt}s {status}", file=sys.stderr)

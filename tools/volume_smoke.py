@@ -89,6 +89,28 @@ def _fresh_session():
     return spark, spark.sparkContext
 
 
+def drop_leftover_blocks(sc) -> int:
+    """Unpersist every persistent RDD (round-10 session hygiene).
+
+    26 of the 230 catalog queries legitimately persist/localCheckpoint
+    frames their RESULT depends on; once the sweep has drained a
+    query, those blocks are dead weight, but nothing inside the query
+    can know that. Leaked deserialized blocks occupy the unified pool
+    and squeeze later heavies' execution memory into spill - the
+    measured mid-sweep drag mechanism (ENGINEERING.md round-10). Safe
+    between sweep queries by construction: no frame is reused across
+    iterations. Returns the number of RDDs dropped."""
+    n = 0
+    try:
+        it = sc._jsc.sc().getPersistentRDDs().valuesIterator()
+        while it.hasNext():
+            it.next().unpersist(False)
+            n += 1
+    except Exception:  # noqa: BLE001 - hygiene must never kill the sweep
+        pass
+    return n
+
+
 def run(sf_dir: str, names: list[str], timeout: float, recycle: int = 0) -> int:
     spark, sc = _fresh_session()
     failures = 0
@@ -155,6 +177,9 @@ def run(sf_dir: str, names: list[str], timeout: float, recycle: int = 0) -> int:
                 sc.setJobGroup("smoke-idle", "between queries")
             except Exception:
                 pass
+            dropped = drop_leftover_blocks(sc)
+            if dropped:
+                print(f"     (dropped {dropped} leftover persisted RDDs)")
     return failures
 
 
