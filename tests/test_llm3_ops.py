@@ -227,3 +227,41 @@ def test_iterative_loops_pin_o1_storage(spark):
     base = len(sc._jsc.sc().getRDDStorageInfo())
     kcore_peel_rounds(spark, SF_DIR).count()
     assert len(sc._jsc.sc().getRDDStorageInfo()) == base
+
+
+def test_sweep_hygiene_unloads_state_store_threads(spark):
+    """Round-10: every stateful streaming query leaves its state-store
+    providers loaded after stop(), each holding a
+    ChecksumCheckpointFileManager thread pool (measured: 128 threads
+    per stateful query; 1376 driver threads after eight). The sweep
+    hygiene unloads providers between queries - they reload
+    transparently on the next stream - so a long session's thread
+    count stays bounded."""
+    import re
+
+    from tools.volume_smoke import drop_leftover_blocks
+
+    sc = spark.sparkContext
+    tb = sc._jvm.java.lang.management.ManagementFactory.getThreadMXBean()
+
+    def ckpt_threads():
+        n = 0
+        for tid in tb.getAllThreadIds():
+            ti = tb.getThreadInfo(tid)
+            if ti and re.search(
+                r"ChecksumCheckpointFileManager", ti.getThreadName()
+            ):
+                n += 1
+        return n
+
+    from reactive_data_pipeline_spark.queries import QUERIES
+
+    QUERIES["streaming_dedup_update"].build(spark, SF_DIR).count()
+    assert ckpt_threads() > 0
+    drop_leftover_blocks(sc)
+    import time
+
+    time.sleep(2)
+    assert ckpt_threads() == 0
+    # the engine still works: providers reload on demand
+    QUERIES["streaming_dedup_update"].build(spark, SF_DIR).count()

@@ -108,6 +108,18 @@ def drop_leftover_blocks(sc) -> int:
             n += 1
     except Exception:  # noqa: BLE001 - hygiene must never kill the sweep
         pass
+    try:
+        # Unload streaming state-store providers too: each STATEFUL
+        # stream leaves its providers loaded after query.stop(), and
+        # every provider keeps a ChecksumCheckpointFileManager thread
+        # pool alive - measured 128 threads per stateful query, 1376
+        # driver threads after 8 of them (round-10 census; thread
+        # count inflates GC root scans and scheduler pressure).
+        # Providers reload transparently on the next streaming query;
+        # safe between sweep queries because no stream is running.
+        sc._jvm.org.apache.spark.sql.execution.streaming.state.StateStore.stop()
+    except Exception:  # noqa: BLE001
+        pass
     return n
 
 
