@@ -141,25 +141,48 @@ def latency_probe(spark) -> dict:
             jvm.System.currentTimeMillis()
         best = min(best, (_time.time() - t0) / 100)
     out["py4j_us"] = round(best * 1e6)
+    # Error-path hygiene (round-11 advice): every created fd closes and
+    # the forked child is reaped no matter where the protocol fails -
+    # otherwise a mid-protocol OSError leaks 4 fds and leaves the child
+    # blocked on os.read forever (never reaped).
+    fds: list[int] = []
+    pid = 0
     try:
         r1, w1 = os.pipe()
+        fds += [r1, w1]
         r2, w2 = os.pipe()
+        fds += [r2, w2]
         pid = os.fork()
         if pid == 0:
-            for _ in range(500):
-                os.read(r1, 1)
-                os.write(w2, b"x")
-            os._exit(0)
+            try:
+                for _ in range(500):
+                    os.read(r1, 1)
+                    os.write(w2, b"x")
+            finally:
+                os._exit(0)  # the child never falls through to main
         t0 = _time.time()
         for _ in range(500):
             os.write(w1, b"x")
             os.read(r2, 1)
         out["pipe_us"] = round((_time.time() - t0) / 500 * 1e6)
         os.waitpid(pid, 0)
-        for fd in (r1, w1, r2, w2):
-            os.close(fd)
+        pid = 0
     except OSError:
         pass
+    finally:
+        if pid > 0:  # parent erred mid-protocol: unblock by kill, then reap
+            import signal as _signal
+
+            try:
+                os.kill(pid, _signal.SIGKILL)
+                os.waitpid(pid, 0)
+            except OSError:
+                pass
+        for fd in fds:
+            try:
+                os.close(fd)
+            except OSError:
+                pass
     return out
 
 

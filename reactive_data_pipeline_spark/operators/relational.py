@@ -8,10 +8,22 @@ decimal-exact double aggregation, total-order top-k).
 
 from __future__ import annotations
 
+import logging
 from collections.abc import Iterable, Mapping
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+
+_log = logging.getLogger(__name__)
+
+#: Count of free_local_checkpoint calls that could NOT release blocks
+#: (round-11 advice): production call sites discard the boolean, and the
+#: helper leans on private internals (_jdf, the 'LogicalRDD' plan-class
+#: name), so a Spark upgrade could silently revert the O(rounds) block
+#: leak the rotation pattern prevents. The counter (and a debug log per
+#: miss) makes that regression observable without changing call sites;
+#: tests assert it stays 0 across the iterative loops.
+FREE_CHECKPOINT_MISSES = 0
 
 
 def ensure_parallelism(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
@@ -275,11 +287,27 @@ def free_local_checkpoint(df: DataFrame) -> bool:
     mechanism: leaked deserialized blocks squeeze later queries'
     execution memory into spill). Returns True if blocks were released.
     """
+    global FREE_CHECKPOINT_MISSES
     try:
         plan = df._jdf.queryExecution().analyzed()
-        if plan.getClass().getSimpleName() != "LogicalRDD":
+        cls = plan.getClass().getSimpleName()
+        if cls != "LogicalRDD":
+            FREE_CHECKPOINT_MISSES += 1
+            _log.debug(
+                "free_local_checkpoint: analyzed plan is %s, not LogicalRDD; "
+                "blocks NOT released (miss #%d)",
+                cls,
+                FREE_CHECKPOINT_MISSES,
+            )
             return False
         plan.rdd().unpersist(False)
         return True
-    except Exception:  # noqa: BLE001 - cleanup must never fail a query
+    except Exception as exc:  # noqa: BLE001 - cleanup must never fail a query
+        FREE_CHECKPOINT_MISSES += 1
+        _log.debug(
+            "free_local_checkpoint: %s: %s; blocks NOT released (miss #%d)",
+            type(exc).__name__,
+            exc,
+            FREE_CHECKPOINT_MISSES,
+        )
         return False

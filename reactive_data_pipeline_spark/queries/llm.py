@@ -432,11 +432,57 @@ def minhash_neardup_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_lsh_pairs(_docs(spark, sf_dir), n=3, num_hashes=32, bands=8, threshold=0.5)
 
 
-@register("simhash_near_pairs", oracle=None, tags=("dedup", "simhash"))
+# SimHash under the md5 keying (dedup/simhash.py KEYINGS): 60 fingerprint
+# bits from the top 15 hex chars of md5(token), so DuckDB recomputes the
+# IDENTICAL fingerprints, banded candidate set, and verified pairs. The
+# vote/pack levels are generated here once (60 conditional sums, then a
+# sign-packed BIGINT) - nested aggregates need the two CTE levels.
+_SH_BITS, _SH_BAND_BITS = 60, 15
+_SH_VOTES = ",\n             ".join(
+    f"SUM(CASE WHEN (hv >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS v{j}" for j in range(_SH_BITS)
+)
+_SH_PACK = " + ".join(f"(CASE WHEN v{j} > 0 THEN {1 << j} ELSE 0 END)" for j in range(_SH_BITS))
+
+
+@register(
+    "simhash_near_pairs",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, unnest({_TOKS}) AS tok FROM documents),
+    h AS (SELECT doc_id, ('0x' || substring(md5(tok), 1, 15))::BIGINT AS hv FROM toks),
+    votes AS (SELECT doc_id, {_SH_VOTES}
+              FROM h GROUP BY doc_id),
+    fp AS (SELECT doc_id, CAST({_SH_PACK} AS BIGINT) AS simhash FROM votes),
+    fps AS (SELECT DISTINCT simhash FROM fp),
+    bands AS (SELECT simhash, b,
+                     (simhash >> (b * {_SH_BAND_BITS})) & {(1 << _SH_BAND_BITS) - 1} AS bv
+              FROM fps, unnest([0, 1, 2, 3]) AS u(b)),
+    near_fp AS (
+      SELECT sh_a, sh_b FROM (
+        SELECT DISTINCT a.simhash AS sh_a, b.simhash AS sh_b
+        FROM bands a JOIN bands b
+          ON a.b = b.b AND a.bv = b.bv AND a.simhash < b.simhash)
+      WHERE bit_count(xor(sh_a, sh_b)) <= 3),
+    cross_pairs AS (
+      SELECT least(da.doc_id, db.doc_id) AS doc_a,
+             greatest(da.doc_id, db.doc_id) AS doc_b,
+             CAST(bit_count(xor(n.sh_a, n.sh_b)) AS INTEGER) AS hamming
+      FROM near_fp n
+      JOIN fp da ON da.simhash = n.sh_a
+      JOIN fp db ON db.simhash = n.sh_b),
+    within AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(0 AS INTEGER) AS hamming
+      FROM fp a JOIN fp b ON a.simhash = b.simhash AND a.doc_id < b.doc_id)
+    SELECT * FROM cross_pairs UNION ALL SELECT * FROM within
+    """,
+    tags=("dedup", "simhash"),
+)
 def simhash_near_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup pairs at Hamming <= 3 (engine-specific hash ->
-    rows-only check)."""
-    return simhash_near_pairs(_docs(spark, sf_dir), max_hamming=3)
+    """SimHash near-dup pairs at Hamming <= 3 under the md5 keying
+    (round-11: graduated from rows-only to an exact oracle - the twin
+    recomputes the identical 60-bit fingerprints from md5(token), the
+    same 4x15-bit banding, and the same bit_count verification, so the
+    value hash pins fingerprinting, banding, AND verification)."""
+    return simhash_near_pairs(_docs(spark, sf_dir), max_hamming=3, keying="md5")
 
 
 # ---------------------------------------------------------------------------

@@ -569,3 +569,49 @@ def test_content_key_salt_first_seeding(spark):
     assert r.salt_first == -3712979484889829503
     assert r.salt_last == 615990704253164077
     assert r.salt_first != r.salt_last
+
+
+def test_simhash_md5_keying_matches_hashlib_and_bruteforce(spark):
+    """Round-11: the md5 keying's cross-engine contract, pinned against
+    a THIRD implementation (hashlib). Spark computes the per-token hash
+    as conv(substring(md5(tok),1,15),16,10) and DuckDB's oracle as
+    ('0x'||substring(md5(tok),1,15))::BIGINT - both must equal
+    int(md5(utf8).hexdigest()[:15], 16). A drift in any engine's md5,
+    substring, or hex-parse semantics breaks this pin before it breaks
+    the driver's value hash. Also brute-verifies the md5-keyed pair set
+    (banding exactness is keying-independent but re-proven here)."""
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    from reactive_data_pipeline_spark.dedup.simhash import (
+        KEYINGS,
+        _token_hash,
+        simhash_docs,
+        simhash_near_pairs,
+    )
+
+    toks = ["hello", "world", "", "café", "a b", "123"]
+    got = (
+        spark.createDataFrame([(t,) for t in toks], "tok string")
+        .select("tok", _token_hash("tok", "md5").alias("h"))
+        .collect()
+    )
+    for r in got:
+        assert r.h == int(hashlib.md5(r.tok.encode("utf-8")).hexdigest()[:15], 16)
+
+    bits, band_bits = KEYINGS["md5"]
+    assert bits == 60 and band_bits == 15 and 4 * band_bits == bits
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(60)
+    sh = {r.doc_id: r.simhash for r in simhash_docs(docs, keying="md5").collect()}
+    assert all(0 <= v < (1 << 60) for v in sh.values())
+    ids = sorted(sh)
+    exp = sorted(
+        (a, b, bin(sh[a] ^ sh[b]).count("1"))
+        for i, a in enumerate(ids)
+        for b in ids[i + 1 :]
+        if bin(sh[a] ^ sh[b]).count("1") <= 3
+    )
+    got_pairs = sorted(tuple(r) for r in simhash_near_pairs(docs, keying="md5").collect())
+    assert got_pairs == exp
