@@ -176,32 +176,39 @@ def _extend(value: int, size: int) -> int:
     return value
 
 
-def _decode_lut(table: dict[tuple[int, int], int]) -> tuple[list, list]:
+def _decode_lut(table: dict[tuple[int, int], int]) -> tuple[bytes, bytes]:
     """16-bit-peek decode tables: every 16-bit window value maps to the
     unique code that prefixes it (canonical Huffman codes are prefix-
     free; max length 16 per T.81). ``lut_len[v] == 0`` marks a window
     no code prefixes - an invalid bitstream. Replaces the per-bit tree
     walk with one index + one subtraction per symbol.
 
-    Memoized on the table CONTENT (round-10, r9 advice): the two
-    65536-entry lists cost ~1 ms to build, which dominated the decode
-    of the tiny synthesized JPEGs on the ``mm_codec_roundtrip`` path
-    when rebuilt per scan per table. Keying on content (not ``id``,
-    which CPython reuses after GC) makes repeated decodes and the
-    Annex-K standard tables hit across images. Callers only READ the
-    returned lists - they are shared, never mutated."""
+    Memoized on the table CONTENT (round-10, r9 advice): the LUTs cost
+    ~1 ms to build, which dominated the decode of the tiny synthesized
+    JPEGs on the ``mm_codec_roundtrip`` path when rebuilt per scan per
+    table. Keying on content (not ``id``, which CPython reuses after
+    GC) makes repeated decodes and the Annex-K standard tables hit
+    across images.
+
+    The cached form is two 64 KiB ``bytes`` (round-11 advice: the
+    previous 65536-entry Python LISTS pinned ~1 MB+ per table, up to
+    64 tables, per executor Python worker for the process lifetime -
+    tens of MB on a many-custom-DHT corpus). JPEG Huffman symbols and
+    code lengths are both 8-bit, ``bytes`` indexing yields a plain int
+    as fast as list indexing in the scan hot loop, and immutability
+    makes the sharing contract structural instead of documented."""
     return _decode_lut_cached(tuple(sorted(table.items())))
 
 
 @lru_cache(maxsize=64)
-def _decode_lut_cached(items: tuple) -> tuple[list, list]:
+def _decode_lut_cached(items: tuple) -> tuple[bytes, bytes]:
     ln_arr = np.zeros(65536, np.uint8)
-    sym_arr = np.zeros(65536, np.int32)
+    sym_arr = np.zeros(65536, np.uint8)
     for (ln, code), s in items:
         start = code << (16 - ln)
         ln_arr[start : start + (1 << (16 - ln))] = ln
         sym_arr[start : start + (1 << (16 - ln))] = s
-    return ln_arr.tolist(), sym_arr.tolist()
+    return ln_arr.tobytes(), sym_arr.tobytes()
 
 
 class _BitReader:
@@ -262,7 +269,7 @@ class _BitReader:
         self.nbits -= n
         return (self.bitbuf >> self.nbits) & ((1 << n) - 1)
 
-    def peek_decode(self, lut_len: list, lut_sym: list) -> int:
+    def peek_decode(self, lut_len: bytes, lut_sym: bytes) -> int:
         """One Huffman symbol via the 16-bit window LUT - consumes
         exactly the matched code's length, like the per-bit walk, and
         raises the same ValueError on a prefix no code owns."""

@@ -558,6 +558,68 @@ def gif_encode(pixels: np.ndarray, interlace: bool = False) -> bytes:
     )
 
 
+def gif_encode_animation(
+    blocks: list[dict],
+    screen_w: int,
+    screen_h: int,
+    palette: np.ndarray,
+) -> bytes:
+    """Encode an ANIMATED GIF89a from per-frame image blocks (round-11:
+    the encode half of :func:`gif_decode_frames`, so multi-frame
+    payloads with real disposal composition can be synthesized for the
+    oracle-checked frame-sampling query and the round-trip tests).
+
+    ``blocks``: one dict per frame - ``grid`` (``(h, w)`` uint8 palette
+    indices), ``left``/``top`` placement (default 0), ``disposal``
+    (0/1 leave, 2 clear region, 3 restore previous; default 0) and
+    ``transparent`` (palette index painted as see-through, default
+    None). ``palette``: ``(n, 3)`` uint8 global color table, n <= 256
+    (padded to the next power of two as the format requires). Each
+    block gets its own graphic-control extension; delay is 0.
+    """
+    pal = np.asarray(palette, dtype=np.uint8)
+    if pal.ndim != 2 or pal.shape[1] != 3 or not 1 <= len(pal) <= 256:
+        raise ValueError("palette must be (n, 3) uint8 with 1 <= n <= 256")
+    size_bits = max(1, int(np.ceil(np.log2(max(len(pal), 2)))))
+    gct = np.zeros((2**size_bits, 3), dtype=np.uint8)
+    gct[: len(pal)] = pal
+    out = [
+        b"GIF89a",
+        struct.pack("<HH", screen_w, screen_h),
+        bytes([0x80 | (size_bits - 1), 0, 0]),
+        gct.tobytes(),
+    ]
+    min_code_size = max(2, size_bits)
+    for blk in blocks:
+        grid = np.asarray(blk["grid"], dtype=np.uint8)
+        if grid.ndim != 2:
+            raise ValueError("block grid must be 2-D palette indices")
+        if int(grid.max(initial=0)) >= len(gct):
+            raise ValueError("block grid indexes past the palette")
+        h, w = grid.shape
+        left, top = int(blk.get("left", 0)), int(blk.get("top", 0))
+        disposal = int(blk.get("disposal", 0))
+        transparent = blk.get("transparent")
+        packed = (disposal & 0x07) << 2 | (1 if transparent is not None else 0)
+        out.append(  # graphic-control extension (applies to ONE image)
+            b"\x21\xf9\x04"
+            + bytes([packed, 0, 0, transparent if transparent is not None else 0])
+            + b"\x00"
+        )
+        out.append(b"\x2c" + struct.pack("<HHHH", left, top, w, h) + b"\x00")
+        lzw = _lzw_encode(grid.tobytes(), min_code_size)
+        out.append(bytes([min_code_size]))
+        out.append(
+            b"".join(
+                bytes([len(lzw[o : o + 255])]) + lzw[o : o + 255]
+                for o in range(0, len(lzw), 255)
+            )
+        )
+        out.append(b"\x00")
+    out.append(b"\x3b")
+    return b"".join(out)
+
+
 # ---------------------------------------------------------------------------
 # BMP decode (uncompressed BI_RGB)
 # ---------------------------------------------------------------------------

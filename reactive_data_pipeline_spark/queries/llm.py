@@ -994,11 +994,146 @@ def mm_resize_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("mm_frame_sample", oracle=None, tags=("multimodal", "pandas_udf"))
+@register(
+    "mm_frame_sample",
+    oracle="""
+    WITH base AS (
+      SELECT doc_id, coalesce(text, '') AS t,
+             GREATEST(1, LEAST(16,
+               CAST(ceil(length(coalesce(text, '')) / 64.0) AS INT))) AS nf
+      FROM documents
+    ),
+    fr AS (
+      SELECT doc_id, t, CAST(fi AS INT) AS frame_idx
+      FROM base, unnest(generate_series(0, nf - 1, 2)) AS u(fi)
+    ),
+    px AS (
+      SELECT doc_id, frame_idx,
+             list_transform(range(0, 256), j -> CASE
+                 WHEN j % 4 = 3 THEN 255
+                 WHEN (CASE WHEN (j // 4) < 32
+                            THEN 64 * frame_idx + (j // 4)
+                            ELSE (j // 4) END) < length(t)
+                 THEN unicode(t[CAST((CASE WHEN (j // 4) < 32
+                                           THEN 64 * frame_idx + (j // 4)
+                                           ELSE (j // 4) END) + 1 AS INT)]) % 256
+                 ELSE 0 END) AS vals
+      FROM fr
+    )
+    SELECT doc_id, frame_idx,
+           CAST(8 AS INTEGER) AS width,
+           CAST(8 AS INTEGER) AS height,
+           CAST(4 AS INTEGER) AS channels,
+           md5(list_aggregate(list_transform(vals,
+                 v -> CAST(v AS VARCHAR)), 'string_agg', ',')) AS pixel_md5_hex,
+           CAST(list_sum(vals) AS BIGINT) AS pixel_sum
+    FROM px
+    """,
+    tags=("multimodal", "codec", "pandas_udf"),
+)
 def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Keyframe-sampling plumbing (1->N flatMap batch shape; every 4th
-    64-byte 'frame' of each payload)."""
-    return multimodal.sample_frames(_docs(spark, sf_dir), frame_bytes=64, every_n=4)
+    """PIXEL-REAL keyframe sampling under the value hash (round-11; the
+    mm_resize treatment applied to the 1->N shape, previously the
+    raw-binary rows-only twin of mm_frame_digest).
+
+    Each document becomes an ANIMATED GIF89a on the executors
+    (media_codecs.gif_encode_animation): an 8x8 256-gray canvas whose
+    frame 0 paints the full canvas with the doc's first 64 code points
+    (mod 256, zero-padded) and whose frame f >= 1 paints only the TOP
+    HALF (8x4) with code points [64f, 64f+32) - so every composited
+    frame after the first mixes its own window (top) with frame 0's
+    persisted bottom half, making the spec's disposal composition
+    load-bearing, not decorative. Frame count = max(1, ceil(len/64))
+    capped at 16 (bounded per-row cost; the oracle caps identically).
+
+    The payload then takes the REAL catalog path -
+    :func:`multimodal.sample_frames` with
+    :func:`multimodal.gif_aware_frame_sampler` (GIF frame-by-frame
+    decode with disposal composition -> every 2nd composited RGBA
+    frame PNG-encoded) - and each sampled frame is decoded back to
+    pixels for the invariant: dims, channels, md5 over the
+    comma-joined flat RGBA values, and their sum. The oracle
+    recomputes the exact composited pixels straight from the text
+    (pixel p of frame f reads code point 64f+p for p < 32, else p;
+    alpha 255), so a convention error anywhere in LZW encode -> GCE
+    parse -> composition -> PNG re-encode -> decode breaks the hash.
+    Same ASCII pin as mm_resize/mm_codec_roundtrip.
+
+    Scale shape: embarrassingly parallel 1->N Arrow flatMap over one
+    scan, no shuffle, bounded per-row cost (<= 16 frames x 64 px) -
+    the plan a 100 TB video-keyframe pass would use.
+    """
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+
+    from ..media_codecs import gif_encode_animation, png_decode
+
+    gray = np.stack([np.arange(256, dtype=np.uint8)] * 3, axis=1)
+
+    def synth(batches):
+        for batch in batches:
+            if not len(batch):
+                continue
+            payloads = []
+            for text in batch["text"]:
+                cps = [ord(c) % 256 for c in (text or "")]
+                n_frames = max(1, min(16, (len(cps) + 63) // 64))
+
+                def window(start, count):
+                    arr = np.zeros(count, dtype=np.uint8)
+                    seg = cps[start : start + count]
+                    arr[: len(seg)] = seg
+                    return arr
+
+                blocks = [{"grid": window(0, 64).reshape(8, 8)}]
+                for f in range(1, n_frames):
+                    blocks.append({"grid": window(64 * f, 32).reshape(4, 8)})
+                payloads.append(gif_encode_animation(blocks, 8, 8, gray))
+            yield pd.DataFrame({"doc_id": batch["doc_id"], "payload": payloads})
+
+    imgs = (
+        _docs(spark, sf_dir)
+        .select("doc_id", "text")
+        .mapInPandas(synth, schema="doc_id long, payload binary")
+    )
+    frames = multimodal.sample_frames(
+        imgs,
+        frame_bytes=64,
+        every_n=2,
+        sampler=multimodal.gif_aware_frame_sampler,
+        payload_col="payload",
+    )
+
+    def digest(batches):
+        for batch in batches:
+            if not len(batch):
+                continue
+            rows = []
+            for doc_id, frame_idx, payload in zip(
+                batch["doc_id"], batch["frame_idx"], batch["frame_payload"]
+            ):
+                w, h, c, px = png_decode(bytes(payload))
+                flat = px.reshape(-1)
+                csv = ",".join(str(int(v)) for v in flat)
+                rows.append(
+                    (int(doc_id), int(frame_idx), int(w), int(h), int(c),
+                     hashlib.md5(csv.encode()).hexdigest(), int(flat.sum()))
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "frame_idx", "width", "height",
+                         "channels", "pixel_md5_hex", "pixel_sum"],
+            )
+
+    return frames.mapInPandas(
+        digest,
+        schema=(
+            "doc_id long, frame_idx int, width int, height int, "
+            "channels int, pixel_md5_hex string, pixel_sum long"
+        ),
+    )
 
 
 @register(

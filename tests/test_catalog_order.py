@@ -295,6 +295,33 @@ ROUND9_CHECKED = frozenset(
     }
 )
 
+ROUND10_CHECKED = frozenset(
+    {
+        "asof_cogroup_pandas", "bigram_logprob_docs",
+        "bloom_decontam_contract", "bpe_encode_by_source",
+        "bpe_pair_merges", "bpe_train_rounds", "collated_lang_counts",
+        "cusum_daily_changepoint", "embedding_neardup_lsh",
+        "event_pattern_counts", "event_type_transitions",
+        "ewma_user_purchase_value", "group_kfold_sources",
+        "minmax_scale_events", "mm_codec_roundtrip", "mm_features",
+        "mm_frame_digest", "mm_frame_sample", "mm_payload_meta",
+        "mm_resize", "mm_resize_digest", "neardup_groups_minhash",
+        "null_semantics_battery", "oov_rate_topk", "pack_chunk_bins",
+        "packing_efficiency", "pagerank_copurchase",
+        "pct_of_total_by_segment", "profile_orders_columns",
+        "promo_revenue_ratio", "props_map_funcs", "q1_pricing_summary",
+        "reactive_ticker_meta_stream", "salted_join_segment_revenue",
+        "sample_n_per_group", "set_events_except_all",
+        "set_events_intersect_all", "sft_pair_stats",
+        "simhash_near_pairs", "streaming_dedup_update", "text_quality",
+        "token_df_top", "training_data_pipeline",
+        "training_data_pipeline_v2", "unigram_logprob_docs",
+        "value_frequency_profile", "window_first_last_nth",
+        "window_ntile_price_quartiles", "window_percent_rank_orders",
+        "word_repetition_docs"
+    }
+)
+
 #: round -> frozen driver-checked key set; the staleness clock.
 ROUND_HISTORY: dict[int, frozenset] = {
     1: ROUND1_CHECKED,
@@ -306,6 +333,7 @@ ROUND_HISTORY: dict[int, frozenset] = {
     7: ROUND7_CHECKED,
     8: ROUND8_CHECKED,
     9: ROUND9_CHECKED,
+    10: ROUND10_CHECKED,
 }
 
 PRIOR_ROUNDS_CHECKED = frozenset().union(*ROUND_HISTORY.values())
@@ -343,7 +371,7 @@ def test_frozen_history_matches_correctness_artifacts():
     here, every rotation count downstream is wrong."""
     frozen = ROUND_HISTORY
     for r, names in frozen.items():
-        path = _ROOT / f"CORRECTNESS_r0{r}.json"
+        path = _ROOT / f"CORRECTNESS_r{r:02d}.json"
         assert set(json.load(path.open())) == set(names), f"round {r} drifted"
     unfrozen = sorted(
         p.name

@@ -595,3 +595,49 @@ def test_gif_sampler_normalizes_memoryerror(monkeypatch):
     got = multimodal.gif_aware_frame_sampler(blob, frame_bytes=8, every_n=1)
     expect = multimodal.byte_frame_sampler(blob, 8, 1)
     assert got == expect
+
+
+def test_gif_encode_animation_roundtrip_disposals_and_transparency():
+    """Round-11: gif_encode_animation (the encode half of
+    gif_decode_frames, used by the oracle-checked mm_frame_sample
+    synthesis) round-trips through the decoder with disposal 0/2/3 and
+    a transparent index, against hand-computed composited expectations."""
+    gray = np.stack([np.arange(256, dtype=np.uint8)] * 3, axis=1)
+    g0 = np.arange(16, dtype=np.uint8).reshape(4, 4)
+    g1 = (np.arange(8, dtype=np.uint8) + 100).reshape(2, 4)
+    blob = MC.gif_encode_animation(
+        [
+            {"grid": g0},
+            {"grid": g1},  # top half repaint, disposal 0 (leave)
+            {"grid": np.full((2, 2), 200, np.uint8), "left": 1, "top": 1,
+             "disposal": 2},
+            {"grid": np.full((2, 2), 222, np.uint8), "left": 2, "top": 2,
+             "disposal": 3},
+            {"grid": np.full((1, 1), 50, np.uint8), "left": 0, "top": 3},
+        ],
+        4, 4, gray,
+    )
+    sw, sh, frames = MC.gif_decode_frames(blob)
+    assert (sw, sh, len(frames)) == (4, 4, 5)
+    assert (frames[0][:, :, 0] == g0).all() and (frames[0][:, :, 3] == 255).all()
+    exp1 = g0.copy()
+    exp1[:2] = g1
+    assert (frames[1][:, :, 0] == exp1).all()
+    exp2 = exp1.copy()
+    exp2[1:3, 1:3] = 200
+    assert (frames[2][:, :, 0] == exp2).all()
+    # disposal 2 cleared frame 2's region to transparent...
+    assert (frames[3][1:3, 1:3, 3] == np.array([[0, 0], [0, 255]])).all()
+    # ...and frame 3 painted its own patch at (2,2)
+    assert (frames[3][2:4, 2:4, 0] == 222).all()
+    # disposal 3 restored the pre-frame-3 canvas before frame 4
+    assert frames[4][2, 2, 3] == 0 and frames[4][3, 3, 0] == exp1[3, 3]
+    assert frames[4][3, 0, 0] == 50
+    # transparency: painted transparent-index pixels keep the canvas
+    blob2 = MC.gif_encode_animation(
+        [{"grid": g0}, {"grid": np.array([[5, 7], [7, 5]], np.uint8),
+                        "transparent": 7}],
+        4, 4, gray,
+    )
+    _, _, fr2 = MC.gif_decode_frames(blob2)
+    assert fr2[1][0, 0, 0] == 5 and fr2[1][0, 1, 0] == g0[0, 1]

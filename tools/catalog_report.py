@@ -16,22 +16,15 @@ from reactive_data_pipeline_spark.queries import QUERIES  # noqa: E402
 #: here (round-6 verdict #2); the assertion below keeps the set exact,
 #: so a new rows-only registration without a reason fails this report.
 ROWS_ONLY_WHY: dict[str, str] = {
-    "simhash_near_pairs": (
-        "raw 64-bit-SimHash pair set; recall is only 0.6-0.75 vs the "
-        "trigram-Jaccard truth (a DIFFERENT estimator, not a bound), so no "
-        "exact pair-level oracle exists - `simhash_recall_contract` "
-        "hash-checks the quality floors instead"
-    ),
+    # round-11: simhash_near_pairs graduated to an exact oracle (md5
+    # keying - DuckDB recomputes the identical banded pair set) and
+    # mm_frame_sample to the pixel-real animated-GIF digest form (the
+    # mm_resize treatment); one justified rows-only entry remains.
     "embedding_neardup_lsh": (
         "banded sign-LSH pair set; recall floor is 0.7 (collision "
         "probability), so the pair set is not oracle-predictable - "
         "`embedding_recall_contract` hash-checks zero-false-positives + "
         "recall vs the all-pairs exact twin `embedding_neardup_pairs`"
-    ),
-    "mm_frame_sample": (
-        "1->N frame explosion over opaque binary payloads; per-frame "
-        "digests are engine-specific like mm_resize - row counts pin the "
-        "sampling contract, tests pin the digest recurrence"
     ),
 }
 
