@@ -1338,10 +1338,22 @@ def kcore_peel_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("a.l_partkey").alias("pa"), F.col("b.l_partkey").alias("pb"))
         .distinct()
     )
+    # EDGE-scale checkpoints go to DISK_ONLY (round-11; the round-7
+    # rule applied to this loop): the default deserialized
+    # MEMORY_AND_DISK level unrolls every partition's UnsafeRow copies
+    # through the heap, and at 40x volume two edge generations in
+    # flight (prev + next, ~GBs deserialized) OOM a 16g driver-executor
+    # outright - measured solo, pre- and post-rotation alike, so it is
+    # a materialization-level cliff, not an accumulation leak. Disk
+    # blocks are serialized, page-cache-backed, and the loop reads each
+    # once per round. The small per-vertex degree frames stay on the
+    # default level.
+    from pyspark.storagelevel import StorageLevel
+
     cur = (
         pairs.select(F.col("pa").alias("u"), F.col("pb").alias("v"))
         .unionByName(pairs.select(F.col("pb").alias("u"), F.col("pa").alias("v")))
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=True, storageLevel=StorageLevel.DISK_ONLY)
     )
     # One edge-scale aggregate per round: the post-peel degree frame (at
     # most one row per vertex, checkpointed) IS every stat this round
@@ -1369,7 +1381,7 @@ def kcore_peel_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
             cur.join(keep, "u")
             .join(keep.withColumnRenamed("u", "v"), "v")
             .select("u", "v")
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=True, storageLevel=StorageLevel.DISK_ONLY)
         )
         deg = cur.groupBy("u").agg(F.count(F.lit(1)).alias("d")).localCheckpoint(
             eager=True

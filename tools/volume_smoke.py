@@ -75,8 +75,13 @@ HEAVY_TIMEOUT: dict[str, float] = {
     # queries run 1.5-3x slower from accumulated-session drag, so the
     # budgets carry that headroom (or sweep with --recycle).
     "ngram_jaccard_pairs": 900.0,       # 487s solo: 174M real pairs, output-bound
-    "neardup_groups_connected": 1200.0, # 505s solo: exact-pairs leg is ~480s of it
-    "kcore_peel_rounds": 700.0,         # iterative peel, 301s (r9) / 382s (r7)
+    "ngram3_jaccard_pairs": 450.0,      # 106s solo (r11): same family; sat at the
+                                        # default 300s and died mid-sweep right
+                                        # after the 174M-row monster (r11 sweep)
+    "neardup_groups_connected": 1500.0, # 505s (r9) / 543s (r11) solo: exact-pairs
+                                        # leg dominates; mid-sweep drag hit 1197s
+    "kcore_peel_rounds": 700.0,         # iterative peel; 219s solo (r11,
+                                        # DISK_ONLY edge checkpoints) / 301s (r9)
     "triangle_count_copurchase": 500.0, # 243s (r9) / 223s (r7)
     "cross_source_dup_matrix": 420.0,   # 135s solo (r9); exact-pairs based
     "streaming_neardup_contract": 600.0,  # 248s solo: runs the exact ground-truth leg by design
