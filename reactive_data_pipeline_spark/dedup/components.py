@@ -179,7 +179,15 @@ def connected_components(
             # mid-sweep-drag mechanism: leaked storage squeezes later
             # queries' execution memory into spill).
             prev_live = live
-            live = _small_star(_large_star(live)).localCheckpoint()
+            # DISK_ONLY (round-11, the kcore lesson): the default level
+            # unrolls DESERIALIZED UnsafeRow copies of an EDGE-scale
+            # frame through the heap - with two generations in flight a
+            # dense-enough graph OOMs a 16g local JVM outright (kcore's
+            # co-purchase edges did at 40x). Serialized disk blocks are
+            # page-cache-backed and each round reads the frontier once.
+            live = _small_star(_large_star(live)).localCheckpoint(
+                eager=True, storageLevel=StorageLevel.DISK_ONLY
+            )
             if prev_live is not entry:
                 free_local_checkpoint(prev_live)
             # bit_xor is order-insensitive and cannot overflow under ANSI

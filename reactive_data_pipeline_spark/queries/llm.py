@@ -1642,12 +1642,16 @@ def simhash_recall_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
     sign-LSH): SimHash Hamming <= 3 approximates high token-frequency
     cosine, so against the trigram-Jaccard >= 0.5 ground truth it is a
     DIFFERENT estimator, not a bound - the contract pins loose floors
-    (recall >= 0.5, precision >= 0.5; measured 0.6-0.75 recall and
-    ~0.7+ precision on the driver corpora) that a broken fingerprint,
-    banding, or verification stage would all violate. ``n_exact_pairs``
-    is oracle-recomputed by DuckDB."""
+    (recall >= 0.5, precision >= 0.5) that a broken fingerprint,
+    banding, or verification stage would all violate. Round 11: runs
+    the md5 keying - the SAME keying the oracle-checked
+    ``simhash_near_pairs`` catalog entry ships - so the quality gate
+    covers the shipped estimator (measured: recall 0.82/0.52,
+    precision 0.92/1.0 at sf0.001/sf0.01; the 63-bit xxhash64 keying
+    measured 0.75/0.60 and 0.72/0.79 there). ``n_exact_pairs`` is
+    oracle-recomputed by DuckDB."""
     docs = _docs(spark, sf_dir)
-    sh = simhash_near_pairs(docs, max_hamming=3).select("doc_a", "doc_b")
+    sh = simhash_near_pairs(docs, max_hamming=3, keying="md5").select("doc_a", "doc_b")
     exact = ngram_jaccard_pairs(docs, n=3, threshold=0.5).select("doc_a", "doc_b")
     n_exact = exact.agg(F.count(F.lit(1)).alias("n_exact_pairs"))
     n_sh = sh.agg(F.count(F.lit(1)).alias("__n_sh"))
