@@ -11,6 +11,8 @@ vectors, linear in data + candidates instead of O(N^2).
 
 from __future__ import annotations
 
+import hashlib
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
@@ -22,6 +24,31 @@ from ..functions.vectors import dot, l2_norm
 from ..operators.relational import ensure_parallelism
 
 DEFAULT_SEED = 42
+
+
+def md5_plane_component(tag: str) -> float:
+    """Deterministic pseudo-random double in [-1, 1) derived from md5 -
+    the ONLY hash Spark, DuckDB, and hashlib compute identically. The
+    top 15 hex chars (60 bits) convert exactly to int64; dividing by
+    2^59 is an exact power-of-two scale, so Python, a DuckDB
+    ``('0x'||substring(md5(s),1,15))::BIGINT / 2^59 - 1.0``, and the
+    literal shipped to Spark are the SAME IEEE double bit pattern
+    (pinned in tests). Sign-LSH only reads the sign of <v, p>, so the
+    uniform-cube (rather than Gaussian) direction distribution costs a
+    little angular uniformity but nothing an oracle can see; recall is
+    still held by embedding_recall_contract's measured floor."""
+    return int(hashlib.md5(tag.encode()).hexdigest()[:15], 16) / (1 << 59) - 1.0
+
+
+def md5_planes(num_bands: int, bits_per_band: int, dim: int) -> list[tuple[int, int, list[float]]]:
+    """(band, weight=2^bit, plane) rows for the SQL-reproducible
+    signature path; the DuckDB twin regenerates the identical rows from
+    the same ``plane:{band}:{bit}:{i}`` tags."""
+    return [
+        (band, 1 << bit, [md5_plane_component(f"plane:{band}:{bit}:{i}") for i in range(dim)])
+        for band in range(num_bands)
+        for bit in range(bits_per_band)
+    ]
 
 
 def embedding_neardup_pairs(
@@ -60,6 +87,7 @@ def embedding_neardup_lsh(
     seed: int = DEFAULT_SEED,
     dim: int = 64,
     max_bucket: int | None = None,
+    signatures: str = "matmul",
 ) -> DataFrame:
     """Banded sign-LSH near-dup pairs: same output contract as
     ``embedding_neardup_pairs`` (vec_a < vec_b, exact cosine >=
@@ -109,33 +137,79 @@ def embedding_neardup_lsh(
       BEFORE geometric blocking, same composition rule as the minhash
       pipeline's dedup-before-LSH. None (default) preserves exhaustive
       banding for the contract/recall paths at check scales.
+
+    ``signatures`` picks the band-key computation (round-12 graduation,
+    the simhash ``keying`` pattern):
+
+    * ``"matmul"`` (default) - seeded Gaussian hyperplanes, ONE numpy
+      matmul per Arrow batch. The throughput path; numpy's pairwise
+      summation order is not SQL-reproducible, so this form carries a
+      rows-only driver check (quality held by embedding_recall_contract).
+    * ``"sql"`` - md5-derived hyperplanes (``md5_planes``) evaluated as
+      a broadcast 256-row plane table cross-joined to the vectors, each
+      dot an explicit-0.0-init sequential ``aggregate`` fold, bucket
+      bits recombined by an integer (order-free) map-side partial SUM.
+      Every intermediate is bit-reproducible in DuckDB (``list_reduce``
+      with the same fold order + the same md5 planes), so the WHOLE
+      pipeline - signatures, banding, candidate join, exact-cosine
+      verification - is hash-checked end to end. Work is identical
+      asymptotically (N*B*b dots); the constant is interpreted-HOF vs
+      BLAS, which is why the matmul form remains the deployment default.
     """
-    rng = np.random.RandomState(seed)
-    planes = rng.standard_normal((num_bands * bits_per_band, dim))
-    planes /= np.linalg.norm(planes, axis=1, keepdims=True)
-    weights = (1 << np.arange(bits_per_band)).astype(np.int64)
-    n_bands, n_bits = num_bands, bits_per_band
-
-    @pandas_udf("array<long>")
-    def band_keys(v: pd.Series) -> pd.Series:
-        x = np.vstack(v.to_numpy())  # (batch, dim)
-        bits = (x @ planes.T) > 0  # (batch, B*b)
-        buckets = bits.reshape(len(x), n_bands, n_bits) @ weights  # (batch, B)
-        keys = buckets + (np.arange(n_bands, dtype=np.int64) << n_bits)
-        return pd.Series(list(keys))
-
     emb = ensure_parallelism(emb)
     sides = emb.select(
         F.col(id_col).alias("id"), F.col(vec_col).alias("v"), l2_norm(vec_col).alias("nrm")
     ).persist(StorageLevel.MEMORY_AND_DISK)
-    # Persist the EXPLODED bucket keys, not just the vectors: both join
-    # aliases consume this subtree, and without the persist the Arrow
-    # pandas_udf signature pass runs twice (A/B at sf0.1: 2.3s -> 1.6s).
-    # At corpus scale this is also the canonical materialization point -
-    # signatures are 8-byte keys, far smaller than the vectors.
-    buckets = sides.select(
-        "id", F.explode(band_keys(F.col("v").cast("array<double>"))).alias("bk")
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    n_bands, n_bits = num_bands, bits_per_band
+    if signatures == "sql":
+        spark = emb.sparkSession
+        plane_rows = md5_planes(num_bands, bits_per_band, dim)
+        planes_df = spark.createDataFrame(
+            plane_rows, "band int, w long, plane array<double>"
+        )
+        # Broadcast the (B*b)-row plane table through the vectors: the
+        # per-(row, plane) dot is the SAME sequential fold as
+        # functions.vectors.dot, the bucket recombination an integer
+        # SUM (exact, order-free, map-side partial), so the shuffle is
+        # ~N*B narrow rows and the vector column never inflates.
+        d = dot("v", "plane")
+        contrib = F.when(d > 0, F.col("w")).otherwise(F.lit(0).cast("long"))
+        buckets = (
+            sides.select("id", "v")
+            .crossJoin(F.broadcast(planes_df))
+            .select("id", "band", contrib.alias("c"))
+            .groupBy("id", "band")
+            .agg(F.sum("c").alias("bucket"))
+            .select(
+                "id",
+                (F.col("bucket") + (F.col("band").cast("long") * F.lit(1 << n_bits))).alias("bk"),
+            )
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+    elif signatures == "matmul":
+        rng = np.random.RandomState(seed)
+        planes = rng.standard_normal((num_bands * bits_per_band, dim))
+        planes /= np.linalg.norm(planes, axis=1, keepdims=True)
+        weights = (1 << np.arange(bits_per_band)).astype(np.int64)
+
+        @pandas_udf("array<long>")
+        def band_keys(v: pd.Series) -> pd.Series:
+            x = np.vstack(v.to_numpy())  # (batch, dim)
+            bits = (x @ planes.T) > 0  # (batch, B*b)
+            buckets = bits.reshape(len(x), n_bands, n_bits) @ weights  # (batch, B)
+            keys = buckets + (np.arange(n_bands, dtype=np.int64) << n_bits)
+            return pd.Series(list(keys))
+
+        # Persist the EXPLODED bucket keys, not just the vectors: both join
+        # aliases consume this subtree, and without the persist the Arrow
+        # pandas_udf signature pass runs twice (A/B at sf0.1: 2.3s -> 1.6s).
+        # At corpus scale this is also the canonical materialization point -
+        # signatures are 8-byte keys, far smaller than the vectors.
+        buckets = sides.select(
+            "id", F.explode(band_keys(F.col("v").cast("array<double>"))).alias("bk")
+        ).persist(StorageLevel.MEMORY_AND_DISK)
+    else:
+        raise ValueError(f"unknown signatures mode {signatures!r}")
     if max_bucket is not None:
         # One bk-keyed window pass - the same shuffle key the self-join
         # needs anyway, and no broadcast whose size would track the

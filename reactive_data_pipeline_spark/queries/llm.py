@@ -5,9 +5,12 @@ Oracle notes: the DuckDB twins mirror the Spark expressions exactly -
 same normalization, same fold order for floating point (``list_reduce``
 with explicit 0.0 init == Spark ``aggregate`` with 0.0 init), ratios of
 integers elsewhere - so value hashes match bit-for-bit. Hash-based and
-probabilistic operators (minhash/simhash/LSH) have no SQL twin by nature
-and register with ``oracle=None`` (driver rows-only check); each has an
-exact oracle-checked counterpart in the catalog.
+probabilistic operators are oracle-paired by keying them on md5 (the
+one hash all three engines compute identically): minhash pins vs the
+exact all-pairs ground truth, simhash (round 11) and the banded
+sign-LSH embedding path (round 12, md5-derived hyperplanes) have their
+fingerprints/signatures recomputed by DuckDB end to end - the catalog
+carries ZERO rows-only entries.
 """
 
 from __future__ import annotations
@@ -773,20 +776,57 @@ def embedding_neardup_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_neardup_pairs(_emb(spark, sf_dir), threshold=0.45)
 
 
+# Sign-LSH band keys under md5-derived hyperplanes (dedup/embedding.py
+# md5_planes): plane component = int64(md5('plane:band:bit:i')[:15 hex])
+# / 2^59 - 1.0 - the md5 keying rule (the only cross-engine hash), so
+# DuckDB regenerates the IDENTICAL planes, dots (same 0.0-init fold),
+# bucket bits, candidate set, and verified cosines.
+_LSH_PLANE = (
+    "CAST(('0x' || substring(md5('plane:' || band || ':' || bit || ':' || i), 1, 15)) "
+    "AS BIGINT) / 576460752303423488.0 - 1.0"
+)
+
+
 @register(
     "embedding_neardup_lsh",
-    oracle=None,
+    oracle=f"""
+    WITH planes AS (
+      SELECT band, CAST((CAST(1 AS BIGINT) << bit) AS BIGINT) AS w,
+             [{_LSH_PLANE} FOR i IN generate_series(0, 63)] AS plane
+      FROM generate_series(0, 31) AS gb(band), generate_series(0, 7) AS gt(bit)
+    ),
+    keys AS (
+      SELECT e.vec_id AS id,
+             CAST(p.band AS BIGINT) * 256
+               + CAST(SUM(CASE WHEN {_DOT.format(a='e.embedding', b='p.plane')} > 0
+                          THEN p.w ELSE 0 END) AS BIGINT) AS bk
+      FROM embeddings e CROSS JOIN planes p
+      GROUP BY e.vec_id, p.band
+    ),
+    filt AS (SELECT id, bk FROM keys QUALIFY count(*) OVER (PARTITION BY bk) <= 64),
+    cand AS (SELECT DISTINCT a.id AS vec_a, b.id AS vec_b
+             FROM filt a JOIN filt b ON a.bk = b.bk AND a.id < b.id)
+    SELECT vec_a, vec_b, round(cos, 6) AS cos_sim FROM (
+      SELECT c.vec_a, c.vec_b, {_cos_sql('ea.embedding', 'eb.embedding')} AS cos
+      FROM cand c
+      JOIN embeddings ea ON ea.vec_id = c.vec_a
+      JOIN embeddings eb ON eb.vec_id = c.vec_b
+    ) WHERE cos >= 0.45
+    """,
     tags=("dedup", "similarity", "lsh"),
     bench=True,
 )
 def embedding_neardup_lsh_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Banded sign-LSH embedding near-dup (the scale path that the bench
-    headlines): numpy-matmul signatures per Arrow batch, (band, bucket)
-    equi-join candidates, exact cosine verification - never a false
-    positive, recall pinned vs the all-pairs twin in
-    tests/test_dedup_similarity.py. Rows-only check: recall is the LSH
-    collision probability, so the exact twin embedding_neardup_pairs
-    carries the SQL oracle.
+    headlines), GRADUATED round 12 from rows-only to a full exact oracle
+    (the round-11 verdict's item 1, the simhash-md5 move): band keys
+    come from ``signatures="sql"`` - md5-derived hyperplanes evaluated
+    as a broadcast plane table with explicit-0.0-init sequential folds -
+    so DuckDB recomputes the identical signatures, banded candidate set,
+    AND exact-cosine verification; the value hash pins the whole
+    pipeline. The numpy-matmul signature path remains the deployment
+    throughput default (parameter, like simhash's ``keying``); its
+    recall stays gated by embedding_recall_contract.
 
     ``max_bucket=64`` is the round-6 scale guard: at the check/bench
     SFs every (band, bucket) group is far below the cap so the output
@@ -796,7 +836,9 @@ def embedding_neardup_lsh_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidates (measured: 70 GB of sort spill at 80k vectors) - the
     cap bounds candidates at ~N*bands*cap/2. See the operator docstring
     for the bits~log2(N) deployment sizing rule."""
-    return embedding_neardup_lsh(_emb(spark, sf_dir), threshold=0.5, max_bucket=64)
+    return embedding_neardup_lsh(
+        _emb(spark, sf_dir), threshold=0.45, max_bucket=64, signatures="sql"
+    )
 
 
 # ---------------------------------------------------------------------------

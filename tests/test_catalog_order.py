@@ -322,6 +322,36 @@ ROUND10_CHECKED = frozenset(
     }
 )
 
+ROUND11_CHECKED = frozenset(
+    {
+        "ann_recall_contract", "arrow_char_lengths",
+        "corpus_ingest_incremental", "cross_source_dup_matrix",
+        "customer_rfm_segments", "dedup_rate_by_source",
+        "dup_ngram_coverage", "embedding_dim_moments",
+        "embedding_neardup_lsh", "embedding_neardup_pairs",
+        "embedding_recall_contract", "event_gap_log_histogram",
+        "events_daily_activity", "events_dow_hour_heatmap",
+        "hard_negative_mining", "hopping_window_event_counts",
+        "interval_attribution_counts", "kmeans_embedding_clusters",
+        "knn_brute_cosine", "knn_ivf_cosine", "knn_lsh_cosine",
+        "lang_mix_by_source", "linreg_value_on_hour",
+        "minhash_neardup_pairs", "mm_codec_roundtrip",
+        "mm_frame_sample", "neardup_split_leakage",
+        "ohlc_hourly_user_value", "pipe_syntax_type_stats",
+        "prefix_containment_pairs", "q1_pricing_summary",
+        "quality_topfrac_by_source", "reactive_ticker_meta_stream",
+        "recursive_cte_bfs", "retention_weekly_cohorts",
+        "retrieve_rerank_cell", "scd2_user_tier_dim",
+        "semdedup_cluster_pairs", "simhash_near_pairs",
+        "split_leakage_audit", "sql_api_nation_revenue",
+        "statestore_inspect_counts",
+        "stream_join_attribution_outer", "training_data_pipeline",
+        "training_data_pipeline_v2", "upsert_orders_snapshot",
+        "user_gap_stats_pandas", "variant_props_by_type",
+        "weighted_median_price_by_flag", "xml_roundtrip_by_type"
+    }
+)
+
 #: round -> frozen driver-checked key set; the staleness clock.
 ROUND_HISTORY: dict[int, frozenset] = {
     1: ROUND1_CHECKED,
@@ -334,6 +364,7 @@ ROUND_HISTORY: dict[int, frozenset] = {
     8: ROUND8_CHECKED,
     9: ROUND9_CHECKED,
     10: ROUND10_CHECKED,
+    11: ROUND11_CHECKED,
 }
 
 PRIOR_ROUNDS_CHECKED = frozenset().union(*ROUND_HISTORY.values())

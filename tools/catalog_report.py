@@ -16,16 +16,11 @@ from reactive_data_pipeline_spark.queries import QUERIES  # noqa: E402
 #: here (round-6 verdict #2); the assertion below keeps the set exact,
 #: so a new rows-only registration without a reason fails this report.
 ROWS_ONLY_WHY: dict[str, str] = {
-    # round-11: simhash_near_pairs graduated to an exact oracle (md5
-    # keying - DuckDB recomputes the identical banded pair set) and
-    # mm_frame_sample to the pixel-real animated-GIF digest form (the
-    # mm_resize treatment); one justified rows-only entry remains.
-    "embedding_neardup_lsh": (
-        "banded sign-LSH pair set; recall floor is 0.7 (collision "
-        "probability), so the pair set is not oracle-predictable - "
-        "`embedding_recall_contract` hash-checks zero-false-positives + "
-        "recall vs the all-pairs exact twin `embedding_neardup_pairs`"
-    ),
+    # round-12: embedding_neardup_lsh - the LAST rows-only entry -
+    # graduated to an exact oracle (md5-derived hyperplanes evaluated
+    # as sequential folds; DuckDB regenerates identical signatures,
+    # banding, candidates, and verified cosines). The catalog carries
+    # ZERO rows-only entries; a new one needs a justification here.
 }
 
 
