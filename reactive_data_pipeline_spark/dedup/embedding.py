@@ -146,15 +146,18 @@ def embedding_neardup_lsh(
       summation order is not SQL-reproducible, so this form carries a
       rows-only driver check (quality held by embedding_recall_contract).
     * ``"sql"`` - md5-derived hyperplanes (``md5_planes``) evaluated as
-      a broadcast 256-row plane table cross-joined to the vectors, each
-      dot an explicit-0.0-init sequential ``aggregate`` fold, bucket
-      bits recombined by an integer (order-free) map-side partial SUM.
-      Every intermediate is bit-reproducible in DuckDB (``list_reduce``
-      with the same fold order + the same md5 planes), so the WHOLE
-      pipeline - signatures, banding, candidate join, exact-cosine
-      verification - is hash-checked end to end. Work is identical
-      asymptotically (N*B*b dots); the constant is interpreted-HOF vs
-      BLAS, which is why the matmul form remains the deployment default.
+      a broadcast B-row band table (each band row nests its b
+      (weight, plane) structs) cross-joined to the vectors; per
+      (vector, band) row the bucket is one ``aggregate`` fold over the
+      structs, each dot an explicit-0.0-init sequential ``aggregate``
+      fold, bucket bits recombined by exact integer (order-free)
+      addition. Every intermediate is bit-reproducible in DuckDB
+      (``list_reduce`` with the same fold order + the same md5 planes),
+      so the WHOLE pipeline - signatures, banding, candidate join,
+      exact-cosine verification - is hash-checked end to end. Work is
+      identical asymptotically (N*B*b dots); the constant is
+      interpreted-HOF vs BLAS, which is why the matmul form remains the
+      deployment default.
     """
     emb = ensure_parallelism(emb)
     sides = emb.select(
@@ -162,29 +165,48 @@ def embedding_neardup_lsh(
     ).persist(StorageLevel.MEMORY_AND_DISK)
     n_bands, n_bits = num_bands, bits_per_band
     if signatures == "sql":
+        # Band-granular broadcast plane table (optimization round 12,
+        # guide sections 2.3/2.4): the original form cross-joined a
+        # (B*b)-row plane table through the vectors (inflating N rows
+        # to N*B*b, each carrying the dim-double vector) and
+        # re-assembled buckets with a groupBy(id, band) - a full
+        # exchange plus two HashAggregates that exist only to undo the
+        # inflation. Nesting each band's b (weight, plane) rows into
+        # ONE band row and folding the bucket per (vector, band) join
+        # row removes that exchange and both aggregates and cuts the
+        # join inflation b-fold, while evaluating the EXACT same
+        # arithmetic: the per-plane dot is the same sequential fold as
+        # functions.vectors.dot, and the bucket recombination is the
+        # same exact integer addition (bit order vs the groupBy SUM's
+        # arbitrary order - integer adds commute losslessly), so every
+        # bk is bit-identical to the crossJoin form's and the DuckDB
+        # twin is untouched (parity-proven at sf0.001/sf0.01/sf0.1).
+        # (A fully-literal per-row projection was measured and
+        # rejected: 256 x dim literal plane expressions cost ~27s of
+        # py4j Column construction per build - plane values must stay
+        # DATA, not expression tree.)
         spark = emb.sparkSession
         plane_rows = md5_planes(num_bands, bits_per_band, dim)
-        planes_df = spark.createDataFrame(
-            plane_rows, "band int, w long, plane array<double>"
+        band_rows = [
+            (band, [(w, plane) for b2, w, plane in plane_rows if b2 == band])
+            for band in range(num_bands)
+        ]
+        bands_df = spark.createDataFrame(
+            band_rows, "band int, planes array<struct<w: long, plane: array<double>>>"
         )
-        # Broadcast the (B*b)-row plane table through the vectors: the
-        # per-(row, plane) dot is the SAME sequential fold as
-        # functions.vectors.dot, the bucket recombination an integer
-        # SUM (exact, order-free, map-side partial), so the shuffle is
-        # ~N*B narrow rows and the vector column never inflates.
-        d = dot("v", "plane")
-        contrib = F.when(d > 0, F.col("w")).otherwise(F.lit(0).cast("long"))
+        bucket = F.aggregate(
+            F.col("planes"),
+            F.lit(0).cast("long"),
+            lambda acc, s: acc
+            + F.when(dot("v", s["plane"]) > 0, s["w"]).otherwise(F.lit(0).cast("long")),
+        )
         buckets = (
             sides.select("id", "v")
-            .crossJoin(F.broadcast(planes_df))
-            .select("id", "band", contrib.alias("c"))
-            .groupBy("id", "band")
-            .agg(F.sum("c").alias("bucket"))
+            .crossJoin(F.broadcast(bands_df))
             .select(
                 "id",
-                (F.col("bucket") + (F.col("band").cast("long") * F.lit(1 << n_bits))).alias("bk"),
+                (bucket + (F.col("band").cast("long") * F.lit(1 << n_bits))).alias("bk"),
             )
-            .persist(StorageLevel.MEMORY_AND_DISK)
         )
     elif signatures == "matmul":
         rng = np.random.RandomState(seed)
@@ -200,14 +222,9 @@ def embedding_neardup_lsh(
             keys = buckets + (np.arange(n_bands, dtype=np.int64) << n_bits)
             return pd.Series(list(keys))
 
-        # Persist the EXPLODED bucket keys, not just the vectors: both join
-        # aliases consume this subtree, and without the persist the Arrow
-        # pandas_udf signature pass runs twice (A/B at sf0.1: 2.3s -> 1.6s).
-        # At corpus scale this is also the canonical materialization point -
-        # signatures are 8-byte keys, far smaller than the vectors.
         buckets = sides.select(
             "id", F.explode(band_keys(F.col("v").cast("array<double>"))).alias("bk")
-        ).persist(StorageLevel.MEMORY_AND_DISK)
+        )
     else:
         raise ValueError(f"unknown signatures mode {signatures!r}")
     if max_bucket is not None:
@@ -222,6 +239,18 @@ def embedding_neardup_lsh(
             .filter(F.col("__bn") <= max_bucket)
             .drop("__bn")
         )
+    # Persist the EXPLODED (and, when capped, already cap-filtered)
+    # bucket keys: both join aliases consume this subtree, and without
+    # the persist the signature pass runs twice (matmul A/B at sf0.1:
+    # 2.3s -> 1.6s). Persisting AFTER the max_bucket window
+    # (optimization round 12) means the cap's exchange + window run
+    # once instead of once per join side (plan: two Window+Exchange
+    # branches -> one), and the cached partitioning (hashpartitioning
+    # on bk, established by the window) feeds both sides of the
+    # candidate self-join with no further exchange. At corpus scale
+    # this is also the canonical materialization point - signatures are
+    # 8-byte keys, far smaller than the vectors.
+    buckets = buckets.persist(StorageLevel.MEMORY_AND_DISK)
     a, b = buckets.alias("a"), buckets.alias("b")
     cand = (
         a.join(b, (F.col("a.bk") == F.col("b.bk")) & (F.col("a.id") < F.col("b.id")))
