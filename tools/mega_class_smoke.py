@@ -33,7 +33,7 @@ from pyspark.sql import functions as F  # noqa: E402
 
 from reactive_data_pipeline_spark import get_spark  # noqa: E402
 from reactive_data_pipeline_spark.dedup import minhash_neardup_groups  # noqa: E402
-from reactive_data_pipeline_spark.queries import RUNTIME_CONF  # noqa: E402
+from reactive_data_pipeline_spark.queries import _apply_runtime_conf  # noqa: E402
 from reactive_data_pipeline_spark.sources import read_table  # noqa: E402
 
 
@@ -53,8 +53,7 @@ def main() -> None:
     sf_dir = args[0] if args else "/tmp/spark_graft_scale/sf4"
 
     spark = get_spark()
-    for k, v in RUNTIME_CONF.items():
-        spark.conf.set(k, v)
+    _apply_runtime_conf(spark)
     docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
     base_text = docs.filter(F.col("doc_id") == 0).select("text").first()[0]
     n_docs = docs.count()
