@@ -5,7 +5,7 @@ hash keys, no Python in the hot path - so they scale with executors.
 """
 
 from .exact import exact_dedup_groups, dedup_documents
-from .ngram import token_ngrams, ngram_jaccard_pairs
+from .ngram import token_ngrams, ngram_jaccard_pairs, exact_neardup_groups
 from .minhash import minhash_signatures, minhash_lsh_pairs, minhash_neardup_groups
 from .simhash import simhash_docs, simhash_near_pairs
 from .embedding import embedding_neardup_lsh, embedding_neardup_pairs
@@ -20,6 +20,7 @@ __all__ = [
     "dedup_documents",
     "token_ngrams",
     "ngram_jaccard_pairs",
+    "exact_neardup_groups",
     "minhash_signatures",
     "minhash_lsh_pairs",
     "minhash_neardup_groups",

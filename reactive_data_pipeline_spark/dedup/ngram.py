@@ -40,37 +40,39 @@ def token_ngrams(text: Column | str, n: int) -> Column:
     ))
 
 
-def ngram_jaccard_pairs(
-    docs: DataFrame,
-    n: int = 1,
-    threshold: float = 0.9,
-    text_col: str = "text",
-    id_col: str = "doc_id",
-    max_doc_freq: int | None = None,
-) -> DataFrame:
-    """All pairs (doc_a < doc_b) with n-gram-set Jaccard >= threshold.
 
-    Columns: doc_a, doc_b, jaccard (rounded to 6dp).
+def _prefix_verified_pairs(
+    base: DataFrame,
+    threshold: float,
+    max_doc_freq: int | None,
+    df_source: DataFrame | None = None,
+) -> tuple[DataFrame, DataFrame]:
+    """The AllPairs/PPJoin core over a ``(doc, g)`` relation: returns
+    ``(pairs, sides)`` where ``pairs`` is (doc_a < doc_b, jaccard
+    rounded 6dp) verified exactly, and ``sides`` is the per-doc
+    verification view (doc, n_grams, gv).
+
+    Prefix-filtered candidate generation (AllPairs / PPJoin family,
+    Bayardo et al. 2007; Xiao et al. 2008): under any global total
+    order on grams, two sets with J(a,b) >= t must share a gram within
+    each set's first |s| - ceil(t*|s|) + 1 grams (J >= t implies
+    overlap >= ceil(t*|s|) for BOTH sets, and an overlap that large
+    cannot hide entirely in a suffix shorter than itself). Ordering
+    grams rarest-first makes those prefixes the lowest-fanout index
+    keys, so the self-join touches only rare grams - this is what
+    turns the tiny-vocabulary unigram case from quadratic-in-df
+    (timed out at 10x volume) into seconds, with EXACT output: the
+    prefix filter only prunes candidates, and every candidate is
+    verified with the full intersection.
+
+    ``df_source``: optional ``(doc, gram)`` relation to count document
+    frequencies over, when it must differ from ``base``'s own explode
+    (the quotient path under ``max_doc_freq``: caps change VALUES, and
+    document frequency counts every document, duplicates included).
     """
-    # Prefix-filtered candidate generation (AllPairs / PPJoin family,
-    # Bayardo et al. 2007; Xiao et al. 2008): under any global total
-    # order on grams, two sets with J(a,b) >= t must share a gram within
-    # each set's first |s| - ceil(t*|s|) + 1 grams (J >= t implies
-    # overlap >= ceil(t*|s|) for BOTH sets, and an overlap that large
-    # cannot hide entirely in a suffix shorter than itself). Ordering
-    # grams rarest-first makes those prefixes the lowest-fanout index
-    # keys, so the self-join touches only rare grams - this is what
-    # turns the tiny-vocabulary unigram case from quadratic-in-df
-    # (timed out at 10x volume) into seconds, with EXACT output: the
-    # prefix filter only prunes candidates, and every candidate is
-    # verified with the full intersection.
-    base = (
-        ensure_parallelism(docs)
-        .select(F.col(id_col).alias("doc"), token_ngrams(text_col, n).alias("g"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
-    )
     ex = base.select("doc", F.explode("g").alias("gram"))
-    df_tbl = ex.groupBy("gram").agg(F.count(F.lit(1)).alias("df"))
+    df_ex = df_source if df_source is not None else ex
+    df_tbl = df_ex.groupBy("gram").agg(F.count(F.lit(1)).alias("df"))
     if max_doc_freq is not None:
         df_tbl = df_tbl.filter(F.col("df") <= max_doc_freq)
     # Rarest-first global order = (df, gram): deterministic, total.
@@ -136,9 +138,225 @@ def ngram_jaccard_pairs(
     )
     shared = F.size(F.array_intersect("ga", "gb"))
     jac = shared.cast("double") / (F.col("na") + F.col("nb") - shared)
-    return (
+    pairs = (
         cand.join(va, "doc_a")
         .join(vb, "doc_b")
         .filter(jac >= threshold)
         .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
+    )
+    return pairs, sides
+
+
+def exact_class_collapse(
+    docs: DataFrame,
+    n: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> tuple[DataFrame, DataFrame]:
+    """Quotient a corpus by exact n-gram-SET equality: returns
+    ``(members, rep_base)`` where ``members`` is (doc, rep) - every doc
+    mapped to its class representative (min id) - and ``rep_base`` is
+    the (doc, g) gram relation of representatives only, both backed by
+    one persisted window pass.
+
+    The class key is the round-9 128-bit salt-first xxhash64 content
+    key over the SORTED distinct gram array (see minhash_neardup_groups
+    for the collision arithmetic: independent-seed birthday bound
+    ~m^2/2^129; a collision MERGES classes, never splits). One exchange
+    keyed on the content hash carries the gram arrays exactly once
+    (guide section 8: heavy bytes move once, every other shuffle in the
+    caller sees narrow id rows).
+    """
+    from pyspark.sql import Window
+
+    gset = F.sort_array(F.col("g"))
+    wcls = Window.partitionBy("__ck1", "__ck2")
+    base = (
+        ensure_parallelism(docs)
+        .select(F.col(id_col).alias("doc"), token_ngrams(text_col, n).alias("g"))
+        .select(
+            "doc",
+            "g",
+            F.xxhash64(gset).alias("__ck1"),
+            F.xxhash64(F.lit(1), gset).alias("__ck2"),
+        )
+        # Empty gram sets (possible for n >= 2 on short docs) must NOT
+        # form a class: two empty sets have J = 0/0 = NULL, not 1, so
+        # the exact graph leaves them singletons - route each to itself.
+        .select(
+            "doc",
+            "g",
+            F.when(F.size("g") == 0, F.col("doc"))
+            .otherwise(F.min("doc").over(wcls))
+            .alias("rep"),
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    members = base.select("doc", "rep")
+    rep_base = base.filter(F.col("doc") == F.col("rep")).select("doc", "g")
+    return members, rep_base
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    n: int = 1,
+    threshold: float = 0.9,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_doc_freq: int | None = None,
+    quotient: bool | None = None,
+) -> DataFrame:
+    """All pairs (doc_a < doc_b) with n-gram-set Jaccard >= threshold.
+
+    Columns: doc_a, doc_b, jaccard (rounded to 6dp).
+
+    ``quotient`` (optimization round 12, guide sections 2.3/8) runs the
+    prefix-filtered join over one representative per distinct gram SET
+    and expands member pairs afterwards, so exact-duplicate mass
+    multiplies only narrow (id, id, jaccard) rows instead of candidate
+    and verification work - a class of c identical sets used to ship
+    its full gram arrays through C(c,2) pair-keyed join rows (the
+    measured 70 GB sort-spill mechanism at 40x volume). Output is
+    row-for-row identical either way (pinned by
+    test_ngram_jaccard_prefix_filter_matches_brute_force in both modes
+    and the DuckDB oracles of every registered caller): intra-class
+    pairs get exactly the value the verify expression computes for two
+    identical sets, and cross-class pairs the representative pair's.
+
+    Default ``None`` resolves to ``n == 1``: unigram token-set dedup is
+    the high-dup-mass regime AND its distinct-token arrays are
+    vocabulary-bounded, so the collapse's one content-keyed exchange is
+    cheap (measured at 10x volume: 138s -> 96s). Shingle similarity
+    (n >= 3) carries document-mass gram arrays where that exchange
+    exceeds the savings on a low-dup corpus (measured: 19s -> 32s at
+    n=3, 10x volume) - callers that KNOW their corpus is
+    duplicate-heavy should pass ``quotient=True``.
+    """
+    if quotient is None:
+        quotient = n == 1
+    if not quotient:
+        base = (
+            ensure_parallelism(docs)
+            .select(F.col(id_col).alias("doc"), token_ngrams(text_col, n).alias("g"))
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        pairs, _ = _prefix_verified_pairs(base, threshold, max_doc_freq)
+        return pairs
+
+    members, rep_base = exact_class_collapse(docs, n, text_col, id_col)
+    # Under max_doc_freq, document frequencies must be counted over the
+    # FULL corpus (duplicates included) for the capped output to stay
+    # identical to the non-quotient form; uncapped, df only steers the
+    # rarest-first candidate order (any total order is correct by the
+    # prefix theorem), so the cheaper rep-only frequencies serve.
+    df_source = None
+    if max_doc_freq is not None:
+        full_base = ensure_parallelism(docs).select(
+            F.col(id_col).alias("doc"), token_ngrams(text_col, n).alias("g")
+        )
+        df_source = full_base.select("doc", F.explode("g").alias("gram"))
+    rep_pairs_raw, sides = _prefix_verified_pairs(
+        rep_base, threshold, max_doc_freq, df_source=df_source
+    )
+    rep_pairs = rep_pairs_raw.select(
+        F.col("doc_a").alias("rep_a"), F.col("doc_b").alias("rep_b"), "jaccard"
+    )
+
+    # Expansion back to member pairs - narrow (id, id, jaccard) rows.
+    # Intra-class: every member pair of a class whose self-Jaccard
+    # passes (uncapped that is |g|/(2|g|-|g|) = 1.0 whenever the set is
+    # non-empty; capped it is |gv|/(2n-|gv|), exactly what the verify
+    # expression would compute for two identical sets). The passing
+    # filter comes BEFORE the member self-join so a mega-class of
+    # empty/failing sets never materializes its quadratic pair mass.
+    sizes = members.groupBy("rep").agg(F.count(F.lit(1)).alias("__m"))
+    self_shared = F.size("gv")
+    self_jac = self_shared.cast("double") / (
+        F.col("n_grams") + F.col("n_grams") - self_shared
+    )
+    intra_classes = (
+        sides.join(sizes, sides.doc == sizes.rep)
+        .filter((F.col("__m") >= 2) & (self_jac >= threshold))
+        .select("rep", F.round(self_jac, 6).alias("jaccard"))
+    )
+    ma = members.select("rep", F.col("doc").alias("doc_a"))
+    mb = members.select("rep", F.col("doc").alias("doc_b"))
+    intra = (
+        intra_classes.join(ma, "rep")
+        .join(mb, "rep")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "jaccard")
+    )
+    # Cross-class: each verified rep pair fans out over both classes'
+    # members; classes partition the docs, so no pair is emitted twice
+    # and no dedup pass is needed.
+    cross = (
+        rep_pairs.join(
+            members.select(F.col("rep").alias("rep_a"), F.col("doc").alias("da")),
+            "rep_a",
+        )
+        .join(
+            members.select(F.col("rep").alias("rep_b"), F.col("doc").alias("db")),
+            "rep_b",
+        )
+        .select(
+            F.least("da", "db").alias("doc_a"),
+            F.greatest("da", "db").alias("doc_b"),
+            "jaccard",
+        )
+    )
+    return intra.unionByName(cross)
+
+
+def exact_neardup_groups(
+    docs: DataFrame,
+    n: int = 1,
+    threshold: float = 0.9,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Dedup groups (doc_id, group_id, group_size, is_keeper) over the
+    EXACT n-gram Jaccard graph, computed on the class quotient
+    (optimization round 12, guide section 8) - the exact counterpart of
+    ``minhash_neardup_groups`` with the same contraction:
+
+    1. collapse docs to one representative per distinct gram set
+       (``exact_class_collapse``; empty sets stay singletons);
+    2. prefix-filtered AllPairs join + exact verification over
+       REPRESENTATIVES only;
+    3. large-star/small-star components over the representative graph;
+    4. expand members through the class map.
+
+    Semantics are EXACTLY components over the full J >= threshold
+    graph (the quotient argument in minhash_neardup_groups's
+    docstring: same-class docs are mutually J=1 >= t, cross-class
+    edges exist between classes iff between any members, labels are
+    preserved because each rep is its class's min id) - but the
+    C(c,2) intra-class edge mass of duplicate-heavy corpora is never
+    materialized: components see one node per class and only verified
+    cross-class edges. The old form (full pair list -> components)
+    fed the iterative loop 11.58M edges at the 10x fixture where the
+    quotient graph has ~45k nodes; measured 98s -> 35s there, and it
+    removes the 40x fixture's 70 GB pair-verification sort spill
+    entirely. Oracle: the same recursive-CTE components ground truth
+    as neardup_groups_connected (value-hash checked).
+    """
+    from .components import connected_components
+
+    members, rep_base = exact_class_collapse(docs, n, text_col, id_col)
+    rep_pairs, _ = _prefix_verified_pairs(rep_base, threshold, None)
+    comp = connected_components(
+        members.select(F.col("rep").alias("id")).distinct(),
+        rep_pairs,
+        node_col="id",
+        src_col="doc_a",
+        dst_col="doc_b",
+    )
+    doc_comp = members.join(comp, members.rep == comp.id).select("doc", "component")
+    sizes = doc_comp.groupBy("component").agg(F.count(F.lit(1)).alias("group_size"))
+    return doc_comp.join(sizes, "component").select(
+        F.col("doc").alias(id_col),
+        F.col("component").alias("group_id"),
+        "group_size",
+        (F.col("doc") == F.col("component")).alias("is_keeper"),
     )

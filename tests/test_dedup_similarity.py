@@ -447,6 +447,46 @@ def test_ngram_jaccard_prefix_filter_matches_brute_force(spark):
             for r in ngram_jaccard_pairs(docs, n=1, threshold=threshold).collect()
         }
         assert got == want, (threshold, got.keys() ^ want.keys())
+        # Both explicit quotient modes must emit the identical pair set
+        # (round 12: the exact-class quotient is an internal
+        # optimization, never a semantic switch).
+        for quotient in (True, False):
+            got_q = {
+                (r.doc_a, r.doc_b): r.jaccard
+                for r in ngram_jaccard_pairs(
+                    docs, n=1, threshold=threshold, quotient=quotient
+                ).collect()
+            }
+            assert got_q == want, (threshold, quotient, got_q.keys() ^ want.keys())
+
+
+def test_exact_neardup_groups_matches_full_graph_components(spark):
+    """The quotient groups path (round 12) must produce exactly the
+    groups of components over the FULL exact-Jaccard pair graph,
+    including duplicate classes, singletons, and n>=2 empty-gram-set
+    docs (mutual J = 0/0 = NULL - never grouped)."""
+    import random
+
+    from reactive_data_pipeline_spark.dedup import exact_neardup_groups, neardup_groups
+    from reactive_data_pipeline_spark.dedup.ngram import ngram_jaccard_pairs
+
+    rng = random.Random(20260817)
+    vocab = [f"w{i}" for i in range(20)]
+    rows = []
+    for i in range(40):
+        rows.append((i, " ".join(rng.choices(vocab, k=rng.randint(1, 12)))))
+    # exact duplicates (same token set, several copies)
+    rows += [(100, "alpha beta gamma"), (101, "alpha beta gamma"),
+             (102, "gamma beta alpha alpha")]
+    # two docs too short for trigrams: empty gram sets, must stay singletons
+    rows += [(200, "one two"), (201, "one two")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    for n, threshold in ((1, 0.5), (3, 0.5)):
+        pairs = ngram_jaccard_pairs(docs, n=n, threshold=threshold, quotient=False)
+        want = sorted(map(tuple, neardup_groups(docs, pairs).collect()))
+        got = sorted(map(tuple, exact_neardup_groups(docs, n=n, threshold=threshold).collect()))
+        assert got == want, (n, threshold)
 
 
 def test_connected_components_randomized_vs_union_find(spark):
