@@ -54,19 +54,27 @@ def minhash_signatures(
     grams = docs.select(
         F.col(id_col).alias("doc"), token_ngrams(text_col, n).alias("grams")
     )
-    # Hash each variable-length gram to a long ONCE, then derive the k
-    # minhash values by re-hashing that fixed 8-byte long with k seeds -
-    # the "one content hash + k cheap permutations" MinHash construction
-    # (a seeded long hash is ANSI-safe, unlike wrap-around multiply-add).
+    return _signatures_from_grams(grams, num_hashes)
+
+
+def _signatures_from_grams(grams: DataFrame, num_hashes: int) -> DataFrame:
+    """(doc, grams, sig) from a prepared ``(doc, grams)`` relation.
+
+    Hash each variable-length gram to a long ONCE, then derive the k
+    minhash values by re-hashing that fixed 8-byte long with k seeds -
+    the "one content hash + k cheap permutations" MinHash construction
+    (a seeded long hash is ANSI-safe, unlike wrap-around multiply-add).
+
+    All k minima fold in ONE aggregate pass over __h: acc is the
+    k-wide running-min array, each step least()s in xxhash64(h, i)
+    (the binary transform lambda binds i to the array index = the
+    seed). Measured vs k separate transform+array_min passes: ~10%
+    faster steady-state and one generated expression instead of k,
+    so plan codegen is ~3x cheaper - identical signature values.
+    """
     base = grams.select(
         "doc", "grams", F.transform("grams", lambda g: F.xxhash64(g)).alias("__h")
     )
-    # All k minima fold in ONE aggregate pass over __h: acc is the
-    # k-wide running-min array, each step least()s in xxhash64(h, i)
-    # (the binary transform lambda binds i to the array index = the
-    # seed). Measured vs k separate transform+array_min passes: ~10%
-    # faster steady-state and one generated expression instead of k,
-    # so plan codegen is ~3x cheaper - identical signature values.
     max_long = (1 << 63) - 1
     sig = F.aggregate(
         "__h",
@@ -84,19 +92,47 @@ def minhash_lsh_pairs(
     threshold: float = 0.5,
     text_col: str = "text",
     id_col: str = "doc_id",
+    quotient: bool = False,
 ) -> DataFrame:
     """Near-dup pairs (doc_a < doc_b, exact jaccard >= threshold) found
-    via LSH banding. Columns: doc_a, doc_b, jaccard."""
+    via LSH banding. Columns: doc_a, doc_b, jaccard.
+
+    ``quotient=True`` (optimization round 12, guide section 8) runs the
+    whole signature -> banding -> verification pipeline over ONE
+    representative per distinct gram set and expands member pairs at
+    the end. Output is row-for-row IDENTICAL, including the approximate
+    misses: a minhash signature is a pure function of the gram SET
+    (min over per-gram hashes), so identical sets get identical
+    signatures - same-class pairs collide in every band and verify to
+    J = 1.0, and a cross-class pair is banded/verified exactly as its
+    representative pair is. What changes is the COST on duplicate-heavy
+    corpora: a class of c copies used to pay c signatures, c*bands
+    bucket rows, C(c,2)*bands candidate rows, and C(c,2) verifications
+    that each ship both full gram arrays (the quadratic-in-multiplicity
+    candidate mass measured at the 400x fixture, ~16x its 100x cost) -
+    the quotient pays all of that once per class plus narrow
+    (id, id, jaccard) expansion rows."""
     if num_hashes % bands:
         raise ValueError("num_hashes must be divisible by bands")
     r = num_hashes // bands
-    # The signature relation feeds three plan branches (buckets, and both
-    # sides of the verification join); persist it so shingling+hashing runs
-    # once. At scale this is the standard materialize-signatures step of an
-    # LSH dedup pipeline (MEMORY_AND_DISK spills rather than OOMs).
-    sigs = minhash_signatures(
-        docs, n=n, num_hashes=num_hashes, text_col=text_col, id_col=id_col
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    members = None
+    if quotient:
+        from .ngram import exact_class_collapse
+
+        members, rep_base = exact_class_collapse(docs, n, text_col, id_col)
+        sig_input = rep_base.select("doc", F.col("g").alias("grams"))
+        sigs = _signatures_from_grams(sig_input, num_hashes).persist(
+            StorageLevel.MEMORY_AND_DISK
+        )
+    else:
+        # The signature relation feeds three plan branches (buckets, and
+        # both sides of the verification join); persist it so
+        # shingling+hashing runs once. At scale this is the standard
+        # materialize-signatures step of an LSH dedup pipeline
+        # (MEMORY_AND_DISK spills rather than OOMs).
+        sigs = minhash_signatures(
+            docs, n=n, num_hashes=num_hashes, text_col=text_col, id_col=id_col
+        ).persist(StorageLevel.MEMORY_AND_DISK)
     grams_only = sigs.select("doc", "grams")
     buckets = sigs.select(
         "doc",
@@ -127,12 +163,35 @@ def minhash_lsh_pairs(
     gb = grams_only.select(F.col("doc").alias("doc_b"), F.col("grams").alias("gb"))
     verified = cand.join(ga, "doc_a").join(gb, "doc_b")
     inter = F.size(F.array_intersect("ga", "gb")).cast("double")
-    jac = (inter / (F.size("ga") + F.size("gb") - inter)).alias("jaccard")
-    return (
+    # Two EMPTY gram sets share the all-max signature, so they reach
+    # verification with union = 0; guard the division (ANSI mode errors
+    # on 0/0 where legacy mode returned the NULL the filter drops).
+    union = F.size("ga") + F.size("gb") - inter
+    jac = F.when(union > 0, inter / union).alias("jaccard")
+    pairs = (
         verified.select("doc_a", "doc_b", jac)
         .filter(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard"))
     )
+    if members is None:
+        return pairs
+    from .ngram import expand_member_pairs
+
+    # Intra-class pairs: identical signatures collide in EVERY band, so
+    # the direct pipeline always emits them with the verify value for
+    # identical sets, |g|/(2|g|-|g|) = 1.0 (empty sets verify to NULL
+    # and are dropped - exact_class_collapse keeps them singletons).
+    sizes = members.groupBy("rep").agg(F.count(F.lit(1)).alias("__m"))
+    intra_classes = (
+        sigs.select("doc", F.size("grams").alias("__ng"))
+        .join(sizes, F.col("doc") == F.col("rep"))
+        .filter((F.col("__m") >= 2) & (F.col("__ng") > 0) & (F.lit(1.0) >= threshold))
+        .select("rep", F.lit(1.0).alias("jaccard"))
+    )
+    rep_pairs = pairs.select(
+        F.col("doc_a").alias("rep_a"), F.col("doc_b").alias("rep_b"), "jaccard"
+    )
+    return expand_member_pairs(members, intra_classes, rep_pairs)
 
 
 def minhash_neardup_groups(

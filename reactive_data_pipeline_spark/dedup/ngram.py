@@ -271,14 +271,27 @@ def ngram_jaccard_pairs(
     # empty/failing sets never materializes its quadratic pair mass.
     sizes = members.groupBy("rep").agg(F.count(F.lit(1)).alias("__m"))
     self_shared = F.size("gv")
-    self_jac = self_shared.cast("double") / (
-        F.col("n_grams") + F.col("n_grams") - self_shared
-    )
+    # Guarded like the pair division: an empty set's self-union is 0
+    # (ANSI mode errors on 0/0; such classes are singletons anyway).
+    self_union = F.col("n_grams") + F.col("n_grams") - self_shared
+    self_jac = F.when(self_union > 0, self_shared.cast("double") / self_union)
     intra_classes = (
         sides.join(sizes, sides.doc == sizes.rep)
         .filter((F.col("__m") >= 2) & (self_jac >= threshold))
         .select("rep", F.round(self_jac, 6).alias("jaccard"))
     )
+    return expand_member_pairs(members, intra_classes, rep_pairs)
+
+
+def expand_member_pairs(
+    members: DataFrame, intra_classes: DataFrame, rep_pairs: DataFrame
+) -> DataFrame:
+    """Expand a class quotient's pair relation back to member pairs -
+    narrow (doc_a < doc_b, jaccard) rows only. ``members``: (doc, rep);
+    ``intra_classes``: (rep, jaccard) for classes whose (identical-set)
+    self-pair qualifies; ``rep_pairs``: (rep_a, rep_b, jaccard) verified
+    representative pairs. Classes partition the docs, so intra and
+    cross pairs are disjoint and no dedup pass is needed."""
     ma = members.select("rep", F.col("doc").alias("doc_a"))
     mb = members.select("rep", F.col("doc").alias("doc_b"))
     intra = (
@@ -288,8 +301,7 @@ def ngram_jaccard_pairs(
         .select("doc_a", "doc_b", "jaccard")
     )
     # Cross-class: each verified rep pair fans out over both classes'
-    # members; classes partition the docs, so no pair is emitted twice
-    # and no dedup pass is needed.
+    # members.
     cross = (
         rep_pairs.join(
             members.select(F.col("rep").alias("rep_a"), F.col("doc").alias("da")),

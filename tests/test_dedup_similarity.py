@@ -460,6 +460,31 @@ def test_ngram_jaccard_prefix_filter_matches_brute_force(spark):
             assert got_q == want, (threshold, quotient, got_q.keys() ^ want.keys())
 
 
+def test_minhash_lsh_pairs_quotient_identical(spark):
+    """minhash_lsh_pairs(quotient=True) must emit the IDENTICAL pair
+    set as the direct pipeline - signatures are pure functions of the
+    gram set, so the quotient is a cost transform, not a semantic one
+    (round 12). Includes exact-duplicate classes so the intra-class
+    leg is exercised."""
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog again and again"),
+        (2, "the quick brown fox jumps over the lazy dog again and again"),
+        (3, "the quick brown fox jumps over the lazy dog again and often"),
+        (4, "completely different text about spark optimization and shuffles"),
+        (5, "completely different text about spark optimization and shuffles"),
+        (6, "short"),  # empty trigram set
+        (7, "tiny doc"),  # empty trigram set
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    for threshold in (0.5, 0.9):
+        direct = sorted(map(tuple, minhash_lsh_pairs(
+            docs, n=3, num_hashes=32, bands=8, threshold=threshold).collect()))
+        quot = sorted(map(tuple, minhash_lsh_pairs(
+            docs, n=3, num_hashes=32, bands=8, threshold=threshold, quotient=True).collect()))
+        assert direct == quot, (threshold, direct, quot)
+        assert (1, 2) in {(a, b) for a, b, _ in direct}
+
+
 def test_exact_neardup_groups_matches_full_graph_components(spark):
     """The quotient groups path (round 12) must produce exactly the
     groups of components over the FULL exact-Jaccard pair graph,
