@@ -96,16 +96,30 @@ from . import llm4  # noqa: E402,F401
 #: Catalog queries whose underlying machinery was rewritten THIS round
 #: - the staleness-clock window (tests/test_catalog_order.py::
 #: derive_check_window) pins them for an immediate driver re-check.
-#: Round 12: embedding_neardup_lsh GRADUATED from the catalog's last
-#: rows-only entry to a full exact oracle (the round-11 verdict's item
-#: 1): ``signatures="sql"`` band keys from md5-derived hyperplanes
-#: (dedup/embedding.py md5_planes) evaluated as explicit-0.0-init
-#: sequential folds, so DuckDB regenerates identical signatures,
-#: banding, candidates, and exact-cosine verification; threshold moved
-#: to the exact twin's 0.45 so the checked output is non-trivial (8
-#: verified pairs at sf0.01).
+#: Round 12 (optimization round): (a) embedding_neardup_lsh GRADUATED
+#: from the catalog's last rows-only entry to a full exact oracle (the
+#: round-11 verdict's item 1) and then had its SQL signature stage
+#: rewritten (band-struct fold, post-cap persist - dedup/embedding.py);
+#: (b) the exact near-dup family moved to the exact-class QUOTIENT
+#: (dedup/ngram.py: rep-only AllPairs verification + member expansion
+#: for n=1; exact_neardup_groups for the components deliverable);
+#: (c) minhash_lsh_pairs gained the output-identical quotient parameter
+#: and an ANSI 0/0 guard in its verify division (dedup/minhash.py).
+#: Listed: every registered query whose physical plan or shared
+#: machinery changed, including the recall contracts that consume it.
 ROUND_CHANGED: tuple[str, ...] = (
     "embedding_neardup_lsh",
+    "ann_recall_contract",
+    "cross_source_dup_matrix",
+    "embedding_recall_contract",
+    "minhash_neardup_pairs",
+    "minhash_recall_contract",
+    "neardup_groups_connected",
+    "neardup_groups_minhash",
+    "neardup_split_leakage",
+    "ngram_jaccard_pairs",
+    "simhash_recall_contract",
+    "streaming_neardup_contract",
 )
 
 #: The external gate checks a prefix of the catalog in registration
@@ -129,20 +143,27 @@ CHECK_PRIORITY: tuple[str, ...] = (
     "training_data_pipeline_v2",
     # --- this round's changed machinery ---
     "embedding_neardup_lsh",
+    "ann_recall_contract",
+    "cross_source_dup_matrix",
+    "embedding_recall_contract",
+    "minhash_neardup_pairs",
+    "minhash_recall_contract",
+    "neardup_groups_connected",
+    "neardup_groups_minhash",
+    "neardup_split_leakage",
+    "ngram_jaccard_pairs",
+    "simhash_recall_contract",
+    "streaming_neardup_contract",
     # --- rows-only (weak check keeps executing) ---
     # --- stale fill: oldest last-green round first ---
-    "minhash_recall_contract",  # r6
     "nearest_centroid_confusion",  # r6
     "ngram3_jaccard_pairs",  # r6
-    "ngram_jaccard_pairs",  # r6
     "pyds_ticker_feed",  # r6
     "pyds_ticker_roundtrip",  # r6
     "q6_forecast_revenue",  # r6
     "scd2_stream_dim",  # r6
     "sessionize_events",  # r6
-    "simhash_recall_contract",  # r6
     "source_vocab_jaccard",  # r6
-    "streaming_neardup_contract",  # r6
     "temperature_mix_rates",  # r6
     "token_cooccurrence_top",  # r6
     "training_shards_manifest",  # r6
@@ -169,13 +190,6 @@ CHECK_PRIORITY: tuple[str, ...] = (
     "distinct_segments",  # r7
     "doc_fingerprints",  # r7
     "embedding_norm_stats",  # r7
-    "epoch_shuffle_order",  # r7
-    "event_types_per_user",  # r7
-    "events_dedup_stats",  # r7
-    "having_heavy_users",  # r7
-    "kcore_peel_rounds",  # r7
-    "left_join_order_counts",  # r7
-    "levenshtein_close_names",  # r7
 )
 
 _missing = [n for n in CHECK_PRIORITY if n not in QUERIES]
