@@ -165,48 +165,50 @@ def embedding_neardup_lsh(
     ).persist(StorageLevel.MEMORY_AND_DISK)
     n_bands, n_bits = num_bands, bits_per_band
     if signatures == "sql":
-        # Band-granular broadcast plane table (optimization round 12,
-        # guide sections 2.3/2.4): the original form cross-joined a
-        # (B*b)-row plane table through the vectors (inflating N rows
-        # to N*B*b, each carrying the dim-double vector) and
-        # re-assembled buckets with a groupBy(id, band) - a full
-        # exchange plus two HashAggregates that exist only to undo the
-        # inflation. Nesting each band's b (weight, plane) rows into
-        # ONE band row and folding the bucket per (vector, band) join
-        # row removes that exchange and both aggregates and cuts the
-        # join inflation b-fold, while evaluating the EXACT same
-        # arithmetic: the per-plane dot is the same sequential fold as
-        # functions.vectors.dot, and the bucket recombination is the
-        # same exact integer addition (bit order vs the groupBy SUM's
-        # arbitrary order - integer adds commute losslessly), so every
-        # bk is bit-identical to the crossJoin form's and the DuckDB
-        # twin is untouched (parity-proven at sf0.001/sf0.01/sf0.1).
-        # (A fully-literal per-row projection was measured and
-        # rejected: 256 x dim literal plane expressions cost ~27s of
-        # py4j Column construction per build - plane values must stay
-        # DATA, not expression tree.)
+        # ONE-row broadcast plane table (optimization round 13, guide
+        # sections 2.3/2.4; round 12 had already folded the original
+        # (B*b)-row crossJoin down to B rows): ALL bands nest into a
+        # single row - array<struct<band, planes>> - so the join
+        # inflation disappears entirely (the build side is 1 row) and
+        # each vector computes its B band keys in one ``transform``
+        # producing ``array<long>`` + ``explode``, exactly the shape of
+        # the matmul path. The arithmetic is UNCHANGED expression for
+        # expression: per band the bucket is the same sequential
+        # ``aggregate`` fold over the same b (w, plane) structs (each
+        # dot the same explicit-0.0-init fold as functions.vectors.dot),
+        # and the band offset is the same exact integer addition - so
+        # every bk is bit-identical to the round-12 form's and the
+        # DuckDB twin is untouched (collect-compared + parity-proven).
+        # Plane values stay DATA, not expression tree: a fully-literal
+        # per-row projection was measured (round 12) at ~27s of py4j
+        # Column construction per build.
         spark = emb.sparkSession
         plane_rows = md5_planes(num_bands, bits_per_band, dim)
         band_rows = [
             (band, [(w, plane) for b2, w, plane in plane_rows if b2 == band])
             for band in range(num_bands)
         ]
-        bands_df = spark.createDataFrame(
-            band_rows, "band int, planes array<struct<w: long, plane: array<double>>>"
+        planes_df = spark.createDataFrame(
+            [(band_rows,)],
+            "bands array<struct<band: int, "
+            "planes: array<struct<w: long, plane: array<double>>>>>",
         )
-        bucket = F.aggregate(
-            F.col("planes"),
-            F.lit(0).cast("long"),
-            lambda acc, s: acc
-            + F.when(dot("v", s["plane"]) > 0, s["w"]).otherwise(F.lit(0).cast("long")),
+        keys = F.transform(
+            F.col("bands"),
+            lambda bs: F.aggregate(
+                bs["planes"],
+                F.lit(0).cast("long"),
+                lambda acc, s: acc
+                + F.when(dot("v", s["plane"]) > 0, s["w"]).otherwise(
+                    F.lit(0).cast("long")
+                ),
+            )
+            + (bs["band"].cast("long") * F.lit(1 << n_bits)),
         )
         buckets = (
             sides.select("id", "v")
-            .crossJoin(F.broadcast(bands_df))
-            .select(
-                "id",
-                (bucket + (F.col("band").cast("long") * F.lit(1 << n_bits))).alias("bk"),
-            )
+            .crossJoin(F.broadcast(planes_df))
+            .select("id", F.explode(keys).alias("bk"))
         )
     elif signatures == "matmul":
         rng = np.random.RandomState(seed)
@@ -252,10 +254,22 @@ def embedding_neardup_lsh(
     # 8-byte keys, far smaller than the vectors.
     buckets = buckets.persist(StorageLevel.MEMORY_AND_DISK)
     a, b = buckets.alias("a"), buckets.alias("b")
+    # The dedup exchange is a USER repartition on the distinct keys
+    # (optimization round 13, guide section 2.5): the downstream
+    # verification is compute-bound (one interpreted 64-dim dot fold
+    # per candidate) on BYTE-tiny rows, so AQE's byte-based partition
+    # coalescing was folding the whole verify onto 1-2 tasks (measured
+    # 1.5s on 2 tasks at sf0.1). An explicit repartition pins the
+    # parallelism AQE cannot see it needs; dropDuplicates reuses the
+    # same partitioning, so the exchange count is unchanged vs the old
+    # ``.distinct()`` and the partition count equals what the shuffle
+    # conf would have given pre-AQE.
+    par = emb.sparkSession.sparkContext.defaultParallelism
     cand = (
         a.join(b, (F.col("a.bk") == F.col("b.bk")) & (F.col("a.id") < F.col("b.id")))
         .select(F.col("a.id").alias("vec_a"), F.col("b.id").alias("vec_b"))
-        .distinct()
+        .repartition(par, "vec_a", "vec_b")
+        .dropDuplicates()
     )
     va = sides.select(F.col("id").alias("vec_a"), F.col("v").alias("va"), F.col("nrm").alias("na"))
     vb = sides.select(F.col("id").alias("vec_b"), F.col("v").alias("vb"), F.col("nrm").alias("nb"))

@@ -19,7 +19,8 @@ from reactive_data_pipeline_spark import get_spark  # noqa: E402
 from reactive_data_pipeline_spark.queries import QUERIES  # noqa: E402
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
-OUT_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), "..", "plans", "r12")
+ROUND = os.environ.get("SPARK_GRAFT_PLANS_ROUND", "r13")
+OUT_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), "..", "plans", ROUND)
 
 
 def main() -> None:
