@@ -729,12 +729,15 @@ def knn_ivf_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     here is the EXACT side's rank-1 (IVF misses the true top-1 at
     sf0.001); floors pin overlap@10 >= 5 and top5-overlap >= 3
     (measured exactly 5/3-4 at sf0.001 and sf0.01 under local[8] AND
-    local[16]). tests still assert nprobe=n_cells == brute."""
-    from ..similarity import knn_ivf
+    local[16]). tests still assert nprobe=n_cells == brute. Both legs
+    come from ONE scoring pass (optimization round 13, guide section
+    2.4, like knn_lsh_cosine): ``knn_ivf_and_brute`` checkpoints the
+    (id, cos, cell) relation once - leg-identical to knn_ivf/knn_brute
+    (test-pinned)."""
+    from ..similarity import knn_ivf_and_brute
 
     emb = _emb(spark, sf_dir)
-    approx = knn_ivf(emb, query_id=0, k=10, n_cells=16, nprobe=4)
-    exact = knn_brute(emb, query_id=0, k=10)
+    approx, exact = knn_ivf_and_brute(emb, query_id=0, k=10, n_cells=16, nprobe=4)
     return _knn_rank_contract(approx, exact, floor10=5, floor5=3, approx_top1=False)
 
 
@@ -754,10 +757,18 @@ def knn_lsh_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     floors pin overlap@10 >= 7 and top5-overlap >= 4 (measured exactly
     those at sf0.001 and sf0.01). Still benched: the timed work is the
     LSH path plus the O(N) brute twin - the plan you run when
-    validating an ANN index build."""
+    validating an ANN index build. Both legs come from ONE scan
+    (optimization round 13, guide section 2.4): the fused
+    ``knn_lsh_and_brute`` scores each row once with the exact cosine
+    plus the bucket-match flag and both top-ks read the checkpointed
+    narrow relation - leg-identical to knn_lsh/knn_brute (test-pinned),
+    half the corpus scans/eager executions."""
+    from ..similarity import knn_lsh_and_brute
+
     emb = _emb(spark, sf_dir)
-    approx = knn_lsh(emb, query_id=0, k=10, num_planes=4, probe_radius=2)
-    exact = knn_brute(emb, query_id=0, k=10)
+    approx, exact = knn_lsh_and_brute(
+        emb, query_id=0, k=10, num_planes=4, probe_radius=2
+    )
     return _knn_rank_contract(approx, exact, floor10=7, floor5=4, approx_top1=True)
 
 

@@ -120,6 +120,62 @@ def ivf_assign(
     return cells.withColumnRenamed("__cell", "ivf_cell"), centers
 
 
+def knn_ivf_and_brute(
+    emb: DataFrame,
+    query_id: int,
+    k: int = 10,
+    n_cells: int = 16,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = DEFAULT_SEED,
+) -> tuple[DataFrame, DataFrame]:
+    """(approx, exact) top-k in ONE scoring pass (optimization round
+    13, guide section 2.4, mirroring ``lsh.knn_lsh_and_brute``): the
+    assigned table is scored once with the exact cosine (what the brute
+    yardstick computes anyway), the narrow (id, cos, cell) relation is
+    checkpointed, and the approx leg is a broadcast cell semi-join over
+    it instead of a second scan. The query vector comes straight from
+    ``emb`` rather than the assigned table - its cell is never used, and
+    reading it through the assignment join re-ran the whole Lloyd
+    join-back per consumer. Legs are row-identical to knn_ivf/knn_brute
+    (same cosine expression, same probe cells, same total order;
+    test-pinned)."""
+    from ..operators.relational import top_k as _top_k
+
+    assigned, centers = ivf_assign(
+        emb, n_cells=n_cells, vec_col=vec_col, id_col=id_col, seed=seed
+    )
+    spark = emb.sparkSession
+    cent = spark.createDataFrame(centers, "ivf_cell int, center array<double>")
+    q = emb.filter(F.col(id_col) == query_id).select(F.col(vec_col).alias("__q"))
+    probe_cells = _top_k(
+        cent.crossJoin(F.broadcast(q)).select(
+            "ivf_cell", cosine("center", "__q").alias("__d")
+        ),
+        [F.desc("__d"), F.asc("ivf_cell")],
+        nprobe,
+    ).select("ivf_cell")
+    scored = (
+        assigned.filter(F.col(id_col) != query_id)
+        .crossJoin(F.broadcast(q))
+        .select(
+            F.col(id_col).alias("vec_id"),
+            F.round(cosine(vec_col, "__q"), 6).alias("cos_sim"),
+            "ivf_cell",
+        )
+        .localCheckpoint(eager=True)
+    )
+    order = [F.desc("cos_sim"), F.asc("vec_id")]
+    approx = _top_k(
+        scored.join(F.broadcast(probe_cells), "ivf_cell").select("vec_id", "cos_sim"),
+        order,
+        k,
+    )
+    exact = _top_k(scored.select("vec_id", "cos_sim"), order, k)
+    return approx, exact
+
+
 def knn_ivf(
     emb: DataFrame,
     query_id: int,

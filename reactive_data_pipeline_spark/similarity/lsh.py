@@ -59,6 +59,58 @@ def with_lsh_bucket(
     return emb.withColumn("lsh_bucket", _bucket_expr(vec_col, planes))
 
 
+def probe_masks(num_planes: int, probe_radius: int) -> list[int]:
+    """Multi-probe neighborhood: all XOR masks with <= radius bits set."""
+    masks = [0]
+    for r in range(1, probe_radius + 1):
+        masks += [sum(1 << i for i in c) for c in combinations(range(num_planes), r)]
+    return masks
+
+
+def knn_lsh_and_brute(
+    emb: DataFrame,
+    query_id: int,
+    k: int = 10,
+    num_planes: int = 8,
+    probe_radius: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = DEFAULT_SEED,
+) -> tuple[DataFrame, DataFrame]:
+    """(approx, exact) top-k in ONE scan (optimization round 13, guide
+    section 2.4 - the round-12 verdict's item 6): the LSH-validation
+    workload runs the approximate top-k AND its brute-force yardstick
+    over the same table, which as two independent plans scans (and
+    scores) the corpus twice. Here one pass computes per row the exact
+    cosine (what brute needs anyway) plus the multi-probe bucket-match
+    flag; the narrow (id, cos, flag) relation is checkpointed once and
+    both top-ks are TakeOrdered reads of it. Each leg is row-identical
+    to knn_lsh / knn_brute by construction: same cosine expression,
+    same probe predicate, same total order (pinned by
+    test_knn_fused_matches_separate_legs)."""
+    bucketed = with_lsh_bucket(emb, num_planes=num_planes, vec_col=vec_col, seed=seed)
+    q = bucketed.filter(F.col(id_col) == query_id).select(
+        F.col(vec_col).alias("__q"), F.col("lsh_bucket").alias("__qb")
+    )
+    probe = F.array(*[F.lit(m).cast("long") for m in probe_masks(num_planes, probe_radius)])
+    scored = (
+        bucketed.filter(F.col(id_col) != query_id)
+        .crossJoin(F.broadcast(q))
+        .select(
+            F.col(id_col).alias("vec_id"),
+            F.round(cosine(vec_col, "__q"), 6).alias("cos_sim"),
+            F.array_contains(
+                probe, F.col("lsh_bucket").bitwiseXOR(F.col("__qb"))
+            ).alias("__lsh_hit"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    order = [F.desc("cos_sim"), F.asc("vec_id")]
+    approx = top_k(scored.filter("__lsh_hit").drop("__lsh_hit"), order, k)
+    exact = top_k(scored.drop("__lsh_hit"), order, k)
+    return approx, exact
+
+
 def knn_lsh(
     emb: DataFrame,
     query_id: int,
@@ -79,10 +131,7 @@ def knn_lsh(
         F.col(vec_col).alias("__q"), F.col("lsh_bucket").alias("__qb")
     )
     # Multi-probe neighborhood: all masks with <= probe_radius bits set.
-    masks = [0]
-    for r in range(1, probe_radius + 1):
-        masks += [sum(1 << i for i in c) for c in combinations(range(num_planes), r)]
-    probe = F.array(*[F.lit(m).cast("long") for m in masks])
+    probe = F.array(*[F.lit(m).cast("long") for m in probe_masks(num_planes, probe_radius)])
     cand = (
         bucketed.filter(F.col(id_col) != query_id)
         .join(
