@@ -19,12 +19,34 @@ regime.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
 from ..functions.text import tokens
 from ..operators.relational import ensure_parallelism
+
+#: Auto-quotient gates (optimization round 13, guide section 8). Inputs
+#: whose optimizer size estimate is below MIN_BYTES keep the caller's
+#: small-scale default with ZERO extra work (the check/bench fixtures);
+#: above it, one cheap sampled aggregate measures the mean exact-class
+#: multiplicity and the quotient engages when duplicate mass is heavy
+#: enough to pay for the collapse (measured: multiplicity ~4.4 at 40x
+#: volume is a wash, ~44 at 400x is 3.3x - the threshold sits between).
+#: The byte gate is calibrated against the OPTIMIZER's estimate of the
+#: compressed input (the check/bench documents fixture is ~0.6 MB, the
+#: 10x one 5.3 MB, the 40x one 12 MB, the 400x one 99 MB): 8 MB keeps
+#: every bench/check plan untouched and starts paying the one sampling
+#: job from ~40x volume up, where it is noise against the pipeline.
+QUOTIENT_AUTO_MIN_BYTES = int(
+    os.environ.get("SPARK_GRAFT_QUOTIENT_MIN_BYTES", str(8 << 20))
+)
+QUOTIENT_MIN_MULTIPLICITY = float(
+    os.environ.get("SPARK_GRAFT_QUOTIENT_MIN_MULT", "8")
+)
+_QUOTIENT_SAMPLE_MOD = 16
 
 
 def token_ngrams(text: Column | str, n: int) -> Column:
@@ -39,6 +61,67 @@ def token_ngrams(text: Column | str, n: int) -> Column:
         F.array().cast("array<string>")
     ))
 
+
+
+def _plan_size_bytes(df: DataFrame) -> int:
+    """Optimizer size estimate of a frame's plan - free (no job); for a
+    parquet-backed plan it derives from the file footprint. 0 when
+    unavailable OR unknown: plans without stats (LogicalRDD /
+    createDataFrame inputs) report spark.sql.defaultSizeInBytes =
+    Long.MaxValue, which must not be read as "huge" - it would engage
+    scale machinery (max-partition repartitions, sampling jobs) on
+    arbitrarily small inputs."""
+    try:
+        v = int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+    except Exception:  # pragma: no cover - estimate only, never fatal
+        return 0
+    return 0 if v >= (1 << 62) else v
+
+
+def estimate_class_multiplicity(
+    docs: DataFrame, n: int, text_col: str = "text", id_col: str = "doc_id"
+) -> float:
+    """Sampled mean exact-class multiplicity (docs per distinct n-gram
+    SET) - the statistic that decides direct vs quotient. One cheap
+    aggregate over a deterministic 1/16 hash slice (map-side HLL
+    partial agg, no shuffle of content); both pipelines are
+    output-identical either way, so an estimate only ever affects cost,
+    never rows."""
+    s = docs.filter(
+        F.pmod(F.xxhash64(F.col(id_col), F.lit(7)), F.lit(_QUOTIENT_SAMPLE_MOD)) == 0
+    )
+    gset = F.sort_array(token_ngrams(F.col(text_col), n))
+    row = (
+        s.select(F.xxhash64(gset).alias("__ck"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.approx_count_distinct("__ck").alias("d"),
+        )
+        .head()
+    )
+    if not row or not row["n"] or not row["d"]:
+        return 1.0
+    return float(row["n"]) / float(row["d"])
+
+
+def resolve_quotient(
+    docs: DataFrame,
+    n: int,
+    text_col: str,
+    id_col: str,
+    small_default: bool,
+) -> bool:
+    """Data-derived direct-vs-quotient switch (optimization round 13,
+    the round-12 verdict's item 3): below the size gate the caller's
+    measured small-scale default applies with no extra job; above it
+    the sampled multiplicity decides. Parameterized by env
+    (SPARK_GRAFT_QUOTIENT_MIN_BYTES / _MIN_MULT) for deployments."""
+    if _plan_size_bytes(docs) < QUOTIENT_AUTO_MIN_BYTES:
+        return small_default
+    return (
+        estimate_class_multiplicity(docs, n, text_col, id_col)
+        >= QUOTIENT_MIN_MULTIPLICITY
+    )
 
 
 def _prefix_verified_pairs(
@@ -136,11 +219,29 @@ def _prefix_verified_pairs(
     vb = sides.select(
         F.col("doc").alias("doc_b"), F.col("n_grams").alias("nb"), F.col("gv").alias("gb")
     )
+    # Verification joins are SHUFFLED HASH, not sort-merge (optimization
+    # round 13, guide sections 2.3/5 - the round-12 verdict's item 8):
+    # the second join's stream side is candidate rows ALREADY carrying
+    # ga (the full gram array), so an SMJ would sort candidate-
+    # multiplied document mass - the measured 40x disk-burn mechanism
+    # (70 GB sort spill; streaming_neardup_contract's 565 s in-sweep
+    # disk exhaustion). SHJ builds the per-DOC side (one bounded array
+    # per doc) and STREAMS the fat candidate rows unsorted, so the
+    # heavy bytes cross the exchange once and never enter a sort.
+    # SHJ builds do not spill, so above the size gate the build sides
+    # are repartitioned on the join key with a bytes-derived count
+    # (size_fact_side's rule): per-task build stays ~constant at any SF.
+    conf_p = int(sides.sparkSession.conf.get("spark.sql.shuffle.partitions", "200"))
+    n_raw = -(-_plan_size_bytes(base) // (32 << 20))
+    if n_raw > 2 * conf_p:
+        n_p = min(n_raw, 4096)
+        va = va.repartition(n_p, "doc_a")
+        vb = vb.repartition(n_p, "doc_b")
     shared = F.size(F.array_intersect("ga", "gb"))
     jac = shared.cast("double") / (F.col("na") + F.col("nb") - shared)
     pairs = (
-        cand.join(va, "doc_a")
-        .join(vb, "doc_b")
+        cand.join(va.hint("shuffle_hash"), "doc_a")
+        .join(vb.hint("shuffle_hash"), "doc_b")
         .filter(jac >= threshold)
         .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
     )
@@ -166,34 +267,50 @@ def exact_class_collapse(
     keyed on the content hash carries the gram arrays exactly once
     (guide section 8: heavy bytes move once, every other shuffle in the
     caller sees narrow id rows).
-    """
-    from pyspark.sql import Window
 
-    gset = F.sort_array(F.col("g"))
-    wcls = Window.partitionBy("__ck1", "__ck2")
-    base = (
+    Shape (optimization round 13, the round-12 advice): groupBy +
+    join-back like minhash_neardup_groups's collapse, NOT a window -
+    a content-keyed window forces every row of a duplicate class (each
+    carrying its full gram array) into ONE task's sort, exactly the
+    degenerate-mega-class regime (100k copies of boilerplate) the
+    groupBy form survives by map-side partial aggregation: ``min_by``
+    keeps one candidate (rep id + its gram array) per class per map
+    task, so the reduce side sees O(map tasks) rows per class however
+    large the class. The join back to members ships only narrow
+    (doc, 16-byte key) rows. Empty AND NULL gram sets (tokens(NULL) is
+    a NULL array whose constant hash would otherwise fuse every
+    NULL-text doc into one class - the round-12 advice's defect) stay
+    singletons: two empty sets have J = 0/0 = NULL, not 1.
+    """
+    keyed_g = F.sort_array(F.col("g"))
+    keyed = (
         ensure_parallelism(docs)
         .select(F.col(id_col).alias("doc"), token_ngrams(text_col, n).alias("g"))
         .select(
             "doc",
             "g",
-            F.xxhash64(gset).alias("__ck1"),
-            F.xxhash64(F.lit(1), gset).alias("__ck2"),
-        )
-        # Empty gram sets (possible for n >= 2 on short docs) must NOT
-        # form a class: two empty sets have J = 0/0 = NULL, not 1, so
-        # the exact graph leaves them singletons - route each to itself.
-        .select(
-            "doc",
-            "g",
-            F.when(F.size("g") == 0, F.col("doc"))
-            .otherwise(F.min("doc").over(wcls))
-            .alias("rep"),
+            F.xxhash64(keyed_g).alias("__ck1"),
+            F.xxhash64(F.lit(1), keyed_g).alias("__ck2"),
+            (F.col("g").isNull() | (F.size("g") == 0)).alias("__single"),
         )
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    members = base.select("doc", "rep")
-    rep_base = base.filter(F.col("doc") == F.col("rep")).select("doc", "g")
+    grouped = keyed.filter(~F.col("__single"))
+    classes = (
+        grouped.groupBy("__ck1", "__ck2")
+        .agg(F.min("doc").alias("rep"), F.min_by("g", "doc").alias("g"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    singles = keyed.filter(F.col("__single"))
+    members = (
+        grouped.select("doc", "__ck1", "__ck2")
+        .join(classes.select("__ck1", "__ck2", "rep"), ["__ck1", "__ck2"])
+        .select("doc", "rep")
+        .unionByName(singles.select("doc", F.col("doc").alias("rep")))
+    )
+    rep_base = classes.select(F.col("rep").alias("doc"), "g").unionByName(
+        singles.select("doc", "g")
+    )
     return members, rep_base
 
 
@@ -223,17 +340,24 @@ def ngram_jaccard_pairs(
     pairs get exactly the value the verify expression computes for two
     identical sets, and cross-class pairs the representative pair's.
 
-    Default ``None`` resolves to ``n == 1``: unigram token-set dedup is
-    the high-dup-mass regime AND its distinct-token arrays are
-    vocabulary-bounded, so the collapse's one content-keyed exchange is
-    cheap (measured at 10x volume: 138s -> 96s). Shingle similarity
-    (n >= 3) carries document-mass gram arrays where that exchange
-    exceeds the savings on a low-dup corpus (measured: 19s -> 32s at
-    n=3, 10x volume) - callers that KNOW their corpus is
-    duplicate-heavy should pass ``quotient=True``.
+    Default ``None`` (optimization round 13, data-derived - the
+    round-12 verdict's item 3): unigram (n == 1) always quotients -
+    token-set dedup is the high-dup-mass regime AND its distinct-token
+    arrays are vocabulary-bounded, so the collapse's one content-keyed
+    exchange is cheap (measured at 10x volume: 138s -> 96s). Shingle
+    similarity (n >= 2) carries document-mass gram arrays where the
+    collapse only pays off under heavy duplicate multiplicity (measured
+    at n=3: 19s -> 32s LOSS at 10x thin-dup volume, ~wash at 40x
+    multiplicity ~4.4, 3.3x WIN at 400x multiplicity ~44), so the
+    switch comes from the data via :func:`resolve_quotient`: small
+    inputs keep the direct path free of charge, large ones pay one
+    sampled multiplicity estimate. Callers that KNOW their corpus
+    shape should pass the bool explicitly.
     """
     if quotient is None:
-        quotient = n == 1
+        quotient = True if n == 1 else resolve_quotient(
+            docs, n, text_col, id_col, small_default=False
+        )
     if not quotient:
         base = (
             ensure_parallelism(docs)
@@ -275,9 +399,14 @@ def ngram_jaccard_pairs(
     # (ANSI mode errors on 0/0; such classes are singletons anyway).
     self_union = F.col("n_grams") + F.col("n_grams") - self_shared
     self_jac = F.when(self_union > 0, self_shared.cast("double") / self_union)
+    # size(gv) > 0 mirrors candidate generation (round-12 advice): a
+    # class whose grams are ALL capped away has no index grams, so the
+    # direct path never forms its self-candidate - without this guard
+    # the degenerate threshold=0.0 + max_doc_freq corner would emit
+    # intra pairs (self_jac = 0.0 passes >= 0.0) the direct path omits.
     intra_classes = (
         sides.join(sizes, sides.doc == sizes.rep)
-        .filter((F.col("__m") >= 2) & (self_jac >= threshold))
+        .filter((F.col("__m") >= 2) & (self_shared > 0) & (self_jac >= threshold))
         .select("rep", F.round(self_jac, 6).alias("jaccard"))
     )
     return expand_member_pairs(members, intra_classes, rep_pairs)

@@ -478,7 +478,16 @@ def streaming_neardup_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
     await_finished(q)
     streamed = read_neardup_pairs(spark, pairs_root).select("doc_a", "doc_b")
     batch = simhash_near_pairs(docs, max_hamming=3).select("doc_a", "doc_b")
-    exact = ngram_jaccard_pairs(docs, n=3, threshold=0.5).select("doc_a", "doc_b")
+    # quotient=True (optimization round 13, the round-12 verdict's item
+    # 4): the ground-truth leg is the query's volume cost, and this
+    # fixture's duplicate multiplicity grows with SF - the direct leg's
+    # candidate-multiplied gram arrays burned 565 s of disk in the sf4
+    # sweep (r12 SCALING.md). Output-identical by the quotient argument
+    # (pinned by test_ngram_jaccard_prefix_filter_matches_brute_force
+    # in both modes + this query's own DuckDB-recomputed n_exact_pairs).
+    exact = ngram_jaccard_pairs(docs, n=3, threshold=0.5, quotient=True).select(
+        "doc_a", "doc_b"
+    )
     n_exact = exact.agg(F.count(F.lit(1)).alias("n_exact_pairs"))
     n_stream = streamed.agg(F.count(F.lit(1)).alias("__n_s"))
     only_stream = streamed.exceptAll(batch).agg(F.count(F.lit(1)).alias("__d1"))

@@ -505,6 +505,11 @@ def test_exact_neardup_groups_matches_full_graph_components(spark):
              (102, "gamma beta alpha alpha")]
     # two docs too short for trigrams: empty gram sets, must stay singletons
     rows += [(200, "one two"), (201, "one two")]
+    # NULL-text docs: tokens(NULL) is a NULL gram array at every n - the
+    # documented contract (and the full-graph path) leaves them
+    # singletons; the round-12 advice caught the collapse fusing them
+    # into ONE class via the constant xxhash64(NULL) key.
+    rows += [(300, None), (301, None)]
     docs = spark.createDataFrame(rows, "doc_id long, text string")
 
     for n, threshold in ((1, 0.5), (3, 0.5)):
@@ -512,6 +517,86 @@ def test_exact_neardup_groups_matches_full_graph_components(spark):
         want = sorted(map(tuple, neardup_groups(docs, pairs).collect()))
         got = sorted(map(tuple, exact_neardup_groups(docs, n=n, threshold=threshold).collect()))
         assert got == want, (n, threshold)
+        for r in got:
+            if r[0] in (300, 301):
+                assert r[2] == 1 and r[0] == r[1], r  # NULL text stays singleton
+
+
+def test_knn_fused_matches_separate_legs(spark):
+    """The round-13 fused single-scan contracts (knn_lsh_and_brute /
+    knn_ivf_and_brute) must emit row-identical (approx, exact) legs to
+    the separate knn_lsh/knn_ivf + knn_brute plans they replaced - the
+    fusion is a scan-sharing cost transform (guide section 2.4), never
+    a semantic one."""
+    from reactive_data_pipeline_spark.similarity import (
+        knn_brute,
+        knn_ivf,
+        knn_ivf_and_brute,
+        knn_lsh,
+        knn_lsh_and_brute,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    rows = lambda df: sorted(map(tuple, df.collect()))
+
+    fa, fe = knn_lsh_and_brute(emb, query_id=0, k=10, num_planes=4, probe_radius=2)
+    assert rows(fa) == rows(knn_lsh(emb, query_id=0, k=10, num_planes=4, probe_radius=2))
+    assert rows(fe) == rows(knn_brute(emb, query_id=0, k=10))
+
+    fa, fe = knn_ivf_and_brute(emb, query_id=0, k=10, n_cells=16, nprobe=4)
+    assert rows(fa) == rows(knn_ivf(emb, query_id=0, k=10, n_cells=16, nprobe=4))
+    assert rows(fe) == rows(knn_brute(emb, query_id=0, k=10))
+
+
+def test_resolve_quotient_auto_switch(spark, monkeypatch):
+    """The round-13 data-derived quotient switch: below the size gate
+    the caller's small-scale default applies with no sampling job;
+    above it the sampled mean class multiplicity decides (>= the
+    threshold picks the quotient). Gates monkeypatched so both regimes
+    run on a tiny frame."""
+    from reactive_data_pipeline_spark.dedup import ngram as N
+
+    dup = [(i, "same text everywhere for all copies") for i in range(64)]
+    uniq = [(1000 + i, f"unique text number {i} with words w{i} w{i+1}") for i in range(8)]
+    docs = spark.createDataFrame(dup + uniq, "doc_id long, text string")
+
+    # Below the gate the default rules, no estimate is computed. A
+    # createDataFrame plan has UNKNOWN stats (Long.MaxValue -> routed to
+    # the sampling side), so pin the probe to a small value here.
+    monkeypatch.setattr(N, "_plan_size_bytes", lambda df: 1 << 10)
+    assert N.resolve_quotient(docs, 3, "text", "doc_id", small_default=False) is False
+    assert N.resolve_quotient(docs, 3, "text", "doc_id", small_default=True) is True
+
+    # Above the gate: multiplicity (72 docs / ~9 distinct sets ~ 8)
+    # crosses a low threshold and not a high one.
+    monkeypatch.setattr(N, "_plan_size_bytes", lambda df: 1 << 40)
+    est = N.estimate_class_multiplicity(docs, 3)
+    assert est > 2.0
+    monkeypatch.setattr(N, "QUOTIENT_MIN_MULTIPLICITY", 2.0)
+    assert N.resolve_quotient(docs, 3, "text", "doc_id", small_default=False) is True
+    monkeypatch.setattr(N, "QUOTIENT_MIN_MULTIPLICITY", 1e9)
+    assert N.resolve_quotient(docs, 3, "text", "doc_id", small_default=False) is False
+
+
+def test_exact_class_collapse_mega_class(spark):
+    """Degenerate mega-class multiplicity (one boilerplate text, many
+    copies) through the round-13 groupBy+min_by collapse: one class,
+    rep = min id, rep_base carries exactly one row for the class plus
+    each empty/NULL-set singleton (the regime the round-12 advice
+    flagged for the window form - partial aggregation collapses the
+    class map-side)."""
+    from reactive_data_pipeline_spark.dedup.ngram import exact_class_collapse
+
+    rows = [(i, "the same boilerplate text repeated everywhere") for i in range(500)]
+    rows += [(1000, "a genuinely different document"), (1001, None), (1002, "x y")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    members, rep_base = exact_class_collapse(docs, n=3)
+    m = {r.doc: r.rep for r in members.collect()}
+    assert len(m) == 503
+    assert all(m[i] == 0 for i in range(500))
+    assert m[1000] == 1000 and m[1001] == 1001 and m[1002] == 1002
+    reps = sorted(r.doc for r in rep_base.collect())
+    assert reps == [0, 1000, 1001, 1002]
 
 
 def test_connected_components_randomized_vs_union_find(spark):
