@@ -17,6 +17,7 @@ timestamps leave as epoch-micros/dates; every LIMIT has a total order.
 from __future__ import annotations
 
 import functools
+import os
 from collections.abc import Callable
 from dataclasses import dataclass, field
 
@@ -28,6 +29,15 @@ RUNTIME_CONF: dict[str, str] = {
     "spark.sql.session.timeZone": "UTC",
     "spark.sql.legacy.parquet.nanosAsLong": "true",
 }
+
+
+#: Deployment floor for the derived value (round-12 advice): on a real
+#: cluster with dynamic allocation, defaultParallelism read right after
+#: startup can reflect ~2 registered executors and undersize every
+#: exchange. Local masters report their true core count immediately, so
+#: the default floor of 1 leaves the bench/driver behavior untouched;
+#: deployments set SPARK_GRAFT_MIN_SHUFFLE_PARTITIONS to their floor.
+_MIN_SHUFFLE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_MIN_SHUFFLE_PARTITIONS", "1"))
 
 
 def _apply_runtime_conf(spark: SparkSession) -> None:
@@ -44,9 +54,20 @@ def _apply_runtime_conf(spark: SparkSession) -> None:
     # defaultParallelism is N on local[N] and total executor cores on a
     # cluster, so engine entry points that size the conf themselves
     # (bench.py, get_spark local mode) see the same number re-applied.
-    spark.conf.set(
-        "spark.sql.shuffle.partitions", str(spark.sparkContext.defaultParallelism)
-    )
+    # Memoized ON the session object (round-12 advice): reading
+    # defaultParallelism ONCE per session instead of per build (a)
+    # saves py4j round trips on every catalog build and (b) pins the
+    # value for the session's lifetime, so a cluster whose executor
+    # count ramps after startup (dynamic allocation) cannot flap the
+    # setting between builds. The attribute dies with the session - no
+    # stale carry-over to a differently-sized successor.
+    val = getattr(spark, "_graft_shuffle_partitions", None)
+    if val is None:
+        val = str(
+            max(spark.sparkContext.defaultParallelism, _MIN_SHUFFLE_PARTITIONS)
+        )
+        spark._graft_shuffle_partitions = val
+    spark.conf.set("spark.sql.shuffle.partitions", val)
 
 
 @dataclass(frozen=True)
