@@ -117,27 +117,34 @@ from . import llm4  # noqa: E402,F401
 #: Catalog queries whose underlying machinery was rewritten THIS round
 #: - the staleness-clock window (tests/test_catalog_order.py::
 #: derive_check_window) pins them for an immediate driver re-check.
-#: Round 12 (optimization round): (a) embedding_neardup_lsh GRADUATED
-#: from the catalog's last rows-only entry to a full exact oracle (the
-#: round-11 verdict's item 1) and then had its SQL signature stage
-#: rewritten (band-struct fold, post-cap persist - dedup/embedding.py);
-#: (b) the exact near-dup family moved to the exact-class QUOTIENT
-#: (dedup/ngram.py: rep-only AllPairs verification + member expansion
-#: for n=1; exact_neardup_groups for the components deliverable);
-#: (c) minhash_lsh_pairs gained the output-identical quotient parameter
-#: and an ANSI 0/0 guard in its verify division (dedup/minhash.py).
+#: Round 13 (optimization round 2): (a) embedding_neardup_lsh's SQL
+#: signature stage folds all 32 bands in ONE pass (1-row broadcast
+#: plane table, transform -> array<long> -> explode) and its candidate
+#: dedup is a user repartition AQE cannot under-parallelize
+#: (dedup/embedding.py); (b) the knn contracts run BOTH legs off one
+#: checkpointed scored scan (similarity/lsh.py::knn_lsh_and_brute,
+#: similarity/ivf.py::knn_ivf_and_brute); (c) exact_class_collapse is
+#: the groupBy+min_by shape with NULL-set singleton routing, the
+#: direct-vs-quotient switch is data-derived (resolve_quotient), and
+#: the AllPairs verification joins are shuffled-hash with bytes-sized
+#: builds (dedup/ngram.py) - consumed by every exact near-dup query
+#: and, via minhash_lsh_pairs' auto default, the minhash family;
+#: (d) streaming_neardup_contract's ground-truth leg is quotient=True.
 #: Listed: every registered query whose physical plan or shared
 #: machinery changed, including the recall contracts that consume it.
 ROUND_CHANGED: tuple[str, ...] = (
-    "embedding_neardup_lsh",
     "ann_recall_contract",
     "cross_source_dup_matrix",
+    "embedding_neardup_lsh",
     "embedding_recall_contract",
+    "knn_ivf_cosine",
+    "knn_lsh_cosine",
+    "minhash_dedup_groups",
     "minhash_neardup_pairs",
     "minhash_recall_contract",
     "neardup_groups_connected",
-    "neardup_groups_minhash",
     "neardup_split_leakage",
+    "ngram3_jaccard_pairs",
     "ngram_jaccard_pairs",
     "simhash_recall_contract",
     "streaming_neardup_contract",
@@ -163,54 +170,54 @@ CHECK_PRIORITY: tuple[str, ...] = (
     "reactive_ticker_meta_stream",
     "training_data_pipeline_v2",
     # --- this round's changed machinery ---
-    "embedding_neardup_lsh",
     "ann_recall_contract",
     "cross_source_dup_matrix",
+    "embedding_neardup_lsh",
     "embedding_recall_contract",
+    "knn_ivf_cosine",
+    "knn_lsh_cosine",
+    "minhash_dedup_groups",
     "minhash_neardup_pairs",
     "minhash_recall_contract",
     "neardup_groups_connected",
-    "neardup_groups_minhash",
     "neardup_split_leakage",
+    "ngram3_jaccard_pairs",
     "ngram_jaccard_pairs",
     "simhash_recall_contract",
     "streaming_neardup_contract",
     # --- rows-only (weak check keeps executing) ---
     # --- stale fill: oldest last-green round first ---
-    "nearest_centroid_confusion",  # r6
-    "ngram3_jaccard_pairs",  # r6
-    "pyds_ticker_feed",  # r6
-    "pyds_ticker_roundtrip",  # r6
-    "q6_forecast_revenue",  # r6
-    "scd2_stream_dim",  # r6
-    "sessionize_events",  # r6
-    "source_vocab_jaccard",  # r6
-    "temperature_mix_rates",  # r6
-    "token_cooccurrence_top",  # r6
-    "training_shards_manifest",  # r6
-    "triangle_count_copurchase",  # r6
-    "udtf_trigram_top",  # r6
-    "user_activity_freq_spectrum",  # r6
-    "window_range_30d_totals",  # r6
-    "winsorized_quantity_stats",  # r6
-    "agg_orders_status",  # r7
-    "anti_customers_no_urgent",  # r7
-    "approx_distinct_users",  # r7
-    "argmax_order_per_priority",  # r7
-    "asof_purchase_before_click",  # r7
-    "broadcast_nation_region",  # r7
-    "chunk_docs",  # r7
-    "conditional_agg_events",  # r7
-    "contamination_ngram_overlap",  # r7
-    "corr_qty_price_by_flag",  # r7
-    "count_distinct_lineitem",  # r7
-    "cube_orders_status_priority",  # r7
-    "date_math_orders",  # r7
-    "dedup_exact_docs",  # r7
-    "dedup_keep_one",  # r7
-    "distinct_segments",  # r7
-    "doc_fingerprints",  # r7
-    "embedding_norm_stats",  # r7
+    "epoch_shuffle_order",  # r7
+    "event_types_per_user",  # r7
+    "events_dedup_stats",  # r7
+    "having_heavy_users",  # r7
+    "kcore_peel_rounds",  # r7
+    "left_join_order_counts",  # r7
+    "levenshtein_close_names",  # r7
+    "moments_price_by_flag",  # r7
+    "posexplode_embedding_head",  # r7
+    "predicate_algebra_parts",  # r7
+    "reagg_daily_to_weekly",  # r7
+    "salted_user_totals",  # r7
+    "set_nations_except",  # r7
+    "set_nations_union",  # r7
+    "sliding_window_6h_activity",  # r7
+    "string_funcs_parts",  # r7
+    "systematic_sample_events",  # r7
+    "text_stats",  # r7
+    "window_cumsum_customer_spend",  # r7
+    "window_lag_events",  # r7
+    "anomaly_zscore_events",  # r8
+    "big_orders_in_subquery",  # r8
+    "cms_user_frequencies",  # r8
+    "dq_star_schema_suite",  # r8
+    "embedding_quantize_stats",  # r8
+    "exists_returned_orders",  # r8
+    "filter_events_click",  # r8
+    "forward_fill_purchase_value",  # r8
+    "full_outer_daily_mix",  # r8
+    "funnel_view_click_purchase",  # r8
+    "gapfill_daily_event_counts",  # r8
 )
 
 _missing = [n for n in CHECK_PRIORITY if n not in QUERIES]

@@ -352,6 +352,36 @@ ROUND11_CHECKED = frozenset(
     }
 )
 
+ROUND12_CHECKED = frozenset(
+    {
+        "agg_orders_status", "ann_recall_contract",
+        "anti_customers_no_urgent", "approx_distinct_users",
+        "argmax_order_per_priority", "asof_purchase_before_click",
+        "broadcast_nation_region", "chunk_docs",
+        "conditional_agg_events", "contamination_ngram_overlap",
+        "corr_qty_price_by_flag", "count_distinct_lineitem",
+        "cross_source_dup_matrix", "cube_orders_status_priority",
+        "date_math_orders", "dedup_exact_docs", "dedup_keep_one",
+        "distinct_segments", "doc_fingerprints",
+        "embedding_neardup_lsh", "embedding_norm_stats",
+        "embedding_recall_contract", "minhash_neardup_pairs",
+        "minhash_recall_contract", "neardup_groups_connected",
+        "neardup_groups_minhash", "neardup_split_leakage",
+        "nearest_centroid_confusion", "ngram3_jaccard_pairs",
+        "ngram_jaccard_pairs", "pyds_ticker_feed",
+        "pyds_ticker_roundtrip", "q1_pricing_summary",
+        "q6_forecast_revenue", "reactive_ticker_meta_stream",
+        "scd2_stream_dim", "sessionize_events",
+        "simhash_recall_contract", "source_vocab_jaccard",
+        "streaming_neardup_contract", "temperature_mix_rates",
+        "token_cooccurrence_top", "training_data_pipeline",
+        "training_data_pipeline_v2", "training_shards_manifest",
+        "triangle_count_copurchase", "udtf_trigram_top",
+        "user_activity_freq_spectrum", "window_range_30d_totals",
+        "winsorized_quantity_stats"
+    }
+)
+
 #: round -> frozen driver-checked key set; the staleness clock.
 ROUND_HISTORY: dict[int, frozenset] = {
     1: ROUND1_CHECKED,
@@ -365,6 +395,7 @@ ROUND_HISTORY: dict[int, frozenset] = {
     9: ROUND9_CHECKED,
     10: ROUND10_CHECKED,
     11: ROUND11_CHECKED,
+    12: ROUND12_CHECKED,
 }
 
 PRIOR_ROUNDS_CHECKED = frozenset().union(*ROUND_HISTORY.values())
